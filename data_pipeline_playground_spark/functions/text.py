@@ -1,0 +1,74 @@
+"""Scalar text functions, expressed as JVM-side Column expressions.
+
+Every function here stays inside Catalyst/whole-stage codegen (no Python
+UDFs) and has a documented ANSI-SQL equivalent so the DuckDB oracle can
+mirror it exactly. Reference parity citations are per-function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tokenization regex shared by Spark and the oracle: split on runs of
+# anything that is not a letter or digit. Mirrors the reference's
+# NLTK word_tokenize usage (reference cluster.py:15, lda.py:25) in a
+# deterministic, SQL-expressible form.
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+# English stopword subset (NLTK-style, reference cluster.py:14-16).
+# Kept short and embedded verbatim in oracle SQL literals so both
+# engines share one source of truth.
+STOPWORDS = (
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for",
+    "from", "had", "has", "have", "he", "her", "his", "i", "in", "is",
+    "it", "its", "my", "no", "not", "of", "on", "or", "she", "so",
+    "that", "the", "their", "there", "they", "this", "to", "was", "we",
+    "were", "will", "with", "you",
+)
+
+
+def fuzz_ratio(a: Column | str, b: Column | str) -> Column:
+    """Levenshtein similarity ratio in [0, 100].
+
+    Formula: ``100 * (len(a) + len(b) - lev(a, b)) / (len(a) + len(b))``
+    — the SQL-expressible analogue of fuzzywuzzy's ``fuzz.ratio``
+    (reference pipeline.py:29, realtimeapi.py:151, reddit_api.py:125).
+    DuckDB mirror: same expression over ``levenshtein()``.
+    """
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    total = F.length(a) + F.length(b)
+    return (F.lit(100.0) * (total - F.levenshtein(a, b))) / F.greatest(total, F.lit(1))
+
+
+def tokenize(col: Column | str) -> Column:
+    """Lowercase + regex-split word tokenization → array<string>.
+
+    Empty tokens (leading/trailing separators) are filtered out.
+    Reference: cluster.py:15 (lower + word_tokenize).
+    DuckDB mirror: ``list_filter(regexp_split_to_array(lower(x),
+    '[^a-z0-9]+'), t -> t <> '')``.
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.lower(col), TOKEN_SPLIT_RE)
+    return F.filter(toks, lambda t: t != F.lit(""))
+
+
+def remove_stopwords(tokens: Column) -> Column:
+    """Array-minus-stopwords (reference cluster.py:14-16, U2)."""
+    return F.array_except(tokens, F.array(*[F.lit(s) for s in STOPWORDS]))
+
+
+def word_ngrams(tokens: Column, n: int) -> Column:
+    """Distinct word n-grams of a token array (reference utils.py:1-30).
+
+    Built from higher-order functions (sequence + transform), no UDF:
+    gram i = concat_ws(' ', slice(tokens, i, n)).
+    """
+    # Guard: sequence(1, 0) would generate a DESCENDING [1, 0] in Spark,
+    # so emit an empty array when there are fewer than n tokens.
+    idx = F.when(
+        F.size(tokens) >= n, F.sequence(F.lit(1), F.size(tokens) - (n - 1))
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, n)))
+    return F.array_distinct(grams)

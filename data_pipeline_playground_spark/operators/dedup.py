@@ -1,0 +1,79 @@
+"""Deduplication operator family (reference D1 — the signature operator,
+appearing at pipeline.py:22-42, realtimeapi.py:143-156,
+reddit_api.py:117-130 — generalized to the LLM-data-pipeline tiers:
+exact, fuzzy-Levenshtein, MinHash, SimHash, n-gram Jaccard).
+
+Semantics (all tiers): **keep the earliest representative per similar
+pair** — row ``i`` survives iff no row ``j < i`` is similar to it. This
+is the order-insensitive pairwise spec SURVEY §2.3 chose over the
+reference's greedy, order-dependent chain (which is not transitive and
+not reproducible under parallelism).
+
+Scale notes (100 TB design point):
+- exact: hash-shuffle on the digest — embarrassingly parallel.
+- fuzzy: the quadratic self-join is bounded by a *semantics-preserving*
+  length-band blocking predicate (ratio > t implies the lengths are
+  within a provable band), so Catalyst executes a band-join instead of a
+  full cross product; at extreme scale prefer the MinHash tier.
+- minhash/simhash/jaccard: candidate generation via LSH band buckets /
+  hamming blocks — shuffle is proportional to candidate pairs, not n².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_pipeline_playground_spark.functions.text import fuzz_ratio
+
+# Fuzzy-dedup knobs: compare on a fixed-width prefix of the document
+# text (the "title" analogue — reference dedups on thread titles,
+# pipeline.py:26-29) with similarity threshold 80 (pipeline.py:29).
+TITLE_PREFIX_LEN = 80
+FUZZ_THRESHOLD = 80.0
+
+
+def exact_dedup(df: DataFrame, key: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the min-id row per identical ``key`` value.
+
+    100 TB: one hash shuffle on md5(key); no comparisons beyond equality.
+    """
+    return (
+        df.withColumn("_digest", F.md5(F.col(key)))
+        .groupBy("_digest")
+        .agg(F.min(id_col).alias(id_col))
+        .drop("_digest")
+    )
+
+
+def fuzzy_dedup_survivors(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Fuzzy near-dup removal (reference D1): survivor ids.
+
+    Row i survives iff no j < i with fuzz_ratio(title_i, title_j) >
+    FUZZ_THRESHOLD, where title = substring(text, 1, TITLE_PREFIX_LEN).
+
+    The anti-join condition carries a length-band prefilter that is
+    *implied* by the threshold (ratio > 80 ⇒ lev < (la+lb)/5 and
+    lev ≥ |la−lb| ⇒ |la−lb| < (la+lb)/5 ⇒ 2/3·la < lb < 3/2·la), so it
+    prunes pairs without changing results — Catalyst turns the pruned
+    self-join into a much smaller comparison set.
+    """
+    titles = df.select(
+        F.col(id_col).alias("_i"),
+        F.substring(F.col(text_col), 1, TITLE_PREFIX_LEN).alias("_title"),
+        F.length(F.substring(F.col(text_col), 1, TITLE_PREFIX_LEN)).alias("_len"),
+    )
+    left = titles
+    right = titles.select(
+        F.col("_i").alias("_j"), F.col("_title").alias("_title_r"),
+        F.col("_len").alias("_len_r"),
+    )
+    cond = (
+        (right["_j"] < left["_i"])
+        # semantics-preserving length band (see docstring)
+        & (right["_len_r"] * 3 > left["_len"] * 2)
+        & (right["_len_r"] * 2 < left["_len"] * 3)
+        & (fuzz_ratio(left["_title"], right["_title_r"]) > F.lit(FUZZ_THRESHOLD))
+    )
+    return left.join(right, cond, "left_anti").select(F.col("_i").alias(id_col))

@@ -1,0 +1,68 @@
+"""Dedup query-surface entries (SURVEY §2.3 D1 + §2.12 extensions)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_playground_spark.operators.dedup import (
+    FUZZ_THRESHOLD,
+    TITLE_PREFIX_LEN,
+    fuzzy_dedup_survivors,
+)
+from data_pipeline_playground_spark.registry import query
+from data_pipeline_playground_spark.tables import table
+
+_DEDUP_EXACT_SQL = """
+SELECT md5(text) AS digest, min(doc_id) AS doc_id
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+@query("dedup_exact", oracle=_DEDUP_EXACT_SQL)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over documents: min doc_id per md5(text) digest."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("digest", F.md5("text"))
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+
+
+_DEDUP_FUZZY_SQL = f"""
+WITH t AS (
+  SELECT doc_id AS i, substring(text, 1, {TITLE_PREFIX_LEN}) AS title
+  FROM documents
+)
+SELECT a.i AS doc_id
+FROM t a
+WHERE NOT EXISTS (
+  SELECT 1 FROM t b
+  WHERE b.i < a.i
+    AND 100.0 * (length(a.title) + length(b.title)
+                 - levenshtein(a.title, b.title))
+        / greatest(length(a.title) + length(b.title), 1) > {FUZZ_THRESHOLD}
+)
+"""
+
+
+@query("dedup_fuzzy", oracle=_DEDUP_FUZZY_SQL)
+def dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy title dedup (reference pipeline.py:22-42): survivor ids."""
+    docs = table(spark, sf_dir, "documents")
+    return fuzzy_dedup_survivors(docs, text_col="text", id_col="doc_id")
+
+
+@query(
+    "dedup_exact_count",
+    oracle="SELECT count(DISTINCT md5(text)) AS n_unique, count(*) AS n_total FROM documents",
+)
+def dedup_exact_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-vs-total document counts (dup-rate summary)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+        F.count(F.lit(1)).alias("n_total"),
+    )

@@ -1,0 +1,39 @@
+"""Table catalog over the driver-provided parquet directories.
+
+All queries consume these tables (TESTDATA.md); no synthetic inputs.
+Reads are plain ``spark.read.parquet`` so Catalyst gets native column
+pruning + predicate pushdown into the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for the Spark SQL surface."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
