@@ -1,0 +1,61 @@
+"""Benchmark runner: every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+{"metric": "...", "value": <total_sec>, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is timed end-to-end (plan + execute + collect-to-count).
+A warmup pass on sf0.001 primes the JVM/codegen so timings reflect
+steady-state execution, not first-query JIT.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from data_pipeline_playground_spark.registry import all_queries
+    from data_pipeline_playground_spark.session import get_spark
+
+    spark = get_spark("dpp-spark-bench")
+    queries = all_queries()
+
+    # Warmup at the smallest SF: JIT, codegen cache, parquet footers.
+    for name, fn in queries.items():
+        try:
+            fn(spark, "/root/testdata/sf0.001").count()
+        except Exception:
+            pass
+
+    timings: dict[str, float] = {}
+    for name in sorted(queries):
+        start = time.perf_counter()
+        queries[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - start, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

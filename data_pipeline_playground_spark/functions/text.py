@@ -59,6 +59,35 @@ def remove_stopwords(tokens: Column) -> Column:
     return F.array_except(tokens, F.array(*[F.lit(s) for s in STOPWORDS]))
 
 
+ROLL_BASE = 131
+ROLL_MOD = 1_000_000_007
+
+
+def rolling_hash(col: Column | str) -> Column:
+    """Polynomial rolling hash over characters, mod 1e9+7.
+
+    Engine-portable (same fold in DuckDB via ``sql_rolling_hash``):
+    ``h = fold(chars, 0, (acc, c) -> (acc*131 + ascii(c)) % 1e9+7)``.
+    Stays in int64: acc < 1e9+7, so acc*131 + 255 < 2^38.
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    return F.aggregate(
+        F.split(col, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * ROLL_BASE + F.ascii(c).cast("long")) % ROLL_MOD,
+    )
+
+
+def sql_rolling_hash(expr: str) -> str:
+    """DuckDB mirror of :func:`rolling_hash` for oracle SQL."""
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(regexp_split_to_array({expr}, ''), "
+        "c -> CAST(ascii(c) AS BIGINT))), "
+        f"(acc, ch) -> (acc * {ROLL_BASE} + ch) % {ROLL_MOD})"
+    )
+
+
 def word_ngrams(tokens: Column, n: int) -> Column:
     """Distinct word n-grams of a token array (reference utils.py:1-30).
 

@@ -24,8 +24,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from data_pipeline_playground_spark.functions.text import fuzz_ratio
-
 # Fuzzy-dedup knobs: compare on a fixed-width prefix of the document
 # text (the "title" analogue — reference dedups on thread titles,
 # pipeline.py:26-29) with similarity threshold 80 (pipeline.py:29).
@@ -64,16 +62,32 @@ def fuzzy_dedup_survivors(df: DataFrame, text_col: str = "text",
         F.substring(F.col(text_col), 1, TITLE_PREFIX_LEN).alias("_title"),
         F.length(F.substring(F.col(text_col), 1, TITLE_PREFIX_LEN)).alias("_len"),
     )
-    left = titles
+    # The parquet scan is often a single partition at test scale; the
+    # nested-loop anti-join parallelizes over LEFT partitions, so spread
+    # the probe side across the cluster explicitly.
+    shuffle_n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    # round-robin with an explicit count: AQE leaves REPARTITION_BY_NUM
+    # alone, whereas hash repartitioning can be coalesced back to one
+    # partition at this data size, serializing the nested-loop join.
+    left = titles.repartition(shuffle_n)
     right = titles.select(
         F.col("_i").alias("_j"), F.col("_title").alias("_title_r"),
         F.col("_len").alias("_len_r"),
     )
+    total = left["_len"] + right["_len_r"]
+    lev = F.levenshtein(left["_title"], right["_title_r"])
     cond = (
         (right["_j"] < left["_i"])
         # semantics-preserving length band (see docstring)
         & (right["_len_r"] * 3 > left["_len"] * 2)
         & (right["_len_r"] * 2 < left["_len"] * 3)
-        & (fuzz_ratio(left["_title"], right["_title_r"]) > F.lit(FUZZ_THRESHOLD))
+        & (F.lit(100.0) * (total - lev) / F.greatest(total, F.lit(1)) > F.lit(FUZZ_THRESHOLD))
     )
-    return left.join(right, cond, "left_anti").select(F.col("_i").alias(id_col))
+    # Two-phase plan: a parallel INNER nested-loop join to find matched
+    # ids, then a hash anti-join on the id. A direct LeftAnti BNLJ gets
+    # its repartition hoisted above the join by Catalyst and runs on a
+    # single scan partition — serial O(n²).
+    matched = left.join(right, cond).select(left["_i"].alias("_dup")).distinct()
+    return titles.join(
+        matched, titles["_i"] == matched["_dup"], "left_anti"
+    ).select(F.col("_i").alias(id_col))

@@ -1,0 +1,138 @@
+"""Distributed LexRank (reference N10, summarize.py:5-26 via sumpy —
+re-implemented natively: TF-IDF vectors → cosine-similarity graph →
+damped power-iteration centrality → per-group top-k).
+
+The reference refit LexRank per HTTP request over a handful of texts;
+here the whole computation is DataFrame-parallel: the similarity graph
+is a term-keyed equi-join (inverted index, not all-pairs), and each
+power-iteration step is one join+aggregate over the edge list. At
+100 TB the edge list is the only super-linear object, and it is bounded
+per group by the similarity threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_playground_spark.functions.text import tokenize
+
+DAMPING = 0.15
+N_ITER = 8
+SIM_EDGE_THRESHOLD = 0.10
+
+
+def tfidf_unit_vectors(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """(doc, term, weight) rows, L2-normalized per doc.
+
+    Smooth-idf TF-IDF (reference cluster.py:25-30): tf * (ln((N+1)/(df+1))+1),
+    then w / sqrt(Σ w² per doc) via a window — no ml.Vector, stays SQL.
+    """
+    tok = docs.select(F.col(id_col).alias("doc_id"), F.explode(tokenize(F.col(text_col))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.select(F.countDistinct(id_col).alias("n_docs"))
+    w = (
+        tf.join(F.broadcast(df_), "term")
+        .join(F.broadcast(n))
+        .withColumn("w", F.col("tf") * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0))
+    )
+    norm_w = Window.partitionBy("doc_id")
+    return (
+        w.withColumn("norm", F.sqrt(F.sum(F.col("w") * F.col("w")).over(norm_w)))
+        .select("doc_id", "term", (F.col("w") / F.col("norm")).alias("w"))
+    )
+
+
+def similarity_edges(vectors: DataFrame, groups: DataFrame) -> DataFrame:
+    """Within-group cosine edges ≥ threshold, as (group, src, dst, sim).
+
+    Inverted-index join on term: cost ∝ Σ_term df², not n² — the 100 TB
+    shape (rare terms dominate; a df cap can bound hubs if needed).
+    """
+    v = vectors.join(groups, "doc_id")
+    a = v.select(F.col("group").alias("g"), F.col("doc_id").alias("src"),
+                 F.col("term").alias("t"), F.col("w").alias("wa"))
+    b = v.select(F.col("group").alias("g2"), F.col("doc_id").alias("dst"),
+                 F.col("term").alias("t2"), F.col("w").alias("wb"))
+    return (
+        a.join(b, (F.col("t") == F.col("t2")) & (F.col("g") == F.col("g2"))
+               & (F.col("src") != F.col("dst")))
+        .groupBy(F.col("g").alias("group"), "src", "dst")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("sim"))
+        .filter(F.col("sim") >= SIM_EDGE_THRESHOLD)
+    )
+
+
+def lexrank_scores(edges: DataFrame, members: DataFrame) -> DataFrame:
+    """Damped power iteration over the row-normalized similarity graph.
+
+    score_i = d/N_g + (1-d) * Σ_j (sim_ji / deg_j) * score_j, per group.
+    N_ITER fixed-point steps; edges are cached once, every step is a
+    single broadcast-free join + aggregate keyed on the graph.
+    """
+    # All self-lineage joins use renamed columns to avoid ambiguous
+    # attribute resolution (deg/trans/scores all derive from edges).
+    deg = edges.groupBy(
+        F.col("group").alias("dgroup"), F.col("src").alias("dsrc")
+    ).agg(F.sum("sim").alias("deg"))
+    trans = (
+        edges.join(
+            deg,
+            (F.col("group") == F.col("dgroup")) & (F.col("src") == F.col("dsrc")),
+        )
+        .select("group", "src", "dst", (F.col("sim") / F.col("deg")).alias("p"))
+    ).cache()
+    sizes = members.groupBy(F.col("group").alias("zgroup")).agg(
+        F.count(F.lit(1)).alias("n_g")
+    )
+    base = members.join(
+        sizes, F.col("group") == F.col("zgroup")
+    ).select("group", "doc_id", "n_g")
+    scores = base.select(
+        "group", "doc_id", (F.lit(1.0) / F.col("n_g")).alias("score")
+    )
+    for _ in range(N_ITER):
+        prev = scores.select(
+            F.col("group").alias("sgroup"),
+            F.col("doc_id").alias("sdoc"),
+            F.col("score").alias("sval"),
+        )
+        contrib = (
+            trans.join(
+                prev,
+                (F.col("src") == F.col("sdoc")) & (F.col("group") == F.col("sgroup")),
+            )
+            .groupBy(
+                F.col("group").alias("cgroup"), F.col("dst").alias("cdoc")
+            )
+            .agg(F.sum(F.col("p") * F.col("sval")).alias("csum"))
+        )
+        scores = (
+            base.join(
+                contrib,
+                (F.col("group") == F.col("cgroup")) & (F.col("doc_id") == F.col("cdoc")),
+                "left",
+            )
+            .select(
+                "group",
+                "doc_id",
+                (
+                    F.lit(DAMPING) / F.col("n_g")
+                    + F.lit(1.0 - DAMPING) * F.coalesce(F.col("csum"), F.lit(0.0))
+                ).alias("score"),
+            )
+        )
+    return scores
+
+
+def top_k_representatives(scores: DataFrame, k: int = 3) -> DataFrame:
+    w = Window.partitionBy("group").orderBy(
+        F.desc(F.round("score", 9)), F.asc("doc_id")
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("group", "doc_id", F.round("score", 6).alias("lexrank_score"), "rank")
+    )

@@ -1,3 +1,11 @@
 """Query modules — importing this package registers every query."""
 
-from data_pipeline_playground_spark.queries import dedup  # noqa: F401
+from data_pipeline_playground_spark.queries import (  # noqa: F401
+    dedup,
+    dedup_advanced,
+    ml,
+    relational,
+    similarity,
+    text,
+    windows,
+)

@@ -1,0 +1,303 @@
+"""Advanced dedup tiers: MinHash-LSH, SimHash, n-gram Jaccard
+(SURVEY §2.12 — the at-scale generalizations of reference D1).
+
+All three are fully oracle-checked: the hash functions are the portable
+polynomial fold, so DuckDB reproduces identical signatures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_playground_spark.functions.text import (
+    ROLL_MOD,
+    rolling_hash,
+    sql_rolling_hash,
+    tokenize,
+    word_ngrams,
+)
+from data_pipeline_playground_spark.operators.minhash import (
+    BAND_ROWS,
+    HASH_PARAMS,
+    NUM_HASHES,
+    SHINGLE_N,
+    SIM_THRESHOLD,
+    band_keys,
+    candidate_pairs,
+    estimated_similarity,
+    shingle_hashes,
+    signatures,
+)
+from data_pipeline_playground_spark.registry import query
+from data_pipeline_playground_spark.tables import table
+
+# ---- shared SQL fragments --------------------------------------------------
+
+_SQL_TOKENS = (
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+)
+
+
+def _sql_shingles(n: int) -> str:
+    toks = _SQL_TOKENS
+    return (
+        f"CASE WHEN len({toks}) >= {n} THEN "
+        f"list_distinct(list_transform(range(1, len({toks}) - {n} + 2), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n} - 1), ' '))) "
+        "ELSE CAST([] AS VARCHAR[]) END"
+    )
+
+
+_SQL_PARAMS_VALUES = ", ".join(f"({i}, {a}, {b})" for i, a, b in HASH_PARAMS)
+
+_MINHASH_CTES = f"""
+WITH ex AS (
+  SELECT doc_id, unnest({_sql_shingles(SHINGLE_N)}) AS sh FROM documents
+),
+hh AS (SELECT doc_id, {sql_rolling_hash("sh")} AS h FROM ex),
+params(i, a, b) AS (VALUES {_SQL_PARAMS_VALUES}),
+sig AS (
+  SELECT doc_id, p.i, min((p.a * hh.h + p.b) % {ROLL_MOD}) AS v
+  FROM hh, params p GROUP BY doc_id, p.i
+),
+bands AS (
+  SELECT doc_id, i // {BAND_ROWS} AS band,
+         string_agg(CAST(v AS VARCHAR), '-' ORDER BY i) AS bkey
+  FROM sig GROUP BY doc_id, i // {BAND_ROWS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS ci, b.doc_id AS cj
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND b.doc_id < a.doc_id
+),
+est AS (
+  SELECT c.ci, c.cj,
+         sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) / {float(NUM_HASHES)} AS sim
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.ci
+  JOIN sig sb ON sb.doc_id = c.cj AND sb.i = sa.i
+  GROUP BY c.ci, c.cj
+)
+"""
+
+_MINHASH_PAIRS_SQL = (
+    _MINHASH_CTES
+    + f"""
+SELECT ci, cj, round(sim, 6) AS sim FROM est WHERE sim >= {SIM_THRESHOLD}
+"""
+)
+
+_MINHASH_SURVIVORS_SQL = (
+    _MINHASH_CTES
+    + f"""
+SELECT d.doc_id FROM documents d
+WHERE NOT EXISTS (
+  SELECT 1 FROM est WHERE est.ci = d.doc_id AND est.sim >= {SIM_THRESHOLD}
+)
+"""
+)
+
+
+def _minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sig = signatures(spark, shingle_hashes(docs))
+    cand = candidate_pairs(band_keys(sig))
+    return estimated_similarity(cand, sig)
+
+
+@query("dedup_minhash_pairs", oracle=_MINHASH_PAIRS_SQL)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs with signature-estimate Jaccard ≥ 0.5."""
+    est = _minhash_est(spark, sf_dir)
+    return est.filter(F.col("sim") >= SIM_THRESHOLD).select(
+        "ci", "cj", F.round("sim", 6).alias("sim")
+    )
+
+
+@query("dedup_minhash", oracle=_MINHASH_SURVIVORS_SQL)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH dedup survivors: doc i survives iff no j < i in a
+    shared LSH bucket has signature similarity ≥ threshold. The
+    scale-path replacement for dedup_fuzzy (candidates via equi-join
+    on band keys, never an all-pairs comparison)."""
+    docs = table(spark, sf_dir, "documents")
+    est = _minhash_est(spark, sf_dir).filter(F.col("sim") >= SIM_THRESHOLD)
+    return docs.join(
+        est, docs.doc_id == est.ci, "left_anti"
+    ).select("doc_id")
+
+
+# ---- SimHash ---------------------------------------------------------------
+
+SIMHASH_BITS = 30  # rolling hash < 2^30, so 30 usable bits
+HAMMING_K = 4  # near-dup iff hamming distance <= 4
+N_CHUNKS = 5  # 5 six-bit chunks: pigeonhole guarantees a shared chunk
+CHUNK_BITS = 6
+
+_SIMHASH_CTES = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct({_SQL_TOKENS})) AS tk FROM documents
+),
+th AS (SELECT doc_id, {sql_rolling_hash("tk")} AS h FROM tok),
+bitw AS (
+  SELECT doc_id, b.b,
+         sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS w
+  FROM th, (SELECT unnest(range(0, {SIMHASH_BITS})) AS b) b
+  GROUP BY doc_id, b.b
+),
+sh AS (
+  SELECT doc_id,
+         sum(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+  FROM bitw GROUP BY doc_id
+),
+chunks AS (
+  SELECT doc_id, simhash, c.c AS c,
+         (simhash >> (c.c * {CHUNK_BITS})) & {(1 << CHUNK_BITS) - 1} AS cv
+  FROM sh, (SELECT unnest(range(0, {N_CHUNKS})) AS c) c
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS ci, b.doc_id AS cj,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM chunks a JOIN chunks b
+    ON a.c = b.c AND a.cv = b.cv AND b.doc_id < a.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_K}
+)
+"""
+
+_SIMHASH_PAIRS_SQL = _SIMHASH_CTES + "SELECT ci, cj, hamming FROM pairs"
+
+_SIMHASH_SQL = f"""
+{_SIMHASH_CTES}
+SELECT d.doc_id FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM pairs WHERE pairs.ci = d.doc_id)
+"""
+
+
+def _simhash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id → simhash (30-bit) via distinct-token bit voting."""
+    docs = table(spark, sf_dir, "documents")
+    th = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokenize(F.col("text")))).alias("tk"),
+    ).select("doc_id", rolling_hash(F.col("tk")).alias("h"))
+    bits = spark.range(SIMHASH_BITS).select(F.col("id").cast("int").alias("b"))
+    # shiftright/shiftleft by a COLUMN only exists in SQL form — the
+    # PySpark wrappers require a literal int shift.
+    bitw = (
+        th.join(F.broadcast(bits))
+        .groupBy("doc_id", "b")
+        .agg(
+            F.sum(
+                F.when(F.expr("shiftright(h, b) & 1") == 1, 1).otherwise(-1)
+            ).alias("w")
+        )
+    )
+    return bitw.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("w") > 0, F.expr("shiftleft(cast(1 as bigint), b)")
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+
+
+def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _simhash_frame(spark, sf_dir)
+    chunks_idx = spark.range(N_CHUNKS).select(F.col("id").cast("int").alias("c"))
+    mask = (1 << CHUNK_BITS) - 1
+    chunks = sh.join(F.broadcast(chunks_idx)).select(
+        "doc_id",
+        "simhash",
+        "c",
+        F.expr(f"shiftright(simhash, c * {CHUNK_BITS}) & {mask}").alias("cv"),
+    )
+    a = chunks.select(
+        F.col("doc_id").alias("ci"), F.col("simhash").alias("sha"),
+        F.col("c").alias("ca"), F.col("cv").alias("cva"),
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("cj"), F.col("simhash").alias("shb"),
+        F.col("c").alias("cb"), F.col("cv").alias("cvb"),
+    )
+    ham = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
+    return (
+        a.join(
+            b,
+            (F.col("ca") == F.col("cb"))
+            & (F.col("cva") == F.col("cvb"))
+            & (F.col("cj") < F.col("ci")),
+        )
+        .filter(ham <= HAMMING_K)
+        .select("ci", "cj", ham.alias("hamming"))
+        .distinct()
+    )
+
+
+@query("dedup_simhash_pairs", oracle=_SIMHASH_PAIRS_SQL)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 30-bit token-vote fingerprints, chunked
+    hamming-≤4 blocking (pigeonhole over 5 six-bit chunks)."""
+    return _simhash_pairs(spark, sf_dir)
+
+
+@query("dedup_simhash", oracle=_SIMHASH_SQL)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash dedup survivors (keep-min-id over hamming-≤4 pairs)."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = _simhash_pairs(spark, sf_dir)
+    return docs.join(pairs, docs.doc_id == pairs.ci, "left_anti").select("doc_id")
+
+
+# ---- n-gram Jaccard --------------------------------------------------------
+
+JACCARD_THRESHOLD = 0.4
+
+_JACCARD_SQL = f"""
+WITH s AS (
+  SELECT doc_id, {_sql_shingles(SHINGLE_N)} AS shs FROM documents
+),
+ex AS (SELECT doc_id, unnest(shs) AS sh FROM s),
+sizes AS (SELECT doc_id, len(shs) AS n FROM s),
+inter AS (
+  SELECT a.doc_id AS ci, b.doc_id AS cj, count(*) AS ninter
+  FROM ex a JOIN ex b ON a.sh = b.sh AND b.doc_id < a.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.ci, i.cj,
+       round(i.ninter * 1.0 / (sa.n + sb.n - i.ninter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.ci
+JOIN sizes sb ON sb.doc_id = i.cj
+WHERE i.ninter * 1.0 / (sa.n + sb.n - i.ninter) >= {JACCARD_THRESHOLD}
+"""
+
+
+@query("dedup_jaccard_pairs", oracle=_JACCARD_SQL)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs ≥ 0.4: shingle equi-join →
+    intersection counts → |A∪B| from precomputed set sizes. The join is
+    keyed on shingles (inverted-index shape), so cost tracks shared
+    shingles, not all pairs."""
+    docs = table(spark, sf_dir, "documents")
+    s = docs.select(
+        "doc_id", word_ngrams(tokenize(F.col("text")), SHINGLE_N).alias("shs")
+    )
+    ex = s.select("doc_id", F.explode("shs").alias("sh"))
+    sizes = s.select("doc_id", F.size("shs").alias("n"))
+    a = ex.select(F.col("doc_id").alias("ci"), F.col("sh").alias("sha"))
+    b = ex.select(F.col("doc_id").alias("cj"), F.col("sh").alias("shb"))
+    inter = (
+        a.join(b, (F.col("sha") == F.col("shb")) & (F.col("cj") < F.col("ci")))
+        .groupBy("ci", "cj")
+        .agg(F.count(F.lit(1)).alias("ninter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("ci"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("cj"), F.col("n").alias("nb"))
+    jac = F.col("ninter") * 1.0 / (F.col("na") + F.col("nb") - F.col("ninter"))
+    return (
+        inter.join(sa, "ci")
+        .join(sb, "cj")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("ci", "cj", F.round(jac, 6).alias("jaccard"))
+    )

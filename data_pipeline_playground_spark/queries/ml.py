@@ -1,0 +1,130 @@
+"""ML clustering + summarization (SURVEY §2.8 N6/N9/N10, §7 M3).
+
+These operators are iterative/model-based → genuinely non-SQL, so they
+have NO oracle_sql entries (the driver records rows-only checks);
+invariant tests live in tests/test_ml_invariants.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_playground_spark.functions.text import tokenize
+from data_pipeline_playground_spark.operators.lexrank import (
+    lexrank_scores,
+    similarity_edges,
+    tfidf_unit_vectors,
+    top_k_representatives,
+)
+from data_pipeline_playground_spark.registry import query
+from data_pipeline_playground_spark.tables import table
+
+SEED = 42
+
+
+def _tokens_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", tokenize(F.col("text")).alias("tokens"))
+
+
+def _tfidf_features(tokens_df: DataFrame):
+    """CountVectorizer → IDF → L2 Normalizer pipeline (reference
+    cluster.py:25-30: TfidfVectorizer(smooth_idf=True) + L2 norm)."""
+    from pyspark.ml.feature import IDF, CountVectorizer, Normalizer
+
+    cv = CountVectorizer(inputCol="tokens", outputCol="tf")
+    cv_model = cv.fit(tokens_df)
+    tf = cv_model.transform(tokens_df)
+    idf = IDF(inputCol="tf", outputCol="tfidf").fit(tf)
+    feats = idf.transform(tf)
+    norm = Normalizer(inputCol="tfidf", outputCol="features", p=2.0)
+    return norm.transform(feats), cv_model.vocabulary
+
+
+@query("kmeans_clusters")
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-Means over TF-IDF vectors, k = n_docs // 4 (reference intent at
+    cluster.py:51-53: KMeans(n_clusters=len(articles)//4, k-means++,
+    seeded). Output: cluster sizes (J2 label-join shape: groupBy on the
+    prediction column)."""
+    from pyspark.ml.clustering import KMeans
+
+    toks = _tokens_df(spark, sf_dir)
+    feats, _ = _tfidf_features(toks)
+    n = feats.count()
+    k = max(2, n // 4)
+    model = KMeans(k=k, maxIter=20, seed=SEED, featuresCol="features").fit(feats)
+    pred = model.transform(feats)
+    return (
+        pred.groupBy(F.col("prediction").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("cluster_id")
+    )
+
+
+@query("lda_topics")
+def lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LDA topic model (reference lda.py:43-54: num_topics = n//5,
+    capped for corpus-level tractability; passes→maxIter). Output:
+    topic → top-10 keywords (reference extracts 10 keywords/topic,
+    lda.py:54)."""
+    from pyspark.ml.clustering import LDA
+
+    toks = _tokens_df(spark, sf_dir)
+    from pyspark.ml.feature import CountVectorizer
+
+    cv_model = CountVectorizer(inputCol="tokens", outputCol="features").fit(toks)
+    bow = cv_model.transform(toks)
+    n = bow.count()
+    k = max(2, min(n // 5, 10))
+    model = LDA(k=k, maxIter=20, seed=SEED, optimizer="online").fit(bow)
+    vocab = cv_model.vocabulary
+    topics = model.describeTopics(10)
+    to_words = F.udf(lambda idxs: [vocab[i] for i in idxs], "array<string>")
+    return topics.select(
+        F.col("topic").alias("topic_id"),
+        to_words("termIndices").alias("keywords"),
+    )
+
+
+@query("lda_doc_topics")
+def lda_doc_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document argmax topic assignment (reference lda.py:59-64, J3)
+    aggregated to topic sizes — every doc lands in exactly one topic."""
+    from pyspark.ml.clustering import LDA
+    from pyspark.ml.feature import CountVectorizer
+    from pyspark.ml.functions import vector_to_array
+
+    toks = _tokens_df(spark, sf_dir)
+    cv_model = CountVectorizer(inputCol="tokens", outputCol="features").fit(toks)
+    bow = cv_model.transform(toks)
+    n = bow.count()
+    k = max(2, min(n // 5, 10))
+    model = LDA(k=k, maxIter=20, seed=SEED, optimizer="online").fit(bow)
+    pred = model.transform(bow)
+    arr = vector_to_array("topicDistribution")
+    best = F.expr(
+        "array_position(topic_arr, array_max(topic_arr)) - 1"
+    )
+    return (
+        pred.withColumn("topic_arr", arr)
+        .withColumn("topic_id", best.cast("int"))
+        .groupBy("topic_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("topic_id")
+    )
+
+
+@query("lexrank_representatives")
+def lexrank_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LexRank centrality top-3 per source group (reference N10: LexRank
+    over each cluster's texts/titles, head(3) at reddit_api.py:148-149).
+    Fully distributed: inverted-index similarity join + 8 power-iteration
+    steps as DataFrame ops."""
+    docs = table(spark, sf_dir, "documents")
+    groups = docs.select("doc_id", F.col("source").alias("group"))
+    vectors = tfidf_unit_vectors(docs)
+    edges = similarity_edges(vectors, groups)
+    scores = lexrank_scores(edges, groups)
+    return top_k_representatives(scores, k=3)

@@ -1,0 +1,436 @@
+"""Relational core over the star schema (SURVEY §7 Milestone 1).
+
+Covers the SQL-expressible operators of §2: projections/filters P1-P9,
+joins J1/J4 (+ semi/anti per §2.4 note), aggregations A1/A2, sorts &
+top-k T1-T5, set ops U1, scalar/date functions M1-M3. All pure
+Catalyst — zero UDFs, zero shuffle beyond the declared groupBy/join
+keys, small dims broadcast.
+
+Determinism rules for oracle parity (see registry docstring): money
+sums go DECIMAL→DOUBLE; every limit/rank has a total tie-break order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_playground_spark.registry import query
+from data_pipeline_playground_spark.tables import table
+
+
+def _dec(col, prec: int = 18, scale: int = 2):
+    """Exact-arithmetic money path: double → decimal (see module doc)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({prec},{scale})")
+
+
+# --- A-aggregation flagship: TPC-H-Q1-shaped pricing summary ----------------
+
+_PRICING_SUMMARY_SQL = """
+SELECT
+  l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(4,2)))
+           * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("pricing_summary", oracle=_PRICING_SUMMARY_SQL)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan → filter (pushed to parquet) → partial+final hash agg.
+
+    100 TB: map-side combine on 6 running sums; one shuffle of ~4 groups.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    disc = 1 - _dec("l_discount", 4, 2)
+    charge = _dec("l_extendedprice") * disc * (1 + _dec("l_tax", 4, 2))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(_dec("l_extendedprice") * disc).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            (F.sum(_dec("l_discount", 4, 2)).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --- J1 equi-join + T4 top-k ------------------------------------------------
+
+_TOP_REVENUE_PARTS_SQL = """
+SELECT p.p_partkey, p.p_name, p.p_brand,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+       count(*) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_partkey, p.p_name, p.p_brand
+ORDER BY revenue DESC, p.p_partkey
+LIMIT 10
+"""
+
+
+@query("top_revenue_parts", oracle=_TOP_REVENUE_PARTS_SQL)
+def top_revenue_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim revenue top-10. part is broadcast (dim ≪ fact): the
+    aggregation pre-shuffles on p_partkey only; top-k is a TakeOrdered,
+    not a full sort. Ties broken by p_partkey for determinism."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    rev = _dec("l_extendedprice") * (1 - _dec("l_discount", 4, 2))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_partkey", "p_name", "p_brand")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("p_partkey"))
+        .limit(10)
+    )
+
+
+# --- J1 + A2 HAVING ---------------------------------------------------------
+
+_CUSTOMER_ORDER_STATS_SQL = """
+SELECT c.c_mktsegment,
+       count(*) AS n_orders,
+       count(DISTINCT c.c_custkey) AS n_customers,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+HAVING count(*) >= 10
+"""
+
+
+@query("customer_order_stats", oracle=_CUSTOMER_ORDER_STATS_SQL)
+def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_spend"),
+        )
+        .filter(F.col("n_orders") >= 10)
+    )
+
+
+# --- J4 broadcast dim chain -------------------------------------------------
+
+_REGION_NATION_ROLLUP_SQL = """
+SELECT r.r_name AS region, n.n_name AS nation,
+       count(c.c_custkey) AS n_customers,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+"""
+
+
+@query("region_nation_rollup", oracle=_REGION_NATION_ROLLUP_SQL)
+def region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two broadcast hash joins (nation 25 rows, region 5) — no shuffle
+    until the final 125-group aggregation."""
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+# --- M1 date window (reference realtimeapi.py:30-37) ------------------------
+
+_DATE_WINDOW_ORDERS_SQL = """
+SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS order_day,
+       count(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS day_total
+FROM orders
+WHERE o_orderdate >= (SELECT max(o_orderdate) FROM orders) - INTERVAL 14 DAY
+GROUP BY 1
+"""
+
+
+@query("date_window_orders", oracle=_DATE_WINDOW_ORDERS_SQL)
+def date_window_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[max-2w, max] date window (reference's today-minus-2-weeks,
+    realtimeapi.py:30-37, anchored to data so results are stable).
+    The 1-row max() side is broadcast into the filter."""
+    orders = table(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_orderdate").alias("_mx"))
+    return (
+        orders.join(F.broadcast(mx))
+        .filter(F.col("o_orderdate") >= F.col("_mx") - F.expr("INTERVAL 14 DAYS"))
+        .groupBy(F.to_date(F.date_trunc("day", "o_orderdate")).alias("order_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("day_total"),
+        )
+    )
+
+
+# --- M3 deterministic ids / T4 window top-k ---------------------------------
+
+_ORDER_PRIORITY_RANK_SQL = """
+SELECT o_custkey, o_orderkey, rn FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+@query("order_priority_rank", oracle=_ORDER_PRIORITY_RANK_SQL)
+def order_priority_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-3-orders-per-customer via row_number (the deterministic id
+    assignment of reference pipeline.py:24,37 — M3 — done with a window,
+    not a driver-side counter)."""
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+# --- grouping sets / cube ---------------------------------------------------
+
+_SALES_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       count(*) AS n_lines
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@query("sales_cube", oracle=_SALES_CUBE_SQL)
+def sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_extendedprice")).cast("double").alias("total_price"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# --- semi / anti joins ------------------------------------------------------
+
+
+@query(
+    "customers_without_orders",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "parts_with_lineitems",
+    oracle="""
+SELECT count(*) AS n_parts FROM part p
+WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+""",
+)
+def parts_with_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        part.join(li, part.p_partkey == li.l_partkey, "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+# --- A1 collect-by-group (reference cluster.py:61-65) -----------------------
+
+
+@query(
+    "group_collect_docs",
+    oracle="""
+SELECT source, list_sort(list(doc_id)) AS doc_ids, count(*) AS n_docs
+FROM documents GROUP BY source
+""",
+)
+def group_collect_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy + sorted collect_list — the cluster-assembly shape
+    (reference cluster.py:61-65; array sorted for order-insensitive
+    hashing)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+# --- A2 HAVING over events --------------------------------------------------
+
+
+@query(
+    "active_users",
+    oracle="""
+SELECT user_id, count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events GROUP BY user_id HAVING count(*) >= 5
+""",
+)
+def active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value", 18, 6)).cast("double").alias("total_value"),
+        )
+        .filter(F.col("n_events") >= 5)
+    )
+
+
+# --- U1 union literal + T2 heuristic rank (reference reddit_api.py:96-104) --
+
+_SECTION_RANK_SQL = """
+WITH sections AS (
+  SELECT DISTINCT source AS section FROM documents
+  UNION ALL SELECT 'Uncategorized' AS section
+)
+SELECT section,
+       CASE WHEN section IN ('src0', 'src1', 'Uncategorized') THEN 0 ELSE 1 END AS score
+FROM sections
+ORDER BY score DESC, section
+LIMIT 10
+"""
+
+
+@query("section_rank_topk", oracle=_SECTION_RANK_SQL)
+def section_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reserved-heading demotion + top-10 (reference query_heuristic,
+    realtimeapi.py:85-95, NUM_QUERIES=10 at :125) with the
+    'Uncategorized' literal prepend (reddit_api.py:103)."""
+    docs = table(spark, sf_dir, "documents")
+    reserved = ("src0", "src1", "Uncategorized")
+    sections = (
+        docs.select(F.col("source").alias("section"))
+        .distinct()
+        .unionByName(spark.createDataFrame([("Uncategorized",)], "section string"))
+    )
+    return (
+        sections.withColumn(
+            "score", F.when(F.col("section").isin(*reserved), 0).otherwise(1)
+        )
+        .orderBy(F.desc("score"), F.asc("section"))
+        .limit(10)
+    )
+
+
+# --- P5 domain→source (reference reddit.py:50-53) ---------------------------
+
+_DOMAIN_TO_SOURCE_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'mobile.' || source || '.com'
+              ELSE 'www.' || source || '.org' END AS domain
+  FROM documents
+)
+SELECT doc_id, domain,
+       string_split(domain, '.')[len(string_split(domain, '.')) - 1] AS source_key
+FROM d
+"""
+
+
+@query("domain_to_source", oracle=_DOMAIN_TO_SOURCE_SQL)
+def domain_to_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlet key from a domain: split on '.', take second-to-last part
+    (reference reddit.py:50-53: mobile.nytimes.com → nytimes).
+    Domains are synthesized from documents.source to exercise the op."""
+    docs = table(spark, sf_dir, "documents")
+    domain = F.when(
+        F.col("doc_id") % 2 == 0, F.concat(F.lit("mobile."), "source", F.lit(".com"))
+    ).otherwise(F.concat(F.lit("www."), "source", F.lit(".org")))
+    d = docs.select("doc_id", domain.alias("domain"))
+    return d.withColumn("source_key", F.element_at(F.split("domain", "\\."), -2))
+
+
+# --- P7/M2 query string construction (reference realtimeapi.py:98-101) ------
+
+_QUERY_CONCAT_SQL = """
+SELECT n.n_name,
+       '"' || n.n_name || '" +"' || r.r_name || '"' AS search_query,
+       concat_ws(' AND ', n.n_name, r.r_name) AS and_query
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+"""
+
+
+@query("query_concat", oracle=_QUERY_CONCAT_SQL)
+def query_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'"page" +"section"' query construction (realtimeapi.py:98-101)
+    and ' AND '-joined reddit query shape (reddit.py:26,35)."""
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    return nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(
+        "n_name",
+        F.concat(
+            F.lit('"'), "n_name", F.lit('" +"'), "r_name", F.lit('"')
+        ).alias("search_query"),
+        F.concat_ws(" AND ", "n_name", "r_name").alias("and_query"),
+    )
+
+
+# --- P2/P3/P4/P6 projection + null handling ---------------------------------
+
+_PROJECT_CLEAN_SQL = """
+SELECT doc_id,
+       length(trim(text)) AS text_len,
+       upper(lang) AS lang_uc,
+       nullif(source, 'src0') AS source_or_null
+FROM documents
+WHERE text IS NOT NULL
+"""
+
+
+@query("project_clean", oracle=_PROJECT_CLEAN_SQL)
+def project_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """trim/lower-family scalar projection + null filter (reference
+    pipeline.py:36-40 trim at :39; null_filter realtimeapi.py:160-167)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.length(F.trim("text")).alias("text_len"),
+        F.upper("lang").alias("lang_uc"),
+        F.nullif(F.col("source"), F.lit("src0")).alias("source_or_null"),
+    )

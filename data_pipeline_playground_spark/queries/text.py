@@ -1,0 +1,349 @@
+"""Text-analytics operators over `documents` (SURVEY §2.8 + §2.12).
+
+Everything here is expressed with JVM-side higher-order functions
+(split/filter/transform/aggregate) — no Python UDFs in any hot path —
+and mirrored in DuckDB list-lambda SQL for the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_playground_spark.functions.text import (
+    STOPWORDS,
+    TOKEN_SPLIT_RE,
+    fuzz_ratio,
+    remove_stopwords,
+    tokenize,
+    word_ngrams,
+)
+from data_pipeline_playground_spark.registry import query
+from data_pipeline_playground_spark.tables import table
+
+# DuckDB token-array expression mirroring functions.text.tokenize
+_SQL_TOKENS = (
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+)
+_SQL_STOPWORDS = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+
+assert TOKEN_SPLIT_RE == "[^a-z0-9]+"  # keep the SQL mirror in sync
+
+
+# --- token counting (P8 + driver extension) ---------------------------------
+
+_TOKEN_STATS_SQL = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks, text FROM documents)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       len(list_filter(toks, x -> length(x) > 2)) AS n_long_tokens,
+       len(list_distinct(toks)) AS n_distinct_tokens,
+       length(text) AS n_chars
+FROM t
+"""
+
+
+@query("token_stats", oracle=_TOKEN_STATS_SQL)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace/regex token counting incl. the len>2 filter of
+    reference lda.py:28 (P8)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda x: F.length(x) > 2)).alias("n_long_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+# --- stopword removal (U2) + document frequency -----------------------------
+
+_TOP_TERMS_SQL = f"""
+WITH t AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS doc_freq
+  FROM t WHERE NOT list_contains({_SQL_STOPWORDS}, term)
+  GROUP BY term
+)
+SELECT term, doc_freq FROM df
+ORDER BY doc_freq DESC, term
+LIMIT 20
+"""
+
+
+@query("top_terms_nostop", oracle=_TOP_TERMS_SQL)
+def top_terms_nostop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 non-stopword terms by document frequency (stopword
+    filtering of reference cluster.py:14-16 + DF aggregate of the
+    TF-IDF fit, cluster.py:25-30)."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(remove_stopwords(tokenize(F.col("text")))).alias("term"))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("term"))
+        .limit(20)
+    )
+
+
+# --- word n-grams (N13 / U4, reference utils.py:1-30) -----------------------
+
+_NGRAM_SQL = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+g AS (
+  SELECT n.n,
+         unnest(CASE WHEN len(toks) >= n.n
+                THEN list_distinct(list_transform(range(1, len(toks) - n.n + 2),
+                     i -> array_to_string(list_slice(toks, i, i + n.n - 1), ' ')))
+                ELSE CAST([] AS VARCHAR[]) END) AS gram
+  FROM t, (SELECT unnest([1, 2, 3]) AS n) n
+)
+SELECT n, count(DISTINCT gram) AS n_distinct_grams
+FROM g GROUP BY n
+"""
+
+
+@query("ngram_profile", oracle=_NGRAM_SQL)
+def ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct word n-grams for n=1..3 across the corpus (reference
+    get_combinations, utils.py:1-30) via higher-order functions."""
+    docs = table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    frames = []
+    for n in (1, 2, 3):
+        frames.append(
+            docs.select(
+                F.lit(n).alias("n"),
+                F.explode(word_ngrams(toks, n)).alias("gram"),
+            )
+        )
+    all_grams = frames[0].unionByName(frames[1]).unionByName(frames[2])
+    return all_grams.groupBy("n").agg(
+        F.countDistinct("gram").alias("n_distinct_grams")
+    )
+
+
+# --- text quality scoring (driver extension) --------------------------------
+
+_QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text, {_SQL_TOKENS} AS toks,
+         greatest(len({_SQL_TOKENS}), 1) AS n_tok_safe,
+         len({_SQL_TOKENS}) AS n_tokens
+  FROM documents
+)
+SELECT doc_id,
+       round(CASE WHEN n_tokens = 0 THEN 0.0 ELSE
+         0.4 * least(1.0, n_tokens / 100.0)
+         + 0.3 * (len(list_distinct(toks)) * 1.0 / n_tok_safe)
+         + 0.3 * (len(list_filter(toks, w -> list_contains({_SQL_STOPWORDS}, w)))
+                  * 1.0 / n_tok_safe)
+       END, 6) AS quality_score
+FROM t
+"""
+
+
+@query("quality_score", oracle=_QUALITY_SQL)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: length saturation + lexical
+    diversity + stopword-ratio naturalness (the LLM-pipeline quality
+    gate; weights documented in the expression)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    d = docs.select("doc_id", toks.alias("toks"), F.size(toks).alias("n_tokens"))
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    # divide by greatest(n,1): ANSI mode evaluates both when/otherwise
+    # branches vectorized, so a bare /n_tokens would raise on empty docs
+    n_safe = F.greatest(F.col("n_tokens"), F.lit(1))
+    score = (
+        F.lit(0.4) * F.least(F.lit(1.0), F.col("n_tokens") / F.lit(100.0))
+        + F.lit(0.3) * (F.size(F.array_distinct("toks")) * F.lit(1.0) / n_safe)
+        + F.lit(0.3)
+        * (
+            F.size(F.filter(F.col("toks"), lambda w: F.array_contains(sw, w)))
+            * F.lit(1.0)
+            / n_safe
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.round(
+            F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(score), 6
+        ).alias("quality_score"),
+    )
+
+
+# --- language-ID heuristic (driver extension) -------------------------------
+
+# Tiny per-language marker lexicons (public-knowledge function words).
+_LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "la", "los", "las", "es"),
+    "fr": ("le", "la", "les", "est", "et"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "zh": ("de", "shi", "le", "zai", "he"),
+}
+
+
+def _mk_sql(words) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+# argmax with lexicographic tie-break: pick the first lang (sorted)
+# whose hit count equals the max — portable CASE chain, no comparator.
+_LANG_HITS_SQL = ",\n       ".join(
+    f"len(list_filter(toks, w -> list_contains({_mk_sql(_LANG_MARKERS[lang])}, w))) AS h_{lang}"
+    for lang in sorted(_LANG_MARKERS)
+)
+_LANG_BEST_SQL = "CASE " + " ".join(
+    f"WHEN h_{lang} = h_max THEN '{lang}'" for lang in sorted(_LANG_MARKERS)
+) + " END"
+
+_LANG_ID_SQL = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+h AS (SELECT doc_id, {_LANG_HITS_SQL} FROM t),
+m AS (SELECT *, greatest({", ".join("h_" + code for code in sorted(_LANG_MARKERS))}) AS h_max FROM h)
+SELECT doc_id, {_LANG_BEST_SQL} AS lang_pred FROM m
+"""
+
+
+@query("lang_id", oracle=_LANG_ID_SQL)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID: count per-language function-word hits,
+    argmax with lexicographic tie-break. Pure array lambdas — at 100 TB
+    this is a narrow map stage, no shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    def _hits(markers):
+        mk = F.array(*[F.lit(w) for w in markers])
+        # NB: single-param lambda only — a 2-arg lambda is (elem, idx)
+        return F.size(F.filter(F.col("toks"), lambda w: F.array_contains(mk, w)))
+
+    hit_cols = {code: _hits(_LANG_MARKERS[code]) for code in sorted(_LANG_MARKERS)}
+    h_max = F.greatest(*hit_cols.values())
+    expr = None
+    for lang_code in sorted(_LANG_MARKERS):
+        cond = hit_cols[lang_code] == h_max
+        expr = F.when(cond, lang_code) if expr is None else expr.when(cond, lang_code)
+    return d.select("doc_id", expr.alias("lang_pred"))
+
+
+# --- document fingerprinting (driver extension) -----------------------------
+
+_FINGERPRINT_SQL = """
+SELECT doc_id,
+       md5(text) AS md5_fp,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(regexp_split_to_array(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+         (a, b) -> (a * 131 + b) % 1000000007) AS roll_fp
+FROM documents
+"""
+
+
+@query("doc_fingerprint", oracle=_FINGERPRINT_SQL)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: md5 digest + 131-base polynomial rolling
+    hash mod 1e9+7 over characters (deterministic, engine-portable)."""
+    docs = table(spark, sf_dir, "documents")
+    chars = F.split(F.col("text"), "")
+    roll = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 131 + F.ascii(c).cast("long")) % 1000000007,
+    )
+    return docs.select(
+        "doc_id", F.md5("text").alias("md5_fp"), roll.alias("roll_fp")
+    )
+
+
+# --- TF-IDF (A3/N5, SQL-expressible form) -----------------------------------
+
+_TFIDF_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+w AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0) AS w
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tfidf FROM (
+  SELECT doc_id, term, round(w, 6) AS tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY round(w, 6) DESC, term) AS rn
+  FROM w
+) WHERE rn <= 5
+"""
+
+
+@query("tfidf_top_terms", oracle=_TFIDF_SQL)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF with smooth idf (reference cluster.py:25-30,
+    smooth_idf=True: idf = ln((N+1)/(df+1)) + 1), top-5 terms per doc.
+
+    Plan: explode → two hash aggs (tf, df) → broadcast df + scalar N →
+    per-doc window top-k. The df table is vocabulary-sized (small) so
+    it broadcasts; the only big shuffles are the tf agg and the final
+    per-doc window, both keyed by doc_id."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    w = (
+        tf.join(F.broadcast(df_), "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "w",
+            F.col("tf")
+            * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+        )
+    )
+    # rank on the ROUNDED weight: raw doubles can differ between
+    # engines in the last ulp (libm ln), which would flip near-ties.
+    win = Window.partitionBy("doc_id").orderBy(
+        F.desc(F.round("w", 6)), F.asc("term")
+    )
+    return (
+        w.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "term", F.round("w", 6).alias("tfidf"))
+    )
+
+
+# --- pairwise fuzz ratio (N12) ----------------------------------------------
+
+_FUZZ_PAIRS_SQL = """
+WITH t AS (SELECT doc_id, substring(text, 1, 40) AS s FROM documents WHERE doc_id < 100)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(100.0 * (length(a.s) + length(b.s) - levenshtein(a.s, b.s))
+             / greatest(length(a.s) + length(b.s), 1), 6) AS ratio
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+ORDER BY ratio DESC, id_a, id_b
+LIMIT 25
+"""
+
+
+@query("fuzz_ratio_pairs", oracle=_FUZZ_PAIRS_SQL)
+def fuzz_ratio_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 most-similar 40-char-prefix pairs among the first 100
+    docs (bounded self-join; N12 fuzz.ratio as a first-class scalar)."""
+    docs = table(spark, sf_dir, "documents")
+    t = docs.filter(F.col("doc_id") < 100).select(
+        "doc_id", F.substring("text", 1, 40).alias("s")
+    )
+    a = t.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    b = t.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(fuzz_ratio(F.col("sa"), F.col("sb")), 6).alias("ratio"),
+        )
+        .orderBy(F.desc("ratio"), F.asc("id_a"), F.asc("id_b"))
+        .limit(25)
+    )

@@ -1,0 +1,162 @@
+"""Windowed aggregates over the `events` table (SURVEY §2.10 R4).
+
+Batch-checkable formulations whose shapes are streaming-compatible:
+the same expressions run under Structured Streaming with
+``readStream`` + ``withWatermark`` (see streaming/ for that surface);
+here they are verified against DuckDB with date_trunc/epoch math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_playground_spark.registry import query
+from data_pipeline_playground_spark.tables import table
+
+
+def _dec6(col):
+    return (F.col(col) if isinstance(col, str) else col).cast("decimal(18,6)")
+
+
+# --- tumbling window --------------------------------------------------------
+
+_TUMBLING_SQL = """
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("events_tumbling_hour", oracle=_TUMBLING_SQL)
+def events_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window per event_type. Uses F.window (the
+    streaming-native operator); window.start == date_trunc('hour') for
+    aligned 1h windows."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec6("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# --- sliding window ---------------------------------------------------------
+
+_SLIDING_SQL = """
+WITH slid AS (
+  SELECT e.*,
+         to_timestamp(CAST(floor(epoch(e.ts) / 600) AS BIGINT) * 600
+                      - k.k * 600)::TIMESTAMP AS window_start
+  FROM events e, (SELECT unnest(range(0, 3)) AS k) k
+)
+SELECT window_start,
+       count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+       count(DISTINCT user_id) AS n_users
+FROM slid
+GROUP BY window_start
+"""
+
+
+@query("events_sliding_30m", oracle=_SLIDING_SQL)
+def events_sliding_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute window sliding every 10 minutes via F.window(... ,
+    slideDuration) — each event lands in 3 windows. Oracle mirrors the
+    explode-by-offset formulation."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "30 minutes", "10 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec6("value")).cast("double").alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value", "n_users")
+    )
+
+
+# --- session window (gaps-and-islands) --------------------------------------
+
+_SESSION_SQL = """
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, event_id,
+         SUM(is_new) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps
+)
+SELECT user_id, session_id, min(ts) AS session_start,
+       max(ts) AS session_end, count(*) AS n_events
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+@query("events_sessionize", oracle=_SESSION_SQL)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-min inactivity gap — gaps-and-islands
+    windows in batch; the streaming twin is F.session_window /
+    applyInPandasWithState (streaming/ module). One shuffle on user_id;
+    both window functions share the same partitioning."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts") - F.lag("ts").over(w)  # day-time interval
+    is_new = F.when(
+        gap.isNull() | (gap > F.expr("INTERVAL 30 MINUTES")), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        ev.withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# --- pivot ------------------------------------------------------------------
+
+_EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+_PIVOT_SQL = f"""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS event_day,
+       {', '.join(f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS {t}" for t in _EVENT_TYPES)}
+FROM events GROUP BY 1
+"""
+
+
+@query("events_pivot_daily", oracle=_PIVOT_SQL)
+def events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily counts pivoted wide by event_type (explicit value list so
+    the output schema is static — required for the oracle and for any
+    downstream streaming sink)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("event_day"))
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(_EVENT_TYPES))
+    )

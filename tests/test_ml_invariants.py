@@ -1,0 +1,64 @@
+"""Invariant tests for non-SQL (rows-only) operators — SURVEY §5.3."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipeline_playground_spark.registry import all_queries
+from data_pipeline_playground_spark.tables import table
+
+_QUERIES = all_queries()
+
+
+def _n_docs(spark, sf_dir):
+    return table(spark, sf_dir, "documents").count()
+
+
+def test_kmeans_partition_of_input(spark, sf_dir):
+    n = _n_docs(spark, sf_dir)
+    res = _QUERIES["kmeans_clusters"](spark, sf_dir).collect()
+    assert sum(r.n_docs for r in res) == n  # every doc in exactly one cluster
+    assert 0 < len(res) <= max(2, n // 4)  # at most k clusters, none empty
+    assert all(r.n_docs > 0 for r in res)
+
+
+def test_lda_topics_shape(spark, sf_dir):
+    res = _QUERIES["lda_topics"](spark, sf_dir).collect()
+    n = _n_docs(spark, sf_dir)
+    k = max(2, min(n // 5, 10))
+    assert len(res) == k
+    assert all(len(r.keywords) == 10 for r in res)
+
+
+def test_lda_doc_topics_partition(spark, sf_dir):
+    res = _QUERIES["lda_doc_topics"](spark, sf_dir).collect()
+    assert sum(r.n_docs for r in res) == _n_docs(spark, sf_dir)
+
+
+def test_lexrank_topk_per_group(spark, sf_dir):
+    df = _QUERIES["lexrank_representatives"](spark, sf_dir)
+    res = df.collect()
+    docs = table(spark, sf_dir, "documents")
+    n_groups = docs.select("source").distinct().count()
+    # ≤3 representatives per group, every represented group is real
+    per_group = {}
+    for r in res:
+        per_group.setdefault(r.group, []).append(r)
+    assert len(per_group) == n_groups
+    for rows in per_group.values():
+        assert 1 <= len(rows) <= 3
+        assert sorted(r.rank for r in rows) == list(range(1, len(rows) + 1))
+    # scores positive (damping floor guarantees > 0)
+    assert all(r.lexrank_score > 0 for r in res)
+
+
+def test_dedup_fuzzy_subset_and_pairwise(spark, sf_dir):
+    """Dedup output ⊆ input ids and survivor set is unique."""
+    docs = table(spark, sf_dir, "documents")
+    survivors = _QUERIES["dedup_fuzzy"](spark, sf_dir)
+    ids = {r.doc_id for r in survivors.collect()}
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert ids <= all_ids
+    assert len(ids) == survivors.count()
+    # min id always survives (no j < min exists)
+    assert min(all_ids) in ids
