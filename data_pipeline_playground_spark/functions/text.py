@@ -99,5 +99,12 @@ def word_ngrams(tokens: Column, n: int) -> Column:
     idx = F.when(
         F.size(tokens) >= n, F.sequence(F.lit(1), F.size(tokens) - (n - 1))
     ).otherwise(F.expr("array()").cast("array<int>"))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, n)))
+    # gram via n O(1) element_at lookups — NOT slice(), whose per-index
+    # array copy makes the whole transform O(len²) per document.
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tokens, i + off) for off in range(n)]
+        ),
+    )
     return F.array_distinct(grams)

@@ -1,0 +1,117 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed
+metadata (driver north-star extension; SURVEY §2.12).
+
+The container ships no image/audio libraries, so the DECODE step is
+stubbed behind ``decoder=`` (a real PIL/ffmpeg decoder plugs in
+unchanged); everything Spark-side — schema, binary column handling,
+Arrow batch shape, mapInPandas signatures, partitioning — is real and
+tested. The deterministic fake decoder lets tests assert exact values.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.IntegerType()),
+                    T.StructField("codec", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+# decoder: payload bytes → feature vector (list[float]); None → use stub
+Decoder = Callable[[bytes], list[float]]
+
+
+def attach_payload_from_text(docs: DataFrame) -> DataFrame:
+    """Derive a deterministic binary `payload` column from documents
+    (UTF-8 bytes) so multimodal plumbing is exercised on driver tables
+    without synthesizing external data."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit(64).alias("width"),
+            F.lit(64).alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.lit("raw").alias("codec"),
+        ).alias("meta"),
+    )
+
+
+def _stub_decode(payload: bytes) -> list[float]:
+    """Deterministic fake decode: 8 byte-histogram features in [0, 1].
+
+    A real decoder (PIL image → pixels, librosa audio → spectrogram)
+    replaces this function only; the Spark plumbing is identical.
+    """
+    if payload is None:
+        raise NotImplementedError("real media decode requires PIL/ffmpeg")
+    buckets = [0] * 8
+    for b in payload:
+        buckets[b % 8] += 1
+    total = max(len(payload), 1)
+    return [round(c / total, 6) for c in buckets]
+
+
+def decode_features(media: DataFrame, decoder: Decoder | None = None,
+                    batch_limit: int = 1024) -> DataFrame:
+    """mapInPandas decode: binary payload → array<float> features.
+
+    Arrow-batched, one Python worker pass per partition — the shape a
+    GPU/codec stage would use at 100 TB (repartition upstream to bound
+    per-task payload bytes; binary stays off the driver entirely).
+    """
+    import pandas as pd
+
+    decode = decoder or _stub_decode
+
+    def _run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_limit):
+                chunk = pdf.iloc[start : start + batch_limit]
+                feats = [
+                    decode(bytes(p)) if p is not None else None
+                    for p in chunk["payload"]
+                ]
+                yield pd.DataFrame(
+                    {"media_id": chunk["media_id"], "features": feats}
+                )
+
+    return media.mapInPandas(_run, schema="media_id bigint, features array<double>")
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plan for video rows: explode sample timestamps
+    from metadata (duration) — pure Catalyst; the per-frame decode then
+    rides decode_features. Rows without duration yield no frames."""
+    n_frames = (F.col("meta.duration_ms") / every_ms).cast("int")
+    return (
+        media.filter(F.col("kind") == "video")
+        .withColumn(
+            "frame_ts_ms",
+            F.explode(
+                F.when(
+                    n_frames > 0, F.sequence(F.lit(0), n_frames * every_ms, F.lit(every_ms))
+                ).otherwise(F.expr("array()").cast("array<int>"))
+            ),
+        )
+        .select("media_id", "frame_ts_ms", "payload", "meta")
+    )

@@ -1,0 +1,98 @@
+"""End-to-end batch pipeline (reference §3.1, pipeline.py:12-68):
+
+    scan → fuzzy dedup → project → cluster → summarize → JSON-ready
+
+re-expressed as one composed DataFrame plan over the documents table
+(the driver's stand-in for the article corpus, FIXTURES.md F9). Each
+stage is the operator implemented elsewhere in this package; this
+module only composes them, mirroring how the reference's pipeline.py
+chains its functions — minus the pdb breakpoint (pipeline.py:47-48).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_playground_spark.operators.dedup import fuzzy_dedup_survivors
+from data_pipeline_playground_spark.operators.lexrank import (
+    lexrank_scores,
+    similarity_edges,
+    tfidf_unit_vectors,
+    top_k_representatives,
+)
+from data_pipeline_playground_spark.tables import table
+
+
+def run_news_pipeline(spark: SparkSession, sf_dir: str,
+                      n_keywords: int = 5) -> DataFrame:
+    """Full reference pipeline shape on `documents`.
+
+    1. D1  fuzzy dedup (keep-min-id survivors)
+    2. N6  cluster — KMeans over TF-IDF, k = n//4 (cluster.py:51-53)
+    3. N10 summarize — LexRank top-1 representative per cluster
+    4. A1  keywords — top TF-IDF terms per cluster
+    Output: cluster_id, n_articles, keywords, top_doc_id, summary_text
+    """
+    docs = table(spark, sf_dir, "documents")
+    survivors = fuzzy_dedup_survivors(docs)
+    deduped = docs.join(survivors, "doc_id").select("doc_id", "text").cache()
+
+    # --- cluster (KMeans over CountVectorizer→IDF→Normalizer) ---
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import IDF, CountVectorizer, Normalizer
+
+    from data_pipeline_playground_spark.functions.text import tokenize
+
+    toks = deduped.select("doc_id", "text", tokenize(F.col("text")).alias("tokens"))
+    cv_model = CountVectorizer(inputCol="tokens", outputCol="tf").fit(toks)
+    tf = cv_model.transform(toks)
+    idf = IDF(inputCol="tf", outputCol="tfidf").fit(tf)
+    feats = Normalizer(inputCol="tfidf", outputCol="features", p=2.0).transform(
+        idf.transform(tf)
+    )
+    n = deduped.count()
+    k = max(2, n // 4)
+    km = KMeans(k=k, maxIter=20, seed=42, featuresCol="features").fit(feats)
+    clustered = km.transform(feats).select(
+        "doc_id", "text", F.col("prediction").alias("cluster_id")
+    )
+
+    # --- summarize: LexRank top-1 per cluster (N10/T4) ---
+    groups = clustered.select("doc_id", F.col("cluster_id").alias("group"))
+    vectors = tfidf_unit_vectors(deduped)
+    edges = similarity_edges(vectors, groups)
+    scores = lexrank_scores(edges, groups)
+    best = (
+        top_k_representatives(scores, k=1)
+        .select(F.col("group").alias("cluster_id"), F.col("doc_id").alias("top_doc_id"))
+    )
+
+    # --- keywords: top TF-IDF terms per cluster (A3 shape) ---
+    tok_c = clustered.select("cluster_id", "doc_id", F.explode(tokenize(F.col("text"))).alias("term"))
+    ctf = tok_c.groupBy("cluster_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    cdf = ctf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_clusters = F.lit(k)
+    w = (
+        ctf.join(F.broadcast(cdf), "term")
+        .withColumn("w", F.col("tf") * (F.log((n_clusters + 1.0) / (F.col("df") + 1.0)) + 1.0))
+    )
+    kw_win = Window.partitionBy("cluster_id").orderBy(F.desc(F.round("w", 9)), F.asc("term"))
+    keywords = (
+        w.withColumn("rn", F.row_number().over(kw_win))
+        .filter(F.col("rn") <= n_keywords)
+        .groupBy("cluster_id")
+        .agg(F.collect_list("term").alias("keywords"))
+    )
+
+    sizes = clustered.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_articles"))
+    summary_text = clustered.select(
+        F.col("doc_id").alias("top_doc_id"),
+        F.substring("text", 1, 160).alias("summary_text"),
+    )
+    return (
+        sizes.join(keywords, "cluster_id", "left")
+        .join(best, "cluster_id", "left")
+        .join(summary_text, "top_doc_id", "left")
+        .select("cluster_id", "n_articles", "keywords", "top_doc_id", "summary_text")
+    )

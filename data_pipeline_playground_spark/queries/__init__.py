@@ -4,6 +4,7 @@ from data_pipeline_playground_spark.queries import (  # noqa: F401
     dedup,
     dedup_advanced,
     ml,
+    pipelines,
     relational,
     similarity,
     text,

@@ -164,3 +164,171 @@ def multimodal_doc_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(norm(F.col("v"))), 4).alias("avg_norm"),
         )
     )
+
+
+# --- LSH random-hyperplane ANN (scale path) ---------------------------------
+
+import random as _random
+
+N_PLANES = 8
+EMBED_DIM = 64
+_rng = _random.Random(1337)
+# deterministic hyperplane matrix, inlined into the oracle SQL
+HYPERPLANES: list[list[float]] = [
+    [round(_rng.uniform(-1.0, 1.0), 6) for _ in range(EMBED_DIM)]
+    for _ in range(N_PLANES)
+]
+
+
+def _sql_plane_literal(p: list[float]) -> str:
+    return "[" + ", ".join(f"CAST({x} AS DOUBLE)" for x in p) + "]"
+
+
+_SQL_BUCKET = (
+    "("
+    + " + ".join(
+        f"(CASE WHEN {_SQL_DOT.format(a='v', b=_sql_plane_literal(p))} > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(HYPERPLANES)
+    )
+    + ")"
+)
+
+_LSH_BUCKETS_SQL = f"""
+WITH e AS (SELECT vec_id, {_SQL_V} AS v FROM embeddings)
+SELECT {_SQL_BUCKET} AS bucket,
+       count(*) AS n_vectors,
+       min(vec_id) AS min_vec_id
+FROM e GROUP BY 1
+"""
+
+
+def _bucket_col() -> Column:
+    """Spark mirror of _SQL_BUCKET: sign-bit signature over the fixed
+    hyperplanes — a narrow map, no shuffle; bucketing turns ANN search
+    into an equi-join on the signature."""
+    bits = []
+    for i, plane in enumerate(HYPERPLANES):
+        pl = F.array(*[F.lit(float(x)) for x in plane])
+        bits.append(
+            F.when(dot(F.col("v"), pl) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+@query("ann_lsh_buckets", oracle=_LSH_BUCKETS_SQL)
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket profile: 8 sign bits → 256 buckets.
+    The bucket id is the ANN join key at scale (same-bucket candidates
+    only); this query verifies the signature computation end-to-end."""
+    e = _embed_double(spark, sf_dir)
+    return (
+        e.withColumn("bucket", _bucket_col())
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+    )
+
+
+_ANN_LSH_TOPK_SQL = f"""
+WITH e AS (SELECT vec_id, {_SQL_V} AS v FROM embeddings),
+b AS (SELECT vec_id, v, {_SQL_BUCKET} AS bucket FROM e),
+q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM b WHERE vec_id < {N_QUERY_VECTORS}),
+pairs AS (
+  SELECT q.q_id, b.vec_id AS n_id,
+         round({_SQL_DOT.format(a="q.qv", b="b.v")}
+               / greatest({_SQL_NORM.format(a="q.qv")}
+                          * {_SQL_NORM.format(a="b.v")}, 1e-12), 6) AS cosine
+  FROM q JOIN b ON q.bucket = b.bucket AND b.vec_id <> q.q_id
+)
+SELECT q_id, n_id, cosine FROM (
+  SELECT q_id, n_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rn
+  FROM pairs
+) WHERE rn <= {TOP_K}
+"""
+
+
+@query("ann_lsh_topk", oracle=_ANN_LSH_TOPK_SQL)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH
+    bucket (equi-join on signature — the 100 TB plan shape: shuffle
+    ∝ bucket collisions, never a full scan per query)."""
+    e = _embed_double(spark, sf_dir).withColumn("bucket", _bucket_col())
+    q = e.filter(F.col("vec_id") < N_QUERY_VECTORS).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    pairs = e.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("q_id")),
+    ).select(
+        "q_id",
+        F.col("vec_id").alias("n_id"),
+        F.round(
+            dot(F.col("qv"), F.col("v"))
+            / F.greatest(norm(F.col("qv")) * norm(F.col("v")), F.lit(1e-12)),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", "n_id", "cosine")
+    )
+
+
+_ANN_IVF_SQL = f"""
+WITH e AS (SELECT vec_id, label, {_SQL_V} AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv, label FROM e WHERE vec_id < {N_QUERY_VECTORS}),
+pairs AS (
+  SELECT q.q_id, e.vec_id AS n_id,
+         round({_SQL_DOT.format(a="q.qv", b="e.v")}
+               / greatest({_SQL_NORM.format(a="q.qv")}
+                          * {_SQL_NORM.format(a="e.v")}, 1e-12), 6) AS cosine
+  FROM q JOIN e ON q.label = e.label AND e.vec_id <> q.q_id
+)
+SELECT q_id, n_id, cosine FROM (
+  SELECT q_id, n_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rn
+  FROM pairs
+) WHERE rn <= {TOP_K}
+"""
+
+
+@query("ann_ivf_topk", oracle=_ANN_IVF_SQL)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: probe only the query's coarse cell (the `label`
+    column stands in for the coarse-quantizer assignment). Equi-join on
+    the cell id — partition-pruned search, the classic IVF shape."""
+    e = _embed_double(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERY_VECTORS).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    pairs = e.join(
+        F.broadcast(q),
+        (F.col("label") == F.col("qlabel")) & (F.col("vec_id") != F.col("q_id")),
+    ).select(
+        "q_id",
+        F.col("vec_id").alias("n_id"),
+        F.round(
+            dot(F.col("qv"), F.col("v"))
+            / F.greatest(norm(F.col("qv")) * norm(F.col("v")), F.lit(1e-12)),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", "n_id", "cosine")
+    )

@@ -1,0 +1,136 @@
+"""Structured Streaming surface (SURVEY §2.10 R3/R4).
+
+The batch window queries in queries/windows.py are streaming-compatible
+by construction; this module provides the actual readStream wiring plus
+the stateful operators that only exist in streaming:
+
+- R3 streaming dedup-as-you-go: dropDuplicates within a watermark (the
+  exact tier of the reference's growing seen_titles set,
+  realtimeapi.py:143-156);
+- R4 watermarked tumbling/sliding aggregates over events;
+- custom stateful op via applyInPandasWithState (running per-user
+  session accumulator — the streaming twin of events_sessionize).
+
+Tests drive these with a file-source stream over the driver's events
+parquet and foreachBatch sinks (no always-on cluster needed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_STREAM_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, dir_path: str,
+                       max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream of events (json-lines dir written by tests;
+    at scale: Kafka/files — the downstream plan is identical)."""
+    return (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(dir_path)
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """R3: drop duplicate event_ids as they arrive, bounded state via
+    watermark (late duplicates beyond the watermark age out)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def streaming_tumbling_counts(events: DataFrame, watermark: str | None = "1 hour",
+                              window: str = "1 hour") -> DataFrame:
+    """R4: watermarked tumbling counts per event_type — the streaming
+    twin of queries/windows.events_tumbling_hour (same expressions).
+
+    Pass ``watermark=None`` when the upstream frame already carries a
+    watermark (e.g. after streaming_dedup) — redefining one is an error.
+    """
+    if watermark is not None:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+_SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+_SESSION_OUT_SCHEMA = (
+    "user_id bigint, n_events bigint, total_value double"
+)
+
+
+def streaming_user_totals(events: DataFrame, timeout_ms: int | None = None) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: running
+    per-user event count + value total (the applyInPandasWithState
+    surface the driver contract names for custom stateful ops).
+
+    ``timeout_ms`` opts into a processing-time state timeout for
+    always-on deployments. Leave it None for availableNow/batch-drain
+    runs — pending timeouts keep the query alive past the last input,
+    so an awaitTermination() would never return.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        n, total = 0, 0.0
+        if state.exists:
+            n, total = state.get
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    timeout_conf = (
+        GroupStateTimeout.NoTimeout
+        if timeout_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_SESSION_OUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=timeout_conf,
+        )
+    )
+
+
+def run_stream_to_memory(stream_df: DataFrame, query_name: str,
+                         output_mode: str = "update"):
+    """Drive a streaming frame into an in-memory sink until idle; the
+    test harness then reads `SELECT * FROM <query_name>`."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,62 @@
+"""Multimodal plumbing + end-to-end news pipeline tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipeline_playground_spark.tables import table
+
+
+def test_multimodal_decode_features(spark, sf_dir):
+    from data_pipeline_playground_spark.multimodal.media import (
+        attach_payload_from_text,
+        decode_features,
+    )
+
+    docs = table(spark, sf_dir, "documents").limit(50)
+    media = attach_payload_from_text(docs)
+    assert media.schema["payload"].dataType.typeName() == "binary"
+    feats = decode_features(media)
+    rows = feats.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert len(r.features) == 8
+        assert abs(sum(r.features) - 1.0) < 1e-3  # histogram sums to ~1
+    # determinism: same input → same features
+    again = {r.media_id: r.features for r in decode_features(media).collect()}
+    assert {r.media_id: r.features for r in rows} == again
+
+
+def test_multimodal_frame_sampling(spark, sf_dir):
+    from data_pipeline_playground_spark.multimodal.media import (
+        attach_payload_from_text,
+        sample_frames,
+    )
+
+    docs = table(spark, sf_dir, "documents").limit(5)
+    media = attach_payload_from_text(docs).withColumn(
+        "kind", F.lit("video")
+    ).withColumn(
+        "meta",
+        F.struct(
+            F.lit(64).alias("width"), F.lit(64).alias("height"),
+            F.lit(3500).alias("duration_ms"), F.lit("h264").alias("codec"),
+        ),
+    )
+    frames = sample_frames(media, every_ms=1000)
+    per_media = frames.groupBy("media_id").count().collect()
+    assert all(r["count"] == 4 for r in per_media)  # 0,1000,2000,3000
+
+
+def test_news_pipeline_end_to_end(spark, sf_dir):
+    from data_pipeline_playground_spark.plans.news_pipeline import run_news_pipeline
+
+    out = run_news_pipeline(spark, sf_dir)
+    rows = out.collect()
+    docs_n = table(spark, sf_dir, "documents").count()
+    assert len(rows) >= 2  # at least k=2 clusters survive
+    assert sum(r.n_articles for r in rows) <= docs_n  # dedup removed some
+    for r in rows:
+        assert r.n_articles > 0
+        assert r.keywords and len(r.keywords) <= 5
+        assert r.summary_text  # every cluster got a representative text

@@ -1,0 +1,134 @@
+"""Connector tests (SURVEY §2.1 S1-S7) over recorded fixtures."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("fixtures")
+    (d / "webhose.json").write_text(
+        json.dumps(
+            {
+                "posts": [
+                    {"thread": {"title_full": "Big Merge Lands"}, "text": "  body one  "},
+                    {"thread": {"title_full": "Quiet News Day"}, "text": "body two"},
+                    {"thread": {"title_full": "Another Story"}, "text": " three "},
+                ]
+            }
+        )
+    )
+    (d / "newsapi.json").write_text(
+        json.dumps(
+            {
+                "status": "ok",
+                "articles": [
+                    {"title": "A", "url": "http://x/a", "source": {"id": "nytimes"}},
+                    {"title": "B", "url": "http://x/b", "source": {"id": "unknown-src"}},
+                ],
+            }
+        )
+    )
+    (d / "reddit.json").write_text(
+        json.dumps(
+            {
+                "data": {
+                    "children": [
+                        {"data": {"title": "R1", "url": "u1", "domain": "mobile.nytimes.com"}},
+                        {"data": {"title": "R2", "url": "u2", "domain": "bbc.co.uk"}},
+                    ]
+                }
+            }
+        )
+    )
+    (d / "wiki.json").write_text(
+        json.dumps(
+            {
+                "parse": {
+                    "title": "Topic",
+                    "sections": [
+                        {"line": "History", "toclevel": 1},
+                        {"line": "References", "toclevel": 1},
+                        {"line": "Design", "toclevel": 2},
+                    ],
+                }
+            }
+        )
+    )
+    return d
+
+
+def test_webhose_scan(spark, fixture_dir):
+    from data_pipeline_playground_spark.sources.json_source import read_webhose
+
+    df = read_webhose(spark, str(fixture_dir / "webhose.json"))
+    rows = {r.title: r for r in df.collect()}
+    assert set(rows) == {"Big Merge Lands", "Quiet News Day", "Another Story"}
+    assert rows["Big Merge Lands"].text == "body one"  # P3 trim applied
+    assert sorted(r._id for r in rows.values()) == [0, 1, 2]  # M3 dense ids
+
+
+def test_newsapi_reader(spark, fixture_dir):
+    from data_pipeline_playground_spark.sources.http_sources import read_newsapi
+
+    df = read_newsapi(spark, str(fixture_dir / "newsapi.json"))
+    assert {r.source for r in df.collect()} == {"nytimes", "unknown-src"}
+
+
+def test_reddit_reader_domain_to_source(spark, fixture_dir):
+    from data_pipeline_playground_spark.sources.http_sources import read_reddit
+
+    df = read_reddit(spark, str(fixture_dir / "reddit.json"))
+    src = {r.title: r.source for r in df.collect()}
+    assert src == {"R1": "nytimes", "R2": "co"}  # P5 split/-2 semantics
+
+
+def test_wiki_sections_rank(spark, fixture_dir):
+    from data_pipeline_playground_spark.sources.http_sources import (
+        rank_sections,
+        read_wiki_sections,
+    )
+
+    df = rank_sections(read_wiki_sections(spark, str(fixture_dir / "wiki.json")))
+    rows = df.collect()
+    assert rows[-1].line == "References"  # reserved heading demoted (T2)
+    assert rows[0].score == 1
+
+
+def test_fetch_and_extract_null_propagation(spark, fixture_dir):
+    from data_pipeline_playground_spark.sources.http_sources import (
+        fetch_and_extract,
+        read_newsapi,
+    )
+
+    articles = read_newsapi(spark, str(fixture_dir / "newsapi.json"))
+    registry = {"nytimes": "article.story"}
+
+    def fake_fetch(url: str):
+        return "<html><script>x</script><p>Body text</p></html>"
+
+    out = fetch_and_extract(articles, registry, fake_fetch)
+    rows = {r.source: r.text for r in out.collect()}
+    assert rows["nytimes"] == "Body text"  # S6: script stripped, text kept
+    assert rows["unknown-src"] is None  # J4 registry miss → null (P6)
+
+
+def test_json_sink_roundtrip(spark, sf_dir, tmp_path):
+    from data_pipeline_playground_spark.sources.json_source import (
+        to_json_column,
+        write_json_sink,
+    )
+    from data_pipeline_playground_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents").limit(10)
+    j = to_json_column(docs, "doc_id", "lang")
+    assert json.loads(j.first().json).keys() == {"doc_id", "lang"}
+    out = tmp_path / "sink"
+    write_json_sink(docs.select("doc_id", "lang"), str(out))
+    back = spark.read.json(str(out))
+    assert back.count() == 10

@@ -1,0 +1,104 @@
+"""Structured Streaming tests (SURVEY §2.10): file-source stream over
+the driver's events table, memory sinks, batch-equivalence checks."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from data_pipeline_playground_spark.tables import table
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, sf_dir, tmp_path_factory):
+    """events parquet → json-lines dir (3 files ⇒ 3 micro-batches),
+    with duplicate event_ids injected to exercise streaming dedup."""
+    d = tmp_path_factory.mktemp("events_stream")
+    ev = table(spark, sf_dir, "events")
+    dupes = ev.orderBy("event_id").limit(20)
+    ev.unionByName(dupes).select(
+        "event_id", F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    ).coalesce(3).write.mode("overwrite").json(str(d))
+    return str(d)
+
+
+def test_streaming_dedup_drops_duplicates(spark, sf_dir, events_stream_dir):
+    from data_pipeline_playground_spark.streaming.events_stream import (
+        read_events_stream,
+        run_stream_to_memory,
+        streaming_dedup,
+    )
+
+    stream = read_events_stream(spark, events_stream_dir, max_files_per_trigger=1)
+    q = run_stream_to_memory(
+        streaming_dedup(stream), "dedup_sink", output_mode="append"
+    )
+    try:
+        got = spark.sql("SELECT count(DISTINCT event_id) c, count(*) n FROM dedup_sink").first()
+        n_events = table(spark, sf_dir, "events").count()
+        assert got.n == n_events  # the 20 injected dupes were dropped
+        assert got.c == got.n
+    finally:
+        q.stop()
+
+
+def test_streaming_tumbling_matches_batch(spark, sf_dir, events_stream_dir):
+    from data_pipeline_playground_spark.registry import all_queries
+    from data_pipeline_playground_spark.streaming.events_stream import (
+        read_events_stream,
+        run_stream_to_memory,
+        streaming_tumbling_counts,
+    )
+
+    stream = read_events_stream(spark, events_stream_dir)
+    # dedup first so the injected duplicates don't skew the counts
+    from data_pipeline_playground_spark.streaming.events_stream import streaming_dedup
+
+    q = run_stream_to_memory(
+        streaming_tumbling_counts(streaming_dedup(stream), watermark=None),
+        "tumbling_sink",
+        output_mode="update",
+    )
+    try:
+        stream_rows = {
+            (r.window_start, r.event_type): (r.n_events, round(r.total_value, 6))
+            for r in spark.sql(
+                "SELECT * FROM tumbling_sink"
+            ).collect()
+        }
+        batch_rows = {
+            (r.window_start, r.event_type): (r.n_events, round(r.total_value, 6))
+            for r in all_queries()["events_tumbling_hour"](spark, sf_dir).collect()
+        }
+        assert stream_rows == batch_rows  # streaming twin ≡ batch result
+    finally:
+        q.stop()
+
+
+def test_streaming_stateful_user_totals(spark, sf_dir, events_stream_dir):
+    from data_pipeline_playground_spark.streaming.events_stream import (
+        read_events_stream,
+        run_stream_to_memory,
+        streaming_user_totals,
+    )
+
+    stream = read_events_stream(spark, events_stream_dir, max_files_per_trigger=3)
+    q = run_stream_to_memory(
+        streaming_user_totals(stream), "user_totals_sink", output_mode="update"
+    )
+    try:
+        # last update per user must cover every event seen for that user
+        got = spark.sql(
+            """SELECT user_id, max(n_events) AS n FROM user_totals_sink
+               GROUP BY user_id"""
+        ).collect()
+        assert len(got) > 0
+        ev = table(spark, sf_dir, "events")
+        # +20 injected dupes: totals count raw arrivals, so compare ≥
+        batch = {r.user_id: r.n for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+        for r in got:
+            assert r.n >= batch.get(r.user_id, 0)
+    finally:
+        q.stop()
