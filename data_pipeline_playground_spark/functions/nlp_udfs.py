@@ -1,0 +1,132 @@
+"""Arrow-batched pandas UDFs for NLP that SQL cannot express
+(SURVEY §2.11): stemming (N3) and POS filtering (N4).
+
+These are the ONLY Python-side functions in the engine's hot paths, and
+they are vectorized: one Arrow batch per invocation, token arrays in
+and out. The reference used NLTK's PorterStemmer (cluster.py:13,17) and
+nltk.pos_tag (lda.py:21-29); NLTK is not in this container, so:
+
+- stemming: a self-contained implementation of the classic Porter
+  suffix-stripping steps (public algorithm, Porter 1980) — covers the
+  common suffix classes; documented as an approximation of NLTK's.
+- POS noun filter: a deterministic suffix/shape heuristic standing in
+  for a tagger (keeps NNP-like capitalized tokens and NNS-like plural
+  nouns); a real tagger plugs into the same UDF shape.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType
+
+# NB: return types are DataType objects, not DDL strings — a DDL string
+# is parsed lazily via the active session, which blows up when the UDF
+# is deserialized on an executor-side Python worker.
+_ARR_STR = ArrayType(StringType())
+
+_VOWELS = set("aeiou")
+
+
+def _measure(stem: str) -> int:
+    """Porter's m: number of VC sequences."""
+    m, prev_v = 0, False
+    for ch in stem:
+        is_v = ch in _VOWELS or (ch == "y" and prev_v is False and m + prev_v > -1)
+        if prev_v and not is_v:
+            m += 1
+        prev_v = is_v
+    return m
+
+
+def _has_vowel(stem: str) -> bool:
+    return any(c in _VOWELS for c in stem) or "y" in stem[1:]
+
+
+def porter_stem(word: str) -> str:
+    """Simplified Porter stemmer: steps 1a/1b/common 2-4 suffixes."""
+    w = word
+    if len(w) <= 2:
+        return w
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif w.endswith("ss"):
+        pass
+    elif w.endswith("s"):
+        w = w[:-1]
+    # step 1b
+    if w.endswith("eed"):
+        if _measure(w[:-3]) > 0:
+            w = w[:-1]
+    elif w.endswith("ed") and _has_vowel(w[:-2]):
+        w = w[:-2]
+        w = _post_1b(w)
+    elif w.endswith("ing") and _has_vowel(w[:-3]):
+        w = w[:-3]
+        w = _post_1b(w)
+    # common step 2-4 suffixes (subset, longest-first)
+    for suf, rep, min_m in (
+        ("ational", "ate", 0), ("ization", "ize", 0), ("fulness", "ful", 0),
+        ("ousness", "ous", 0), ("iveness", "ive", 0), ("tional", "tion", 0),
+        ("ousli", "ous", 0), ("entli", "ent", 0), ("ement", "", 1),
+        ("ment", "", 1), ("ness", "", 1), ("able", "", 1), ("ible", "", 1),
+        ("ance", "", 1), ("ence", "", 1), ("tion", "t", 1), ("ful", "", 1),
+        ("ant", "", 1), ("ent", "", 1), ("ism", "", 1), ("ate", "", 1),
+        ("iti", "", 1), ("ous", "", 1), ("ive", "", 1), ("ize", "", 1),
+    ):
+        if w.endswith(suf) and _measure(w[: -len(suf)]) > min_m:
+            w = w[: -len(suf)] + rep
+            break
+    return w
+
+
+def _post_1b(w: str) -> str:
+    if w.endswith(("at", "bl", "iz")):
+        return w + "e"
+    if len(w) >= 2 and w[-1] == w[-2] and w[-1] not in "lsz" and w[-1] not in _VOWELS:
+        return w[:-1]
+    return w
+
+
+@pandas_udf(_ARR_STR)
+def stem_tokens_udf(tokens: pd.Series) -> pd.Series:
+    """N3 porter_stem over array<string> columns, Arrow-vectorized."""
+    return tokens.map(
+        lambda toks: [porter_stem(t) for t in toks] if toks is not None else None
+    )
+
+
+def _noun_like(token: str) -> bool:
+    """NNP/NNS heuristic: capitalized (proper) or plural-shaped noun."""
+    if not token:
+        return False
+    if token[0].isupper():
+        return True  # NNP-like
+    return (
+        token.endswith("s")
+        and not token.endswith(("ss", "us", "is"))
+        and len(token) > 3
+    )  # NNS-like
+
+
+@pandas_udf(_ARR_STR)
+def pos_filter_nouns_udf(tokens: pd.Series) -> pd.Series:
+    """N4 pos_filter (reference keeps only NNP/NNS tags, lda.py:21-29)."""
+    return tokens.map(
+        lambda toks: [t for t in toks if _noun_like(t)] if toks is not None else None
+    )
+
+
+# Ship this module's functions BY VALUE inside pickled UDFs: the driver
+# process may run from any cwd (the package need not be importable on
+# executor Python workers), so reference-pickling would fail there.
+# NB: must register with pyspark's VENDORED cloudpickle — the one that
+# actually serializes UDFs — not the standalone cloudpickle package.
+import sys as _sys
+
+from pyspark.cloudpickle import register_pickle_by_value as _by_value
+
+_by_value(_sys.modules[__name__])

@@ -115,3 +115,13 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         )
         .select("media_id", "frame_ts_ms", "payload", "meta")
     )
+
+
+# Ship decode helpers by value in pickled mapInPandas closures (see
+# functions/nlp_udfs.py — workers may not have this package on path;
+# must use pyspark's vendored cloudpickle).
+import sys as _sys
+
+from pyspark.cloudpickle import register_pickle_by_value as _by_value
+
+_by_value(_sys.modules[__name__])

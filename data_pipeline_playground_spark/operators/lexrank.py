@@ -89,7 +89,7 @@ def lexrank_scores(edges: DataFrame, members: DataFrame) -> DataFrame:
     )
     base = members.join(
         sizes, F.col("group") == F.col("zgroup")
-    ).select("group", "doc_id", "n_g")
+    ).select("group", "doc_id", "n_g").cache()
     scores = base.select(
         "group", "doc_id", (F.lit(1.0) / F.col("n_g")).alias("score")
     )

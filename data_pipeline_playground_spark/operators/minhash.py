@@ -40,10 +40,29 @@ HASH_PARAMS: list[tuple[int, int, int]] = [
 
 def shingle_hashes(docs: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id") -> DataFrame:
-    """doc_id × distinct shingle → portable int64 hash."""
-    shingles = word_ngrams(tokenize(F.col(text_col)), SHINGLE_N)
-    ex = docs.select(F.col(id_col).alias("doc_id"), F.explode(shingles).alias("sh"))
-    return ex.select("doc_id", rolling_hash(F.col("sh")).alias("h"))
+    """doc_id × distinct shingle → portable int64 hash.
+
+    Shingle strings are built with posexplode + lead() windows (whole-
+    stage codegen) rather than array lambdas; the hash itself stays the
+    oracle-portable polynomial fold (the one part DuckDB must mirror).
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokenize(F.col(text_col))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    last_lead = F.lead("tok", SHINGLE_N - 1).over(w)
+    gram = F.concat_ws(
+        " ", *(["tok"] + [F.lead("tok", i).over(w) for i in range(1, SHINGLE_N)])
+    )
+    return (
+        toks.select("doc_id", F.when(last_lead.isNotNull(), gram).alias("sh"))
+        .filter(F.col("sh").isNotNull())
+        .distinct()
+        .select("doc_id", rolling_hash(F.col("sh")).alias("h"))
+    )
 
 
 def signatures(spark: SparkSession, hashes: DataFrame) -> DataFrame:

