@@ -14,7 +14,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from data_pipeline_playground_spark.operators.dedup import fuzzy_dedup_survivors
 from data_pipeline_playground_spark.operators.lexrank import (
     lexrank_scores,
     similarity_edges,
@@ -34,8 +33,10 @@ def run_news_pipeline(spark: SparkSession, sf_dir: str,
     4. A1  keywords — top TF-IDF terms per cluster
     Output: cluster_id, n_articles, keywords, top_doc_id, summary_text
     """
+    from data_pipeline_playground_spark.queries.dedup import dedup_fuzzy
+
     docs = table(spark, sf_dir, "documents")
-    survivors = fuzzy_dedup_survivors(docs)
+    survivors = dedup_fuzzy(spark, sf_dir)  # session-cached survivor ids
     deduped = docs.join(survivors, "doc_id").select("doc_id", "text").cache()
 
     # --- cluster (KMeans over CountVectorizer→IDF→Normalizer) ---

@@ -48,11 +48,21 @@ WHERE NOT EXISTS (
 """
 
 
+# survivors are reused by entry(), news_pipeline, and this query —
+# cache the (small) id frame per sf_dir so the 25M-pair similarity
+# join runs once per session.
+_SURVIVORS_CACHE: dict[str, DataFrame] = {}
+
+
 @query("dedup_fuzzy", oracle=_DEDUP_FUZZY_SQL)
 def dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy title dedup (reference pipeline.py:22-42): survivor ids."""
-    docs = table(spark, sf_dir, "documents")
-    return fuzzy_dedup_survivors(docs, text_col="text", id_col="doc_id")
+    if sf_dir not in _SURVIVORS_CACHE:
+        docs = table(spark, sf_dir, "documents")
+        _SURVIVORS_CACHE[sf_dir] = fuzzy_dedup_survivors(
+            docs, text_col="text", id_col="doc_id"
+        ).cache()
+    return _SURVIVORS_CACHE[sf_dir]
 
 
 @query(

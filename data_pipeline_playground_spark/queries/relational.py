@@ -434,3 +434,58 @@ def project_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper("lang").alias("lang_uc"),
         F.nullif(F.col("source"), F.lit("src0")).alias("source_or_null"),
     )
+
+
+# --- statistical aggregates -------------------------------------------------
+
+_EVENT_VALUE_STATS_SQL = """
+SELECT event_type,
+       count(*) AS n,
+       round(avg(CAST(value AS DOUBLE)), 6) AS avg_value,
+       round(stddev_samp(CAST(value AS DOUBLE)), 6) AS sd_value,
+       round(quantile_cont(CAST(value AS DOUBLE), 0.5), 6) AS p50,
+       round(quantile_cont(CAST(value AS DOUBLE), 0.9), 6) AS p90,
+       round(quantile_cont(CAST(value AS DOUBLE), 0.99), 6) AS p99,
+       round(corr(CAST(value AS DOUBLE), CAST(event_id AS DOUBLE)), 6) AS value_id_corr
+FROM events GROUP BY event_type
+"""
+
+
+@query("events_value_stats", oracle=_EVENT_VALUE_STATS_SQL)
+def events_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution profile per event_type: exact interpolated
+    percentiles (both engines use type-7 linear interpolation), sample
+    stddev, correlation. All rounded to 6dp — the accumulation orders
+    differ across engines at the last-ulp level."""
+    ev = table(spark, sf_dir, "events")
+    v = F.col("value").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(v), 6).alias("avg_value"),
+        F.round(F.stddev_samp(v), 6).alias("sd_value"),
+        F.round(F.percentile(v, F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile(v, F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile(v, F.lit(0.99)), 6).alias("p99"),
+        F.round(F.corr(v, F.col("event_id").cast("double")), 6).alias("value_id_corr"),
+    )
+
+
+_USER_FIRST_LAST_SQL = """
+SELECT user_id,
+       count(*) AS n_events,
+       min_by(event_type, event_id) AS first_event_type,
+       max_by(event_type, event_id) AS last_event_type
+FROM events GROUP BY user_id
+"""
+
+
+@query("user_first_last_event", oracle=_USER_FIRST_LAST_SQL)
+def user_first_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-min/arg-max aggregates (min_by/max_by) keyed on the UNIQUE
+    event_id — deterministic without a window, one shuffle."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min_by("event_type", "event_id").alias("first_event_type"),
+        F.max_by("event_type", "event_id").alias("last_event_type"),
+    )
