@@ -489,3 +489,114 @@ def user_first_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("event_type", "event_id").alias("first_event_type"),
         F.max_by("event_type", "event_id").alias("last_event_type"),
     )
+
+
+# --- multi-join headline plans (Q3/Q5 shapes) -------------------------------
+
+_SHIPPING_PRIORITY_SQL = """
+SELECT l.l_orderkey,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l.l_orderkey
+LIMIT 10
+"""
+
+
+@query("shipping_priority", oracle=_SHIPPING_PRIORITY_SQL)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped 3-way join: segment filter pushed into the
+    customer scan, customer broadcast into orders, the orders side
+    broadcast into the lineitem scan — the fact table never shuffles;
+    the only wide op is the final orderkey aggregation + TakeOrdered."""
+    cust = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp_ntz")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp_ntz")
+    )
+    rev = _dec("l_extendedprice") * (1 - _dec("l_discount", 4, 2))
+    return (
+        li.join(F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+                li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+_NATION_VOLUME_SQL = """
+SELECT n.n_name AS nation,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+       count(*) AS n_lines
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name IN ('ASIA', 'EUROPE')
+GROUP BY n.n_name
+"""
+
+
+@query("nation_volume", oracle=_NATION_VOLUME_SQL)
+def nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-flavored dim-chain join: region filter prunes nation,
+    nation prunes supplier, all three broadcast — one streaming pass
+    over lineitem, then a 25-group aggregate."""
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier")
+    nat = table(spark, sf_dir, "nation")
+    reg = table(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    dims = (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    rev = _dec("l_extendedprice") * (1 - _dec("l_discount", 4, 2))
+    return (
+        li.join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
+        .groupBy("nation")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_ORDERS_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+
+@query("orders_grouping_sets", oracle=_ORDERS_GROUPING_SETS_SQL)
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (status×priority, status, grand total) —
+    the rollup lattice without the cube's full cross-product."""
+    orders = table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM _orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        """
+    )
