@@ -600,3 +600,55 @@ def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         """
     )
+
+
+# --- semi-structured (JSON props) + regex string parsing --------------------
+
+_PROPS_EXTRACT_SQL = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
+       count(*) AS n
+FROM events
+WHERE props IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@query("events_props_extract", oracle=_PROPS_EXTRACT_SQL)
+def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read over the JSON `props` column: JSON-path extract
+    inside the aggregate — no UDF, stays in codegen. The 100 TB note:
+    for hot JSON fields, materialize them as columns at ingest; this
+    operator is the ad-hoc exploration path."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.filter(F.col("props").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.sum(k).cast("bigint").alias("k_total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+_PART_TYPE_PARSE_SQL = """
+SELECT p_partkey,
+       regexp_extract(p_type, '^(\\w+)', 1) AS type_class,
+       lower(replace(p_type, ' ', '_')) AS type_slug,
+       length(p_name) AS name_len
+FROM part
+"""
+
+
+@query("part_type_parse", oracle=_PART_TYPE_PARSE_SQL)
+def part_type_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extraction + string normalization scalars (the P-family
+    generalized: regexp_extract / replace / lower / length)."""
+    part = table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.regexp_extract("p_type", r"^(\w+)", 1).alias("type_class"),
+        F.lower(F.replace(F.col("p_type"), F.lit(" "), F.lit("_"))).alias("type_slug"),
+        F.length("p_name").alias("name_len"),
+    )

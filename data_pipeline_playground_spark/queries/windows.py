@@ -160,3 +160,52 @@ def events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)))
         .na.fill(0, list(_EVENT_TYPES))
     )
+
+
+# --- native session_window (streaming-first operator, batch-checked) --------
+
+_SESSION_NATIVE_SQL = """
+WITH gaps AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         SUM(is_new) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+@query("events_session_window", oracle=_SESSION_NATIVE_SQL)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.session_window — Spark's native gap-merging session operator
+    (the exact expression a Structured Streaming job would use). The
+    oracle reproduces its merge semantics with gaps-and-islands SQL;
+    note the native window's `end` is last-event-ts + gap."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec6("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
