@@ -56,9 +56,12 @@ def events_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SLIDING_SQL = """
 WITH slid AS (
+  -- naive-base epoch arithmetic: to_timestamp()::TIMESTAMP would be
+  -- session-timezone dependent; this is tz-free on any connection
   SELECT e.*,
-         to_timestamp(CAST(floor(epoch(e.ts) / 600) AS BIGINT) * 600
-                      - k.k * 600)::TIMESTAMP AS window_start
+         TIMESTAMP '1970-01-01 00:00:00'
+           + (CAST(floor(epoch(e.ts) / 600) AS BIGINT) * 600
+              - k.k * 600) * INTERVAL 1 SECOND AS window_start
   FROM events e, (SELECT unnest(range(0, 3)) AS k) k
 )
 SELECT window_start,

@@ -36,13 +36,22 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.ts is parquet TIMESTAMP(NANOS), which the vectorized
     reader rejects; read nanos as long and convert to timestamp_ntz
     (floor-truncating to micros, exactly like DuckDB's NS→US read).
+
+    The conversion is epoch arithmetic on an NTZ base — deliberately
+    NOT ``cast(timestamp_micros(..) as timestamp_ntz)``, whose
+    LTZ→NTZ step shifts values by the session time zone offset when
+    the driver's session is not UTC.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(df.dtypes)["ts"] == "bigint":
         df = df.withColumn(
             "ts",
-            F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"),
+            F.expr(
+                "timestampadd(MICROSECOND, (ts div 1000) % 1000000, "
+                "timestampadd(SECOND, ts div 1000000000, "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00'))"
+            ),
         )
     return df
 
