@@ -652,3 +652,26 @@ def part_type_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower(F.replace(F.col("p_type"), F.lit(" "), F.lit("_"))).alias("type_slug"),
         F.length("p_name").alias("name_len"),
     )
+
+
+# --- skew-safe salted aggregation (SCALE.md: hot-key mitigation) ------------
+
+_SALTED_TOTALS_SQL = """
+SELECT user_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+FROM events GROUP BY user_id
+"""
+
+
+@query("salted_user_totals", oracle=_SALTED_TOTALS_SQL)
+def salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation — identical results to the plain
+    groupBy (the oracle IS the plain groupBy), but hot keys fan out
+    over (key, salt) in phase 1, bounding any single task's input at
+    100 TB. Decimal partials keep the merge order-insensitive."""
+    from data_pipeline_playground_spark.operators.skew import salted_sum
+
+    ev = table(spark, sf_dir, "events")
+    return salted_sum(
+        ev, "user_id", F.col("value").cast("decimal(18,6)"), out="_dec_total"
+    ).select("user_id", F.col("_dec_total").cast("double").alias("total"))

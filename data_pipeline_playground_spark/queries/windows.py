@@ -212,3 +212,37 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# --- analytic window functions: lag deltas ----------------------------------
+
+_VALUE_DELTAS_SQL = """
+WITH d AS (
+  SELECT user_id, event_id,
+         CAST(value AS DOUBLE)
+           - lag(CAST(value AS DOUBLE))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+  FROM events
+)
+SELECT user_id,
+       count(delta) AS n_deltas,
+       round(avg(abs(delta)), 6) AS avg_abs_delta,
+       round(max(delta), 6) AS max_delta
+FROM d GROUP BY user_id
+"""
+
+
+@query("user_value_deltas", oracle=_VALUE_DELTAS_SQL)
+def user_value_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-over-event value deltas (lag over the session
+    ordering) aggregated to delta stats — lag/lead analytics beyond
+    ranking; one shuffle on user_id shared by window and groupBy."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = F.col("value").cast("double")
+    d = ev.withColumn("delta", v - F.lag(v).over(w))
+    return d.groupBy("user_id").agg(
+        F.count("delta").alias("n_deltas"),
+        F.round(F.avg(F.abs("delta")), 6).alias("avg_abs_delta"),
+        F.round(F.max("delta"), 6).alias("max_delta"),
+    )
