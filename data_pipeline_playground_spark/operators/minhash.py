@@ -22,7 +22,6 @@ from data_pipeline_playground_spark.functions.text import (
     ROLL_MOD,
     rolling_hash,
     tokenize,
-    word_ngrams,
 )
 
 SHINGLE_N = 3  # word 3-gram shingles

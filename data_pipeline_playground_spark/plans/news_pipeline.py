@@ -55,9 +55,11 @@ def run_news_pipeline(spark: SparkSession, sf_dir: str,
     n = deduped.count()
     k = max(2, n // 4)
     km = KMeans(k=k, maxIter=20, seed=42, featuresCol="features").fit(feats)
+    # cached: four downstream consumers (groups, keywords, sizes,
+    # summaries) would otherwise re-run the whole featurize+predict
     clustered = km.transform(feats).select(
         "doc_id", "text", F.col("prediction").alias("cluster_id")
-    )
+    ).cache()
 
     # --- summarize: LexRank top-1 per cluster (N10/T4) ---
     groups = clustered.select("doc_id", F.col("cluster_id").alias("group"))

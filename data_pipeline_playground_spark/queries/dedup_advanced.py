@@ -15,7 +15,6 @@ from data_pipeline_playground_spark.functions.text import (
     rolling_hash,
     sql_rolling_hash,
     tokenize,
-    word_ngrams,
 )
 from data_pipeline_playground_spark.operators.minhash import (
     BAND_ROWS,

@@ -675,3 +675,39 @@ def salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_sum(
         ev, "user_id", F.col("value").cast("decimal(18,6)"), out="_dec_total"
     ).select("user_id", F.col("_dec_total").cast("double").alias("total"))
+
+
+# --- set operators: EXCEPT / INTERSECT --------------------------------------
+
+_CLICK_NOT_ERROR_SQL = """
+SELECT user_id FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'error'
+"""
+
+
+@query("users_click_not_error", oracle=_CLICK_NOT_ERROR_SQL)
+def users_click_not_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT set semantics (distinct anti-difference) — U-family."""
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    errors = ev.filter(F.col("event_type") == "error").select("user_id")
+    # subtract == EXCEPT DISTINCT (set semantics); exceptAll would only
+    # remove one occurrence per match (multiset semantics)
+    return clicks.subtract(errors)
+
+
+_PURCHASE_AND_SIGNUP_SQL = """
+SELECT user_id FROM events WHERE event_type = 'purchase'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'signup'
+"""
+
+
+@query("users_purchase_and_signup", oracle=_PURCHASE_AND_SIGNUP_SQL)
+def users_purchase_and_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set semantics (distinct conjunction)."""
+    ev = table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    b = ev.filter(F.col("event_type") == "signup").select("user_id")
+    return a.intersect(b)
