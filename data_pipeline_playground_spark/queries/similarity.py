@@ -332,3 +332,76 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("q_id", "n_id", "cosine")
     )
+
+
+# --- embedding-cosine near-dup dedup (north-star tier) ----------------------
+
+# The synthetic embeddings carry no true near-duplicates (max within-
+# cell cosine ≈ 0.47 at sf0.01), so the threshold sits in the upper
+# tail of the real distribution to keep the operator's filter+survivor
+# logic exercised; production semantic dedup would use ~0.95.
+EMBED_DUP_THRESHOLD = 0.35
+
+_EMBED_PAIRS_SQL = f"""
+WITH e AS (SELECT vec_id, label, {_SQL_V} AS v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS ci, b.vec_id AS cj,
+         round({_SQL_DOT.format(a="a.v", b="b.v")}
+               / greatest({_SQL_NORM.format(a="a.v")}
+                          * {_SQL_NORM.format(a="b.v")}, 1e-12), 6) AS cosine
+  FROM e a JOIN e b ON a.label = b.label AND b.vec_id < a.vec_id
+)
+SELECT ci, cj, cosine FROM pairs WHERE cosine >= {EMBED_DUP_THRESHOLD}
+"""
+
+_EMBED_DEDUP_SQL = f"""
+WITH e AS (SELECT vec_id, label, {_SQL_V} AS v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS ci,
+         round({_SQL_DOT.format(a="a.v", b="b.v")}
+               / greatest({_SQL_NORM.format(a="a.v")}
+                          * {_SQL_NORM.format(a="b.v")}, 1e-12), 6) AS cosine
+  FROM e a JOIN e b ON a.label = b.label AND b.vec_id < a.vec_id
+)
+SELECT em.vec_id FROM embeddings em
+WHERE NOT EXISTS (
+  SELECT 1 FROM pairs
+  WHERE pairs.ci = em.vec_id AND pairs.cosine >= {EMBED_DUP_THRESHOLD}
+)
+"""
+
+
+def _embed_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-cell cosine pairs ≥ threshold. The `label` column is the
+    coarse cell (at 100 TB: an IVF quantizer or LSH bucket assignment);
+    blocking on it makes candidate generation an equi-join, and the
+    oracle applies the same blocking, so results match exactly."""
+    e = _embed_double(spark, sf_dir)
+    a = e.select(F.col("vec_id").alias("ci"), F.col("label").alias("la"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("cj"), F.col("label").alias("lb"), F.col("v").alias("vb"))
+    cos = F.round(
+        dot(F.col("va"), F.col("vb"))
+        / F.greatest(norm(F.col("va")) * norm(F.col("vb")), F.lit(1e-12)),
+        6,
+    )
+    return (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("cj") < F.col("ci")))
+        .select("ci", "cj", cos.alias("cosine"))
+        .filter(F.col("cosine") >= EMBED_DUP_THRESHOLD)
+    )
+
+
+@query("dedup_embedding_pairs", oracle=_EMBED_PAIRS_SQL)
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ 0.95 within the coarse cell."""
+    return _embed_dup_pairs(spark, sf_dir)
+
+
+@query("dedup_embedding", oracle=_EMBED_DEDUP_SQL)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine dedup survivors (keep-min-id, same spec as the
+    text dedup tiers) — the semantic-dedup stage of an LLM data
+    pipeline, here over the embeddings modality."""
+    e = table(spark, sf_dir, "embeddings")
+    pairs = _embed_dup_pairs(spark, sf_dir)
+    return e.join(pairs, e.vec_id == pairs.ci, "left_anti").select("vec_id")
