@@ -1,0 +1,113 @@
+"""Property-based and randomized-corpus invariants for scalar functions.
+
+Pure-Python properties use hypothesis; Spark expression properties run
+one job over a seeded random corpus (per-example Spark jobs would be
+prohibitively slow).
+"""
+
+from __future__ import annotations
+
+import random
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+words = st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=12)
+
+
+@given(words)
+@settings(max_examples=200, deadline=None)
+def test_porter_stem_properties(w):
+    from data_pipeline_playground_spark.functions.nlp_udfs import porter_stem
+
+    s = porter_stem(w)
+    assert isinstance(s, str)
+    assert len(s) <= len(w)  # stemming never lengthens
+    assert s == "" or s[0] == w[0]  # prefix preserved
+    if len(w) <= 2:
+        assert s == w  # short words untouched
+
+
+@given(st.lists(words, min_size=0, max_size=30), st.integers(1, 4))
+@settings(max_examples=100, deadline=None)
+def test_ngram_count_formula(tokens, n):
+    """Python-side model of word_ngrams: count = max(len-n+1, 0) before
+    dedup; distinct ≤ that."""
+    expected_raw = max(len(tokens) - n + 1, 0)
+    grams = {" ".join(tokens[i : i + n]) for i in range(expected_raw)}
+    assert len(grams) <= expected_raw
+
+
+def _random_corpus(n=300, seed=7):
+    rng = random.Random(seed)
+    vocab = ["spark", "data", "row", "agg", "scan", "the", "a", "x1", "very-long-token"]
+    rows = []
+    for i in range(n):
+        k = rng.randrange(0, 12)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(k))))
+    # adversarial edge rows
+    rows += [(n, ""), (n + 1, "   "), (n + 2, "!!!"), (n + 3, "a"), (n + 4, "A B, c.d")]
+    return rows
+
+
+def test_spark_scalar_function_invariants(spark):
+    from data_pipeline_playground_spark.functions.text import (
+        fuzz_ratio,
+        rolling_hash,
+        tokenize,
+        word_ngrams,
+    )
+
+    df = spark.createDataFrame(_random_corpus(), "id long, text string")
+    toks = tokenize(F.col("text"))
+    out = df.select(
+        "id",
+        F.size(toks).alias("n_tok"),
+        F.size(word_ngrams(toks, 2)).alias("n_g2"),
+        rolling_hash(F.col("text")).alias("h"),
+        fuzz_ratio(F.col("text"), F.col("text")).alias("self_ratio"),
+    ).collect()
+    for r in out:
+        assert r.n_tok >= 0
+        # distinct bigram count bounded by raw bigram count
+        assert 0 <= r.n_g2 <= max(r.n_tok - 1, 0)
+        assert 0 <= r.h < 1_000_000_007  # hash stays in field
+        # self-similarity is exactly 100 (or 0+... guarded for empty)
+        assert r.self_ratio == 100.0 or r.self_ratio == 0.0
+
+    # fuzz_ratio symmetry on a sample of pairs
+    a = df.limit(50).select(F.col("id").alias("ia"), F.col("text").alias("ta"))
+    b = df.limit(50).select(F.col("id").alias("ib"), F.col("text").alias("tb"))
+    pairs = a.join(b, F.col("ia") < F.col("ib")).select(
+        fuzz_ratio(F.col("ta"), F.col("tb")).alias("r_ab"),
+        fuzz_ratio(F.col("tb"), F.col("ta")).alias("r_ba"),
+    )
+    assert pairs.filter(F.col("r_ab") != F.col("r_ba")).count() == 0
+    assert pairs.filter((F.col("r_ab") < 0) | (F.col("r_ab") > 100)).count() == 0
+
+
+def test_quality_score_bounded(spark, sf_dir):
+    from data_pipeline_playground_spark.registry import all_queries
+
+    qdf = all_queries()["quality_score"](spark, sf_dir)
+    bad = qdf.filter(
+        (F.col("quality_score") < 0) | (F.col("quality_score") > 1.0)
+    ).count()
+    assert bad == 0
+
+
+def test_dedup_tiers_consistency(spark, sf_dir):
+    """Every dedup tier keeps doc 0 (nothing precedes it) and returns
+    unique ids ⊆ input."""
+    from data_pipeline_playground_spark.registry import all_queries
+    from data_pipeline_playground_spark.tables import table
+
+    all_ids = {r.doc_id for r in table(spark, sf_dir, "documents").select("doc_id").collect()}
+    for q in ("dedup_fuzzy", "dedup_minhash", "dedup_simhash"):
+        ids = [r.doc_id for r in all_queries()[q](spark, sf_dir).collect()]
+        assert len(ids) == len(set(ids)), q
+        assert set(ids) <= all_ids, q
+        assert min(all_ids) in set(ids), q
