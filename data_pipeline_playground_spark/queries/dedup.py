@@ -48,21 +48,23 @@ WHERE NOT EXISTS (
 """
 
 
-# survivors are reused by entry(), news_pipeline, and this query —
-# cache the (small) id frame per sf_dir so the 25M-pair similarity
-# join runs once per session.
-_SURVIVORS_CACHE: dict[str, DataFrame] = {}
-
-
 @query("dedup_fuzzy", oracle=_DEDUP_FUZZY_SQL)
 def dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy title dedup (reference pipeline.py:22-42): survivor ids."""
-    if sf_dir not in _SURVIVORS_CACHE:
-        docs = table(spark, sf_dir, "documents")
-        _SURVIVORS_CACHE[sf_dir] = fuzzy_dedup_survivors(
-            docs, text_col="text", id_col="doc_id"
-        ).cache()
-    return _SURVIVORS_CACHE[sf_dir]
+    """Fuzzy title dedup (reference pipeline.py:22-42): survivor ids.
+
+    Survivors are reused by entry(), news_pipeline, and this query —
+    memoized per (session, sf_dir) so the similarity join runs once.
+    """
+    from data_pipeline_playground_spark.caching import memo
+
+    return memo(
+        spark,
+        "dedup_fuzzy_survivors",
+        sf_dir,
+        lambda: fuzzy_dedup_survivors(
+            table(spark, sf_dir, "documents"), text_col="text", id_col="doc_id"
+        ).cache(),
+    )
 
 
 @query(

@@ -98,17 +98,18 @@ WHERE NOT EXISTS (
 )
 
 
-# pairs/survivors queries share the signature pipeline — cache per sf_dir
-_MINHASH_EST_CACHE: dict[str, DataFrame] = {}
-
-
+# pairs/survivors queries share the signature pipeline — memoized per
+# (session, sf_dir): see caching.py for why the session is in the key.
 def _minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
-    if sf_dir not in _MINHASH_EST_CACHE:
+    from data_pipeline_playground_spark.caching import memo
+
+    def build():
         docs = table(spark, sf_dir, "documents")
         sig = signatures(spark, shingle_hashes(docs))
         cand = candidate_pairs(band_keys(sig))
-        _MINHASH_EST_CACHE[sf_dir] = estimated_similarity(cand, sig).cache()
-    return _MINHASH_EST_CACHE[sf_dir]
+        return estimated_similarity(cand, sig).cache()
+
+    return memo(spark, "minhash_est", sf_dir, build)
 
 
 @query("dedup_minhash_pairs", oracle=_MINHASH_PAIRS_SQL)
@@ -207,12 +208,14 @@ def _simhash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SIMHASH_PAIRS_CACHE: dict[str, DataFrame] = {}
-
-
 def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    if sf_dir in _SIMHASH_PAIRS_CACHE:
-        return _SIMHASH_PAIRS_CACHE[sf_dir]
+    from data_pipeline_playground_spark.caching import memo
+
+    return memo(spark, "simhash_pairs", sf_dir,
+                lambda: _simhash_pairs_build(spark, sf_dir))
+
+
+def _simhash_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _simhash_frame(spark, sf_dir)
     chunks_idx = spark.range(N_CHUNKS).select(F.col("id").cast("int").alias("c"))
     mask = (1 << CHUNK_BITS) - 1
@@ -242,7 +245,6 @@ def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("ci", "cj", ham.alias("hamming"))
         .distinct()
     ).cache()
-    _SIMHASH_PAIRS_CACHE[sf_dir] = pairs
     return pairs
 
 

@@ -64,24 +64,24 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Both LDA queries need the same fitted model; fitting is the dominant
-# cost, so memoize per sf_dir (deterministic: seeded, same input).
-_LDA_CACHE: dict[str, tuple] = {}
-
-
+# cost, so memoize per (session, sf_dir) — deterministic (seeded, same
+# input), and never reused across sessions (caching.py).
 def _lda_fit(spark: SparkSession, sf_dir: str):
-    if sf_dir in _LDA_CACHE:
-        return _LDA_CACHE[sf_dir]
-    from pyspark.ml.clustering import LDA
-    from pyspark.ml.feature import CountVectorizer
+    from data_pipeline_playground_spark.caching import memo
 
-    toks = _tokens_df(spark, sf_dir)
-    cv_model = CountVectorizer(inputCol="tokens", outputCol="features").fit(toks)
-    bow = cv_model.transform(toks)
-    n = bow.count()
-    k = max(2, min(n // 5, 10))
-    model = LDA(k=k, maxIter=20, seed=SEED, optimizer="online").fit(bow)
-    _LDA_CACHE[sf_dir] = (cv_model, model, bow)
-    return _LDA_CACHE[sf_dir]
+    def build():
+        from pyspark.ml.clustering import LDA
+        from pyspark.ml.feature import CountVectorizer
+
+        toks = _tokens_df(spark, sf_dir)
+        cv_model = CountVectorizer(inputCol="tokens", outputCol="features").fit(toks)
+        bow = cv_model.transform(toks)
+        n = bow.count()
+        k = max(2, min(n // 5, 10))
+        model = LDA(k=k, maxIter=20, seed=SEED, optimizer="online").fit(bow)
+        return (cv_model, model, bow)
+
+    return memo(spark, "lda_fit", sf_dir, build)
 
 
 @query("lda_topics")
