@@ -241,3 +241,34 @@ def fetch_and_extract(
         f"{name} {dtype}" for name, dtype in articles.dtypes
     ) + ", text string"
     return articles.mapInPandas(_extract, schema=out_schema)
+
+
+WIKI_PAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("pageid", T.LongType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("extract", T.StringType()),
+        T.StructField(
+            "original", T.StructType([T.StructField("source", T.StringType())])
+        ),
+        T.StructField(
+            "thumbnail", T.StructType([T.StructField("source", T.StringType())])
+        ),
+    ]
+)
+
+
+def read_wiki_page_summary(spark: SparkSession, fixture_path: str) -> DataFrame:
+    """Wikipedia intro/extract endpoint (reference GET /wikipedia,
+    realtimeapi.py:172-197): {found, title, summary, image} rows with
+    the image fallback chain original.source → thumbnail.source → null
+    (realtimeapi.py:185-191) expressed as coalesce."""
+    raw = spark.read.schema(WIKI_PAGE_SCHEMA).option("multiLine", True).json(
+        fixture_path
+    )
+    return raw.select(
+        F.col("pageid").isNotNull().alias("found"),
+        "title",
+        F.col("extract").alias("summary"),
+        F.coalesce(F.col("original.source"), F.col("thumbnail.source")).alias("image"),
+    )

@@ -132,3 +132,27 @@ def test_json_sink_roundtrip(spark, sf_dir, tmp_path):
     write_json_sink(docs.select("doc_id", "lang"), str(out))
     back = spark.read.json(str(out))
     assert back.count() == 10
+
+
+def test_wiki_page_summary_image_fallback(spark, tmp_path):
+    from data_pipeline_playground_spark.sources.http_sources import (
+        read_wiki_page_summary,
+    )
+
+    p = tmp_path / "pages.json"
+    p.write_text(
+        json.dumps(
+            [
+                {"pageid": 1, "title": "Full", "extract": "e1",
+                 "original": {"source": "orig.png"}, "thumbnail": {"source": "thumb.png"}},
+                {"pageid": 2, "title": "ThumbOnly", "extract": "e2",
+                 "thumbnail": {"source": "thumb2.png"}},
+                {"pageid": 3, "title": "NoImage", "extract": "e3"},
+            ]
+        )
+    )
+    rows = {r.title: r for r in read_wiki_page_summary(spark, str(p)).collect()}
+    assert rows["Full"].image == "orig.png"  # original wins
+    assert rows["ThumbOnly"].image == "thumb2.png"  # fallback chain
+    assert rows["NoImage"].image is None
+    assert all(r.found for r in rows.values())
