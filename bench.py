@@ -38,23 +38,27 @@ def main() -> None:
             pass
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in sorted(queries):
         start = time.perf_counter()
-        queries[name](spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - start, 4)
+        try:
+            queries[name](spark, sf_dir).count()
+            timings[name] = round(time.perf_counter() - start, 4)
+        except Exception as exc:  # one bad query must not sink the bench
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+            print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
