@@ -41,6 +41,32 @@ def fuzz_ratio(a: Column | str, b: Column | str) -> Column:
     return (F.lit(100.0) * (total - F.levenshtein(a, b))) / F.greatest(total, F.lit(1))
 
 
+def py_fuzz_ratio(a: str, b: str) -> float:
+    """Driver/worker-side Python twin of :func:`fuzz_ratio` — same
+    formula over a plain DP Levenshtein. Used where the comparison
+    happens inside Python state (streaming fuzzy dedup), never in a
+    batch hot path.
+    """
+    if a == b:
+        return 100.0
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0.0 if (la or lb) else 100.0
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        ca = a[i - 1]
+        for j in range(1, lb + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (ca != b[j - 1]),
+            )
+        prev = cur
+    total = la + lb
+    return 100.0 * (total - prev[lb]) / total
+
+
 def tokenize(col: Column | str) -> Column:
     """Lowercase + regex-split word tokenization → array<string>.
 

@@ -121,6 +121,56 @@ def streaming_user_totals(events: DataFrame, timeout_ms: int | None = None) -> D
     )
 
 
+_FUZZY_STATE_SCHEMA = T.StructType(
+    [T.StructField("kept_titles", T.ArrayType(T.StringType()))]
+)
+_FUZZY_OUT_SCHEMA = "block_key string, doc_id bigint, title string"
+
+
+def streaming_fuzzy_dedup(titles: DataFrame, threshold: int = 80) -> DataFrame:
+    """R3 fuzzy tier as a custom stateful streaming operator: the
+    reference's grow-forever ``seen_titles`` list (realtimeapi.py:143-156)
+    becomes per-block keyed state in applyInPandasWithState.
+
+    Input needs columns (block_key, doc_id, title). Blocking (e.g. a
+    title-prefix or length-band key, as in operators/dedup.py) is what
+    makes this scale: state and comparisons stay within a block's
+    partition instead of one global O(n²) list. Within a micro-batch,
+    rows are compared in (doc_id) order — first-wins greedy, matching
+    the reference's arrival-order semantics.
+    """
+    import pandas as pd
+
+    from data_pipeline_playground_spark.functions.text import py_fuzz_ratio
+
+    def update(key, pdf_iter, state):
+        kept: list[str] = list(state.get[0]) if state.exists else []
+        out_ids, out_titles = [], []
+        for pdf in pdf_iter:
+            for _, row in pdf.sort_values("doc_id").iterrows():
+                t = row["title"] or ""
+                if all(py_fuzz_ratio(t, s) <= threshold for s in kept):
+                    kept.append(t)
+                    out_ids.append(int(row["doc_id"]))
+                    out_titles.append(t)
+        state.update((kept,))
+        yield pd.DataFrame(
+            {
+                "block_key": [key[0]] * len(out_ids),
+                "doc_id": out_ids,
+                "title": out_titles,
+            }
+        )
+
+    return titles.groupBy("block_key").applyInPandasWithState(
+        update,
+        outputStructType=_FUZZY_OUT_SCHEMA,
+        stateStructType=_FUZZY_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
 def run_stream_to_memory(stream_df: DataFrame, query_name: str,
                          output_mode: str = "update"):
     """Drive a streaming frame into an in-memory sink until idle; the

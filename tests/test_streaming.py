@@ -77,6 +77,52 @@ def test_streaming_tumbling_matches_batch(spark, sf_dir, events_stream_dir):
         q.stop()
 
 
+def test_streaming_fuzzy_dedup_greedy_first_wins(spark, tmp_path):
+    """Near-dup titles arriving across micro-batches: the earliest
+    representative survives, later near-dups are dropped even when they
+    arrive in a later batch (state persists across batches)."""
+    import json
+
+    from data_pipeline_playground_spark.functions.text import py_fuzz_ratio
+    from data_pipeline_playground_spark.streaming.events_stream import (
+        run_stream_to_memory,
+        streaming_fuzzy_dedup,
+    )
+
+    batch1 = [
+        {"block_key": "b", "doc_id": 1, "title": "breaking news market rally today"},
+        {"block_key": "b", "doc_id": 2, "title": "completely different story"},
+    ]
+    batch2 = [
+        {"block_key": "b", "doc_id": 3, "title": "breaking news market rally todays"},
+        {"block_key": "b", "doc_id": 4, "title": "another unrelated headline item"},
+    ]
+    d = tmp_path / "titles"
+    d.mkdir()
+    import os
+
+    for i, batch in enumerate([batch1, batch2]):
+        p = d / f"part-{i}.json"
+        p.write_text("\n".join(json.dumps(r) for r in batch))
+        # distinct mtimes: the file source orders micro-batches by them
+        os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    stream = (
+        spark.readStream.schema("block_key string, doc_id bigint, title string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = run_stream_to_memory(
+        streaming_fuzzy_dedup(stream), "fuzzy_dedup_sink", output_mode="append"
+    )
+    try:
+        kept = {r.doc_id for r in spark.sql("SELECT * FROM fuzzy_dedup_sink").collect()}
+        assert py_fuzz_ratio(batch1[0]["title"], batch2[0]["title"]) > 80
+        assert kept == {1, 2, 4}  # doc 3 deduped against doc 1 from batch 1
+    finally:
+        q.stop()
+
+
 def test_streaming_stateful_user_totals(spark, sf_dir, events_stream_dir):
     from data_pipeline_playground_spark.streaming.events_stream import (
         read_events_stream,
