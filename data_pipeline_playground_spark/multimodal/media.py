@@ -98,6 +98,65 @@ def decode_features(media: DataFrame, decoder: Decoder | None = None,
     return media.mapInPandas(_run, schema="media_id bigint, features array<double>")
 
 
+# resizer: (payload, src_w, src_h, dst_w, dst_h) → resized payload bytes
+Resizer = Callable[[bytes, int, int, int, int], bytes]
+
+
+def _stub_resize(payload: bytes, src_w: int, src_h: int,
+                 dst_w: int, dst_h: int) -> bytes:
+    """Deterministic fake resize: area-ratio byte subsampling.
+
+    A real implementation (PIL ``Image.resize``) replaces this function
+    only; schema and batch plumbing are identical.
+    """
+    if payload is None:
+        raise NotImplementedError("real image resize requires PIL")
+    src_area = max(src_w * src_h, 1)
+    keep = max(1, (len(payload) * dst_w * dst_h) // src_area)
+    step = max(1, len(payload) // keep)
+    return payload[::step][:keep]
+
+
+def resize_images(media: DataFrame, dst_w: int, dst_h: int,
+                  resizer: Resizer | None = None) -> DataFrame:
+    """mapInPandas resize for image rows: payload → payload at
+    (dst_w, dst_h), meta updated to the new dimensions. Binary never
+    touches the driver; partition count bounds per-task bytes."""
+    import pandas as pd
+
+    resize = resizer or _stub_resize
+
+    def _run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out_payload = []
+            for p, m in zip(pdf["payload"], pdf["meta"]):
+                src_w = (m or {}).get("width") or dst_w
+                src_h = (m or {}).get("height") or dst_h
+                out_payload.append(
+                    resize(bytes(p), src_w, src_h, dst_w, dst_h)
+                    if p is not None
+                    else None
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": out_payload,
+                    "width": [dst_w] * len(pdf),
+                    "height": [dst_h] * len(pdf),
+                }
+            )
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .mapInPandas(
+            _run,
+            schema="media_id bigint, kind string, payload binary, "
+            "width int, height int",
+        )
+    )
+
+
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plan for video rows: explode sample timestamps
     from metadata (duration) — pure Catalyst; the per-frame decode then

@@ -78,12 +78,18 @@ def fuzzy_dedup_survivors(df: DataFrame, text_col: str = "text",
         F.col("_len").alias("_len_r"),
     )
     total = left["_len"] + right["_len_r"]
-    lev = F.levenshtein(left["_title"], right["_title_r"])
+    # Thresholded levenshtein: ratio > 80 requires lev < total/5 and
+    # total ≤ 2·TITLE_PREFIX_LEN, so any qualifying pair has
+    # lev ≤ max_lev. The 3-arg form runs a banded DP (O(L·k) not O(L²),
+    # returning -1 beyond the band) — ~2× on this join, same matches.
+    max_lev = (2 * TITLE_PREFIX_LEN) // 5 - 1
+    lev = F.levenshtein(left["_title"], right["_title_r"], max_lev)
     cond = (
         (right["_j"] < left["_i"])
         # semantics-preserving length band (see docstring)
         & (right["_len_r"] * 3 > left["_len"] * 2)
         & (right["_len_r"] * 2 < left["_len"] * 3)
+        & (lev >= 0)
         & (F.lit(100.0) * (total - lev) / F.greatest(total, F.lit(1)) > F.lit(FUZZ_THRESHOLD))
     )
     # Two-phase plan: a parallel INNER nested-loop join to find matched

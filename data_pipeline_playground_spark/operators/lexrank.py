@@ -131,6 +131,77 @@ def lexrank_scores(edges: DataFrame, members: DataFrame) -> DataFrame:
     return scores
 
 
+def tfidf_term_weights(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """(doc, term, w) smooth-idf weights, NOT normalized — the input to
+    the grouped fast path, which L2-normalizes per doc in-block (same
+    semantics as tfidf_unit_vectors minus its window shuffle)."""
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokenize(F.col(text_col))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.select(F.countDistinct(id_col).alias("n_docs"))
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0)).alias("w"),
+        )
+    )
+
+
+def lexrank_scores_grouped(weights: DataFrame, groups: DataFrame,
+                           group_type: str = "string") -> DataFrame:
+    """Bounded-group LexRank fast path: one shuffle by group, then the
+    whole pipeline (L2 normalize → cosine matrix → threshold → damped
+    power iteration) runs as dense numpy per group via applyInPandas
+    (the per-group model-fitting shape SURVEY §2.11 prescribes).
+
+    Identical spec to similarity_edges + lexrank_scores — same smooth-idf
+    weights, threshold, damping, iteration count; float summation order
+    differs (BLAS vs join-agg), which rows-only checks permit. Use this
+    when every group fits one executor's memory (clusters/sections, the
+    reference's shape: a cluster is ~tens of articles); the DataFrame
+    power iteration remains the unbounded-group path.
+
+    ``weights``: (doc_id, term, w) from tfidf_term_weights.
+    ``groups``: (doc_id, group).
+    """
+    import numpy as np
+    import pandas as pd
+
+    joined = weights.join(groups, "doc_id").select("group", "doc_id", "term", "w")
+
+    def run(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        g = pdf["group"].iloc[0]
+        mat = pdf.pivot_table(index="doc_id", columns="term", values="w",
+                              aggfunc="sum", fill_value=0.0)
+        ids = mat.index.to_numpy()
+        m = mat.to_numpy(dtype=np.float64)
+        n = len(ids)
+        norms = np.sqrt((m * m).sum(axis=1))
+        norms[norms == 0.0] = 1.0
+        m = m / norms[:, None]
+        sim = m @ m.T
+        np.fill_diagonal(sim, 0.0)
+        sim[sim < SIM_EDGE_THRESHOLD] = 0.0
+        deg = sim.sum(axis=1)
+        safe = deg.copy()
+        safe[safe == 0.0] = 1.0
+        p = sim / safe[:, None]  # row-stochastic where deg > 0
+        score = np.full(n, 1.0 / n)
+        for _ in range(N_ITER):
+            score = DAMPING / n + (1.0 - DAMPING) * (p.T @ score)
+        return pd.DataFrame({"group": [g] * n, "doc_id": ids, "score": score})
+
+    return joined.groupBy("group").applyInPandas(
+        run, schema=f"group {group_type}, doc_id bigint, score double"
+    )
+
+
 def top_k_representatives(scores: DataFrame, k: int = 3) -> DataFrame:
     w = Window.partitionBy("group").orderBy(
         F.desc(F.round("score", 9)), F.asc("doc_id")
@@ -140,3 +211,13 @@ def top_k_representatives(scores: DataFrame, k: int = 3) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("group", "doc_id", F.round("score", 6).alias("lexrank_score"), "rank")
     )
+
+
+# Ship the applyInPandas closure (and the module constants it captures)
+# by value: executor Python workers do not necessarily have this package
+# on sys.path (see functions/nlp_udfs.py for the same pattern).
+import sys as _sys
+
+from pyspark.cloudpickle import register_pickle_by_value as _by_value
+
+_by_value(_sys.modules[__name__])

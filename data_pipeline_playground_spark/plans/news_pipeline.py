@@ -15,9 +15,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_pipeline_playground_spark.operators.lexrank import (
-    lexrank_scores,
-    similarity_edges,
-    tfidf_unit_vectors,
+    lexrank_scores_grouped,
+    tfidf_term_weights,
     top_k_representatives,
 )
 from data_pipeline_playground_spark.tables import table
@@ -62,10 +61,11 @@ def run_news_pipeline(spark: SparkSession, sf_dir: str,
     ).cache()
 
     # --- summarize: LexRank top-1 per cluster (N10/T4) ---
+    # clusters are bounded (~4 docs by construction: k = n//4), so the
+    # grouped applyInPandas fast path beats the join-based iteration
     groups = clustered.select("doc_id", F.col("cluster_id").alias("group"))
-    vectors = tfidf_unit_vectors(deduped)
-    edges = similarity_edges(vectors, groups)
-    scores = lexrank_scores(edges, groups)
+    weights = tfidf_term_weights(deduped)
+    scores = lexrank_scores_grouped(weights, groups, group_type="int")
     best = (
         top_k_representatives(scores, k=1)
         .select(F.col("group").alias("cluster_id"), F.col("doc_id").alias("top_doc_id"))

@@ -17,9 +17,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from data_pipeline_playground_spark.operators.lexrank import (
-    lexrank_scores,
-    similarity_edges,
-    tfidf_unit_vectors,
+    lexrank_scores_grouped,
+    tfidf_term_weights,
     top_k_representatives,
 )
 from data_pipeline_playground_spark.sources.http_sources import rank_sections
@@ -56,10 +55,10 @@ def run_service_pipeline(sections: DataFrame, articles: DataFrame,
     arts = arts.join(survivors, "doc_id")
 
     # N10/T4: LexRank top-k representative articles per section
+    # (sections are bounded groups → grouped fast path)
     groups = arts.select("doc_id", F.col("section").alias("group"))
-    vectors = tfidf_unit_vectors(arts.select("doc_id", "text"))
-    edges = similarity_edges(vectors, groups)
-    scores = lexrank_scores(edges, groups)
+    weights = tfidf_term_weights(arts.select("doc_id", "text"))
+    scores = lexrank_scores_grouped(weights, groups, group_type="string")
     top = (
         top_k_representatives(scores, k=top_sentences)
         .groupBy("group")

@@ -12,9 +12,8 @@ from pyspark.sql import functions as F
 
 from data_pipeline_playground_spark.functions.text import tokenize
 from data_pipeline_playground_spark.operators.lexrank import (
-    lexrank_scores,
-    similarity_edges,
-    tfidf_unit_vectors,
+    lexrank_scores_grouped,
+    tfidf_term_weights,
     top_k_representatives,
 )
 from data_pipeline_playground_spark.registry import query
@@ -125,11 +124,13 @@ def lda_doc_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lexrank_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LexRank centrality top-3 per source group (reference N10: LexRank
     over each cluster's texts/titles, head(3) at reddit_api.py:148-149).
-    Fully distributed: inverted-index similarity join + 8 power-iteration
-    steps as DataFrame ops."""
+    Source groups are bounded (≤ a few hundred docs), so this uses the
+    grouped fast path: corpus-wide smooth-idf weights, then per-group
+    cosine graph + 8 power-iteration steps in one applyInPandas pass
+    (operators/lexrank.py keeps the all-DataFrame power iteration for
+    unbounded groups)."""
     docs = table(spark, sf_dir, "documents")
     groups = docs.select("doc_id", F.col("source").alias("group"))
-    vectors = tfidf_unit_vectors(docs)
-    edges = similarity_edges(vectors, groups)
-    scores = lexrank_scores(edges, groups)
+    weights = tfidf_term_weights(docs)
+    scores = lexrank_scores_grouped(weights, groups, group_type="string")
     return top_k_representatives(scores, k=3)

@@ -48,6 +48,28 @@ def test_multimodal_frame_sampling(spark, sf_dir):
     assert all(r["count"] == 4 for r in per_media)  # 0,1000,2000,3000
 
 
+def test_multimodal_resize(spark, sf_dir):
+    from data_pipeline_playground_spark.multimodal.media import (
+        attach_payload_from_text,
+        resize_images,
+    )
+
+    docs = table(spark, sf_dir, "documents").limit(20)
+    media = attach_payload_from_text(docs)  # 64x64 images per stub meta
+    resized = resize_images(media, 32, 32)
+    rows = resized.collect()
+    assert len(rows) == 20
+    src_len = {r.media_id: len(bytes(r.payload)) for r in media.collect()}
+    for r in rows:
+        assert (r.width, r.height) == (32, 32)
+        got = len(bytes(r.payload))
+        # 32x32 from 64x64 → ~1/4 of the bytes, and never empty
+        assert 0 < got <= max(1, src_len[r.media_id] // 4 + 1)
+    # determinism
+    again = {r.media_id: bytes(r.payload) for r in resize_images(media, 32, 32).collect()}
+    assert {r.media_id: bytes(r.payload) for r in rows} == again
+
+
 def test_news_pipeline_end_to_end(spark, sf_dir):
     from data_pipeline_playground_spark.plans.news_pipeline import run_news_pipeline
 
