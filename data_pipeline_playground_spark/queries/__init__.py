@@ -1,6 +1,7 @@
 """Query modules — importing this package registers every query."""
 
 from data_pipeline_playground_spark.queries import (  # noqa: F401
+    analytics,
     dedup,
     dedup_advanced,
     ml,

@@ -1,0 +1,245 @@
+"""Analytic query shapes over the star schema + events (round 2).
+
+Classic warehouse patterns the reference never needed but a complete
+engine must serve: multi-hop dimension joins (TPC-H Q7 shape), ntile
+bucketing, ratio-to-report window shares, argmax-per-group, and a
+sequence funnel. All pure Catalyst, all oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_playground_spark.registry import query
+from data_pipeline_playground_spark.tables import table
+
+
+def _dec2(col):
+    return (F.col(col) if isinstance(col, str) else col).cast("decimal(18,2)")
+
+
+# --- TPC-H Q7 shape: trade volume between nation pairs ----------------------
+
+_NATION_PAIR_SQL = """
+SELECT ns.n_name AS supp_nation,
+       nc.n_name AS cust_nation,
+       count(*) AS n_items,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS volume
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+WHERE ns.n_name <> nc.n_name
+GROUP BY ns.n_name, nc.n_name
+"""
+
+
+@query("nation_pair_trade", oracle=_NATION_PAIR_SQL)
+def nation_pair_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-nation trade volume (TPC-H Q7 join topology: fact table
+    against two independent dimension chains). nation/supplier are
+    explicitly broadcast (true small dims at any scale); the
+    lineitem⋈orders⋈customer chain is left to Catalyst/AQE — broadcast
+    at test scale, sort-merge on the orderkey/custkey shuffles at
+    100 TB. The final aggregation's cardinality is nations², not rows."""
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    ns = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    nc = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    return (
+        l.join(o.select("o_orderkey", "o_custkey"), l.l_orderkey == o.o_orderkey)
+        .join(c.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")), l.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(_dec2("l_extendedprice")).cast("double").alias("volume"),
+        )
+    )
+
+
+# --- ntile bucketing --------------------------------------------------------
+
+_NTILE_SQL = """
+WITH spend AS (
+  SELECT o_custkey,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spend
+  FROM orders GROUP BY o_custkey
+),
+tiled AS (
+  SELECT o_custkey, total_spend,
+         ntile(4) OVER (ORDER BY total_spend, o_custkey) AS quartile
+  FROM spend
+)
+SELECT quartile,
+       count(*) AS n_customers,
+       CAST(min(total_spend) AS DOUBLE) AS min_spend,
+       CAST(max(total_spend) AS DOUBLE) AS max_spend
+FROM tiled GROUP BY quartile
+"""
+
+
+@query("customer_spend_quartiles", oracle=_NTILE_SQL)
+def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers bucketed into spend quartiles with ntile(4). The
+    window's total order carries a custkey tie-break so bucket edges
+    are deterministic across engines. A single global-order window is
+    the one non-scalable construct in this file — at 100 TB this
+    becomes approx_percentile cut-points + a broadcast bucketize,
+    which avoids the global sort entirely."""
+    o = table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(F.sum(_dec2("o_totalprice")).alias("total_spend"))
+    w = Window.orderBy("total_spend", "o_custkey")
+    return (
+        spend.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("total_spend").cast("double").alias("min_spend"),
+            F.max("total_spend").cast("double").alias("max_spend"),
+        )
+    )
+
+
+# --- ratio-to-report --------------------------------------------------------
+
+_SHARE_SQL = """
+WITH rr AS (
+  SELECT r.r_name AS region,
+         SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS region_rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n   ON c.c_nationkey = n.n_nationkey
+  JOIN region r   ON n.n_regionkey = r.r_regionkey
+  GROUP BY r.r_name
+)
+SELECT region,
+       CAST(region_rev AS DOUBLE) AS region_rev,
+       round(CAST(region_rev AS DOUBLE) / CAST(SUM(region_rev) OVER () AS DOUBLE), 6) AS rev_share
+FROM rr
+"""
+
+
+@query("region_revenue_share", oracle=_SHARE_SQL)
+def region_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue share per region (ratio-to-report): exact decimal sums,
+    then an unpartitioned window over the REGION-level aggregate — the
+    window input is dimension-sized (5 rows), so the 'global' window is
+    free; the division happens in double with both operands exact."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    rr = (
+        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")), o.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(n.select("n_nationkey", "n_regionkey")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r.select("r_regionkey", F.col("r_name").alias("region"))), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("region")
+        .agg(F.sum(_dec2("o_totalprice")).alias("region_rev_d"))
+    )
+    w = Window.partitionBy()
+    return rr.select(
+        "region",
+        F.col("region_rev_d").cast("double").alias("region_rev"),
+        F.round(
+            F.col("region_rev_d").cast("double")
+            / F.sum("region_rev_d").over(w).cast("double"),
+            6,
+        ).alias("rev_share"),
+    )
+
+
+# --- argmax per group -------------------------------------------------------
+
+_TOP_PART_SQL = """
+WITH pr AS (
+  SELECT l_suppkey, l_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS part_rev
+  FROM lineitem GROUP BY l_suppkey, l_partkey
+),
+rk AS (
+  SELECT l_suppkey, l_partkey, part_rev,
+         row_number() OVER (PARTITION BY l_suppkey
+                            ORDER BY part_rev DESC, l_partkey) AS rn
+  FROM pr
+)
+SELECT l_suppkey AS supp_key, l_partkey AS part_key,
+       CAST(part_rev AS DOUBLE) AS part_rev
+FROM rk WHERE rn = 1
+"""
+
+
+@query("top_part_per_supplier", oracle=_TOP_PART_SQL)
+def top_part_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each supplier's highest-revenue part (argmax per group): one
+    hash aggregation on (supplier, part), then a window rank that
+    reuses the same supplier-keyed shuffle. Exact decimal revenue with
+    partkey tie-break keeps the argmax engine-portable."""
+    l = table(spark, sf_dir, "lineitem")
+    pr = l.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(_dec2("l_extendedprice")).alias("part_rev")
+    )
+    w = Window.partitionBy("l_suppkey").orderBy(F.desc("part_rev"), F.asc("l_partkey"))
+    return (
+        pr.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("l_suppkey").alias("supp_key"),
+            F.col("l_partkey").alias("part_key"),
+            F.col("part_rev").cast("double").alias("part_rev"),
+        )
+    )
+
+
+# --- sequence funnel --------------------------------------------------------
+
+_FUNNEL_SQL = """
+WITH firsts AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events GROUP BY user_id
+)
+SELECT user_id, first_view, first_click, first_purchase
+FROM firsts
+WHERE first_view IS NOT NULL
+  AND first_click IS NOT NULL
+  AND first_purchase IS NOT NULL
+  AND first_view < first_click
+  AND first_click < first_purchase
+"""
+
+
+@query("funnel_users", oracle=_FUNNEL_SQL)
+def funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users who completed the view → click → purchase funnel in strict
+    order, phrased as conditional-min aggregation (one shuffle on
+    user_id, no joins, no window) — the scalable funnel formulation;
+    per-step timestamps come along for free."""
+    ev = table(spark, sf_dir, "events")
+    first_of = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            first_of("view").alias("first_view"),
+            first_of("click").alias("first_click"),
+            first_of("purchase").alias("first_purchase"),
+        )
+        .filter(
+            F.col("first_view").isNotNull()
+            & F.col("first_click").isNotNull()
+            & F.col("first_purchase").isNotNull()
+            & (F.col("first_view") < F.col("first_click"))
+            & (F.col("first_click") < F.col("first_purchase"))
+        )
+    )
