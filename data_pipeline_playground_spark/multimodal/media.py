@@ -61,14 +61,22 @@ def _stub_decode(payload: bytes) -> list[float]:
 
     A real decoder (PIL image → pixels, librosa audio → spectrogram)
     replaces this function only; the Spark plumbing is identical.
+
+    Rounding is floor(x·1e6 + 0.5)/1e6 — half-away-from-zero on the
+    same double — rather than Python's round() (banker's), so the
+    DuckDB oracle for multimodal_decode_histogram reproduces every
+    feature bit-exactly (e.g. 1/128 rounds to .007813 on both sides,
+    where banker's rounding would give .007812).
     """
     if payload is None:
         raise NotImplementedError("real media decode requires PIL/ffmpeg")
+    import math
+
     buckets = [0] * 8
     for b in payload:
         buckets[b % 8] += 1
     total = max(len(payload), 1)
-    return [round(c / total, 6) for c in buckets]
+    return [math.floor(c * 1e6 / total + 0.5) / 1e6 for c in buckets]
 
 
 def decode_features(media: DataFrame, decoder: Decoder | None = None,

@@ -19,6 +19,40 @@ def news_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_news_pipeline(spark, sf_dir)
 
 
+_DECODE_HIST_SQL = """
+WITH b AS (
+  SELECT doc_id,
+         greatest(length(text), 1) AS total,
+         list_transform(range(1, length(text) + 1),
+                        i -> ascii(substr(text, CAST(i AS INT), 1)) % 8) AS residues
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       list_transform(range(0, 8),
+                      k -> floor(len(list_filter(residues, r -> r = k))
+                                 * 1000000.0 / total + 0.5) / 1000000.0) AS features
+FROM b
+"""
+
+
+@query("multimodal_decode_histogram", oracle=_DECODE_HIST_SQL)
+def multimodal_decode_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode stage, oracle-checked end-to-end: documents →
+    binary payload column → mapInPandas stub decode (8-bucket byte
+    histogram) → per-media feature vector. The corpus is pure ASCII, so
+    DuckDB reproduces the UTF-8 byte residues with ascii(); rounding is
+    the engine-portable half-away formula (multimodal/media.py). This
+    pins the whole Arrow plumbing — schema, batching, null handling —
+    to exact values, not just row counts."""
+    from data_pipeline_playground_spark.multimodal.media import (
+        attach_payload_from_text,
+        decode_features,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return decode_features(attach_payload_from_text(docs))
+
+
 _JSON_SERIALIZE_SQL = """
 SELECT doc_id,
        to_json(struct_pack(doc_id := doc_id, lang := lang, source := source)) AS doc_json

@@ -29,6 +29,9 @@ def get_spark(app_name: str = "data-pipeline-playground-spark") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # static config — set at create time so bucketed-table tests
+        # never write a spark-warehouse/ dir into the repo cwd
+        .config("spark.sql.warehouse.dir", "/tmp/dpp-spark-warehouse")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,75 @@
+"""Invariant tests for the temporal operators (queries/temporal.py):
+the as-of join against a brute-force per-row model, funnel ordering,
+percentile monotonicity, and rollup consistency."""
+
+from __future__ import annotations
+
+from data_pipeline_playground_spark.registry import all_queries
+from data_pipeline_playground_spark.tables import table
+
+_QUERIES = all_queries()
+
+
+def test_asof_matches_bruteforce_model(spark, sf_dir):
+    """The union-and-carry-forward as-of join must equal the obvious
+    per-purchase max-over-earlier-clicks definition, computed brute
+    force in Python."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    rows = ev.filter(ev.event_type.isin("purchase", "click")).collect()
+    clicks_by_user: dict[int, list] = {}
+    for r in rows:
+        if r.event_type == "click":
+            clicks_by_user.setdefault(r.user_id, []).append(r.ts)
+    expected = {}
+    for r in rows:
+        if r.event_type == "purchase":
+            earlier = [t for t in clicks_by_user.get(r.user_id, []) if t < r.ts]
+            expected[r.event_id] = max(earlier) if earlier else None
+
+    got = {
+        r.purchase_id: r.last_click_ts
+        for r in _QUERIES["asof_last_click"](spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_funnel_users_ordering(spark, sf_dir):
+    res = _QUERIES["funnel_users"](spark, sf_dir).collect()
+    assert len(res) > 0
+    for r in res:
+        assert r.first_view < r.first_click < r.first_purchase
+
+
+def test_percentiles_monotone(spark, sf_dir):
+    for r in _QUERIES["event_value_percentiles"](spark, sf_dir).collect():
+        assert r.p25 <= r.p50 <= r.p75 <= r.p95
+        assert r.n > 0
+
+
+def test_rollup_day_equals_hour_sum(spark, sf_dir):
+    """The day grain re-aggregates hour partials; totals must agree
+    exactly (decimal partials) and with the raw event count."""
+    rows = _QUERIES["events_rollup_hierarchical"](spark, sf_dir).collect()
+    hours = [r for r in rows if r.grain == "hour"]
+    days = [r for r in rows if r.grain == "day"]
+    assert sum(r.n_events for r in hours) == sum(r.n_events for r in days)
+    assert abs(sum(r.total_value for r in hours) - sum(r.total_value for r in days)) < 1e-6
+    n_events = table(spark, sf_dir, "events").count()
+    assert sum(r.n_events for r in days) == n_events
+
+
+def test_range_join_counts_bounded(spark, sf_dir):
+    """Every error row appears exactly once, and its neighborhood count
+    never exceeds the user's total event count."""
+    from pyspark.sql import functions as F
+
+    ev = table(spark, sf_dir, "events")
+    per_user = {r.user_id: r.n for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_errors = ev.filter(ev.event_type == "error").count()
+    res = _QUERIES["error_neighborhood_5m"](spark, sf_dir).collect()
+    assert len(res) == n_errors
+    assert len({r.error_id for r in res}) == n_errors
+    for r in res:
+        assert 0 <= r.n_prior_5m < per_user[r.user_id]
