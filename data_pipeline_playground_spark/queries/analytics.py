@@ -200,6 +200,36 @@ def top_part_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- sketch aggregates (the unbounded-cardinality scale path) ---------------
+
+
+@query("users_approx_distinct")
+def users_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct users per event_type (rsd 2%) — the
+    mergeable-sketch substitute for countDistinct at unbounded
+    cardinality: partial sketches combine associatively, so the shuffle
+    carries ~1.5 KB per group instead of the distinct key set. No
+    oracle (DuckDB's HLL differs); accuracy is invariant-tested against
+    the exact count (tests/test_temporal_invariants.py)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+
+
+@query("value_approx_quantiles")
+def value_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile per event_type (accuracy 10000) — the
+    mergeable-sketch path for event_value_percentiles: no per-group
+    sort, error bounded by 1/accuracy. Invariant-tested against the
+    exact interpolated percentiles."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("ap50"),
+        F.approx_percentile("value", F.lit(0.95), F.lit(10000)).alias("ap95"),
+    )
+
+
 # --- sequence funnel --------------------------------------------------------
 
 _FUNNEL_SQL = """

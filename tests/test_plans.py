@@ -1,0 +1,68 @@
+"""Physical-plan assertions: the optimizations SCALE.md promises must
+actually appear in the executed plans — predicate pushdown into the
+parquet scan, column pruning, broadcast dimension joins, and
+single-shuffle window/aggregate compositions. These are regression
+guards: a refactor that silently adds a shuffle or drops a pushdown
+fails here, not in a 100 TB run."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from data_pipeline_playground_spark.registry import all_queries
+
+_QUERIES = all_queries()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    return (
+        _QUERIES[name](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def test_pricing_summary_pushes_date_filter(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pricing_summary")
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m, "no PushedFilters section in scan"
+    assert "l_shipdate" in m.group(1)  # the date predicate reached parquet
+
+
+def test_top_revenue_parts_prunes_and_broadcasts(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "top_revenue_parts")
+    assert "BroadcastHashJoin" in plan  # part is a broadcast dim
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m
+    # lineitem scan reads only the 3 columns the query needs
+    cols = [c.split(":")[0] for c in m.group(1).split(",")]
+    assert sorted(cols) == ["l_discount", "l_extendedprice", "l_partkey"]
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["events_sessionize", "user_value_deltas", "asof_last_click"],
+)
+def test_single_shuffle_window_queries(spark, sf_dir, name):
+    """Gaps-and-islands, lag-deltas, and the as-of join all promise ONE
+    hash shuffle (window + downstream agg share the user_id
+    partitioning)."""
+    plan = _plan(spark, sf_dir, name)
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_nation_pair_trade_single_agg_shuffle(spark, sf_dir):
+    """Q7-shape: every join resolves broadcast-side at test scale; the
+    only hash exchange is the final nations² aggregation."""
+    plan = _plan(spark, sf_dir, "nation_pair_trade")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_funnel_users_no_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "funnel_users")
+    assert "Join" not in plan  # conditional-min formulation: pure agg
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -60,6 +60,39 @@ def test_rollup_day_equals_hour_sum(spark, sf_dir):
     assert sum(r.n_events for r in days) == n_events
 
 
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    """HLL++ estimate within 3× the configured 2% relative error of the
+    exact per-type distinct count."""
+    from pyspark.sql import functions as F
+
+    ev = table(spark, sf_dir, "events")
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    for r in _QUERIES["users_approx_distinct"](spark, sf_dir).collect():
+        assert abs(r.approx_users - exact[r.event_type]) <= max(0.06 * exact[r.event_type], 2)
+
+
+def test_approx_quantiles_near_exact(spark, sf_dir):
+    exact = {r.event_type: r for r in _QUERIES["event_value_percentiles"](spark, sf_dir).collect()}
+    from pyspark.sql import functions as F
+
+    ev = table(spark, sf_dir, "events")
+    spread = {
+        r.event_type: (r.mx - r.mn) or 1.0
+        for r in ev.groupBy("event_type").agg(F.min("value").alias("mn"), F.max("value").alias("mx")).collect()
+    }
+    for r in _QUERIES["value_approx_quantiles"](spark, sf_dir).collect():
+        e = exact[r.event_type]
+        # within 5% of the group's value range: approx_percentile
+        # returns an order statistic while the exact form interpolates,
+        # so small groups (sf0.001 has ~200 rows/type) carry an
+        # irreducible rank-gap on top of the sketch error
+        assert abs(r.ap50 - e.p50) <= 0.05 * spread[r.event_type]
+        assert abs(r.ap95 - e.p95) <= 0.05 * spread[r.event_type]
+
+
 def test_range_join_counts_bounded(spark, sf_dir):
     """Every error row appears exactly once, and its neighborhood count
     never exceeds the user's total event count."""
