@@ -216,6 +216,84 @@ def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- full outer join --------------------------------------------------------
+
+_FULL_OUTER_SQL = """
+WITH clicks AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS n_clicks
+  FROM events WHERE event_type = 'click' AND value > 90 GROUP BY 1
+),
+purchases AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS n_purchases
+  FROM events WHERE event_type = 'purchase' AND value > 90 GROUP BY 1
+)
+SELECT COALESCE(c.d, p.d) AS event_day,
+       COALESCE(c.n_clicks, 0) AS n_clicks,
+       COALESCE(p.n_purchases, 0) AS n_purchases
+FROM clicks c FULL OUTER JOIN purchases p ON c.d = p.d
+"""
+
+
+@query("clicks_purchases_full_outer", oracle=_FULL_OUTER_SQL)
+def clicks_purchases_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily high-value click vs purchase counts, FULL OUTER joined so
+    days present on only one side still appear (the value filter makes
+    one-sided days actually occur). Both inputs aggregate before the
+    join — the join keys are day-cardinality, so the full-outer
+    sort-merge is over tiny sides regardless of raw volume."""
+    ev = table(spark, sf_dir, "events").filter(F.col("value") > 90)
+    day = F.to_date(F.date_trunc("day", "ts"))
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(day.alias("cd"))
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(day.alias("pd"))
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    return clicks.join(purchases, clicks.cd == purchases.pd, "full_outer").select(
+        F.coalesce("cd", "pd").alias("event_day"),
+        F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+        F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+    )
+
+
+# --- unpivot (inverse of events_pivot_daily) --------------------------------
+
+_UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS event_day,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+  FROM events GROUP BY 1
+)
+SELECT event_day, kind, n FROM (
+  SELECT event_day, 'click' AS kind, click AS n FROM wide
+  UNION ALL
+  SELECT event_day, 'view' AS kind, view AS n FROM wide
+) WHERE n IS NOT NULL
+"""
+
+
+@query("events_unpivot_daily", oracle=_UNPIVOT_SQL)
+def events_unpivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) of a wide daily table back to long form via
+    ``stack`` — the inverse of events_pivot_daily; wide→long is a
+    narrow map (no shuffle beyond the feeding aggregate)."""
+    ev = table(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("event_day"))
+        .pivot("event_type", ["click", "view"])
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "event_day",
+        F.expr("stack(2, 'click', click, 'view', view) AS (kind, n)"),
+    ).filter(F.col("n").isNotNull())
+
+
 # --- correlated-subquery shape ---------------------------------------------
 
 _ABOVE_AVG_SQL = """

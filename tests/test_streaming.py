@@ -77,6 +77,43 @@ def test_streaming_tumbling_matches_batch(spark, sf_dir, events_stream_dir):
         q.stop()
 
 
+def test_streaming_session_window_matches_batch(spark, sf_dir, events_stream_dir):
+    """F.session_window under readStream (watermark + append) produces
+    the same closed sessions as the batch twin once the stream drains —
+    R3/R4: identical expressions, streaming only adds the watermark."""
+    from data_pipeline_playground_spark.registry import all_queries
+    from data_pipeline_playground_spark.streaming.events_stream import (
+        read_events_stream,
+        run_stream_to_memory,
+        streaming_dedup,
+    )
+
+    stream = streaming_dedup(read_events_stream(spark, events_stream_dir))
+    sessions = (
+        stream.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+    q = run_stream_to_memory(sessions, "session_sink", output_mode="append")
+    try:
+        got = {
+            (r.user_id, r.session_start): r.n_events
+            for r in spark.sql("SELECT * FROM session_sink").collect()
+        }
+        batch = {
+            (r.user_id, r.session_start): r.n_events
+            for r in all_queries()["events_session_window"](spark, sf_dir).collect()
+        }
+        # append mode emits only watermark-closed sessions: every
+        # emitted session must match the batch result exactly, and the
+        # bulk of sessions must have closed (watermark advanced past them)
+        assert len(got) > 0.5 * len(batch)
+        for k, n in got.items():
+            assert batch.get(k) == n
+    finally:
+        q.stop()
+
+
 def test_streaming_fuzzy_dedup_greedy_first_wins(spark, tmp_path):
     """Near-dup titles arriving across micro-batches: the earliest
     representative survives, later near-dups are dropped even when they
