@@ -58,6 +58,48 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- BPE-style token counting (driver extension: LLM-data metric) -----------
+
+# GPT-2-style pre-tokenizer, restricted to the regex subset Java
+# (Spark) and RE2 (DuckDB) evaluate identically: contraction suffix,
+# space-prefixed letter run, space-prefixed digit run, space-prefixed
+# punctuation run. Both engines use leftmost-first alternation, so the
+# match sequence is identical. No lookahead (RE2 has none).
+BPE_SPLIT_RE = r"'[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+"
+
+_BPE_STATS_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '{BPE_SPLIT_RE.replace("'", "''")}')) AS n_bpe,
+         length(text) AS n_chars
+  FROM documents
+)
+SELECT doc_id, n_bpe AS n_bpe_tokens,
+       round(n_chars * 1.0 / greatest(n_bpe, 1), 6) AS chars_per_token
+FROM t
+"""
+
+
+@query("token_count_bpe", oracle=_BPE_STATS_SQL)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token count per document (the LLM-pipeline cost metric:
+    GPT-2-style pre-tokenization, which upper-bounds the true merged
+    BPE count) plus chars-per-token. Narrow map over the scan — zero
+    shuffle; a real tokenizer would slot in as a pandas UDF with the
+    same schema."""
+    docs = table(spark, sf_dir, "documents")
+    n_bpe = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_SPLIT_RE), F.lit(0))
+    )
+    return docs.select(
+        "doc_id",
+        n_bpe.alias("n_bpe_tokens"),
+        F.round(
+            F.length("text") * F.lit(1.0) / F.greatest(n_bpe, F.lit(1)), 6
+        ).alias("chars_per_token"),
+    )
+
+
 # --- stopword removal (U2) + document frequency -----------------------------
 
 _TOP_TERMS_SQL = f"""
