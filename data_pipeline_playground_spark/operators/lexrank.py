@@ -202,6 +202,42 @@ def lexrank_scores_grouped(weights: DataFrame, groups: DataFrame,
     )
 
 
+def similarity_edges_grouped(weights: DataFrame, groups: DataFrame) -> DataFrame:
+    """Within-group cosine edge list (src < dst, sim ≥ threshold) via the
+    bounded-group fast path: one shuffle by group, then dense numpy per
+    block — same spec as similarity_edges (L2-normalize → cosine →
+    threshold) without the inverted-index join's Σ df² blowup. Feeds
+    graph algorithms that want an explicit edge list (PIC, components).
+
+    ``weights``: (doc_id, term, w) from tfidf_term_weights.
+    ``groups``: (doc_id, group); every group must fit one executor.
+    """
+    import numpy as np
+    import pandas as pd
+
+    joined = weights.join(groups, "doc_id").select("group", "doc_id", "term", "w")
+
+    def run(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        mat = pdf.pivot_table(index="doc_id", columns="term", values="w",
+                              aggfunc="sum", fill_value=0.0)
+        ids = mat.index.to_numpy()  # pivot sorts the index → src < dst by id
+        m = mat.to_numpy(dtype=np.float64)
+        norms = np.sqrt((m * m).sum(axis=1))
+        norms[norms == 0.0] = 1.0
+        sim = (m / norms[:, None]) @ (m / norms[:, None]).T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = sim[iu, ju] >= SIM_EDGE_THRESHOLD
+        return pd.DataFrame({
+            "src": ids[iu[keep]],
+            "dst": ids[ju[keep]],
+            "sim": sim[iu, ju][keep],
+        })
+
+    return joined.groupBy("group").applyInPandas(
+        run, schema="src bigint, dst bigint, sim double"
+    )
+
+
 def top_k_representatives(scores: DataFrame, k: int = 3) -> DataFrame:
     w = Window.partitionBy("group").orderBy(
         F.desc(F.round("score", 9)), F.asc("doc_id")

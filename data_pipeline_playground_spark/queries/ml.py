@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from data_pipeline_playground_spark.functions.text import tokenize
 from data_pipeline_playground_spark.operators.lexrank import (
     lexrank_scores_grouped,
+    similarity_edges_grouped,
     tfidf_term_weights,
     top_k_representatives,
 )
@@ -117,6 +118,59 @@ def lda_doc_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("topic_id")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("topic_id")
+    )
+
+
+@query("bisecting_kmeans_clusters")
+def bisecting_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical clustering (reference N8, cluster.py:46-50 dormant:
+    AgglomerativeClustering(n_clusters=5, affinity=cosine, complete
+    linkage)). Spark-first analog: BisectingKMeans(k=5) — divisive
+    rather than agglomerative, but the same top-down tree shape scales
+    where all-pairs linkage cannot; over L2-normalized TF-IDF vectors,
+    Euclidean distance is monotone in cosine (||a-b||² = 2 - 2·cos), so
+    the affinity matches the reference's intent. Output: cluster sizes."""
+    from pyspark.ml.clustering import BisectingKMeans
+
+    toks = _tokens_df(spark, sf_dir)
+    feats, _ = _tfidf_features(toks)
+    model = BisectingKMeans(k=5, seed=SEED, featuresCol="features").fit(feats)
+    return (
+        model.transform(feats)
+        .groupBy(F.col("prediction").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("cluster_id")
+    )
+
+
+@query("power_iteration_clusters")
+def power_iteration_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph clustering (reference N7, cluster.py:39-44,68-94 dormant:
+    AffinityPropagation over the pairwise-similarity matrix, then drop
+    clusters with < 3 members ≥ .55 sim — cluster.py:83). Spark-first
+    analog per SURVEY §2.8: PowerIterationClustering on the same
+    within-source TF-IDF cosine graph LexRank uses (built via the
+    bounded-group edge-list fast path — one shuffle, dense numpy per
+    block). AP's exemplar count is emergent; PIC needs k, set to the
+    source-group count. AP's ≥3-member filter (A2) is kept. initMode=
+    'degree' for seedless determinism. Output: cluster sizes, largest
+    first."""
+    from pyspark.ml.clustering import PowerIterationClustering
+
+    docs = table(spark, sf_dir, "documents")
+    groups = docs.select("doc_id", F.col("source").alias("group"))
+    k = docs.select(F.countDistinct("source")).first()[0]
+    weights = tfidf_term_weights(docs)
+    edges = similarity_edges_grouped(weights, groups)
+    pic = PowerIterationClustering(
+        k=max(2, k), maxIter=10, initMode="degree", weightCol="sim"
+    )
+    assignments = pic.assignClusters(edges)
+    return (
+        assignments.groupBy(F.col("cluster").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 3)
+        .orderBy(F.desc("n_docs"), F.asc("cluster_id"))
     )
 
 

@@ -52,6 +52,25 @@ def test_lexrank_topk_per_group(spark, sf_dir):
     assert all(r.lexrank_score > 0 for r in res)
 
 
+def test_bisecting_kmeans_partition_of_input(spark, sf_dir):
+    n = _n_docs(spark, sf_dir)
+    res = _QUERIES["bisecting_kmeans_clusters"](spark, sf_dir).collect()
+    assert sum(r.n_docs for r in res) == n
+    assert 0 < len(res) <= 5  # reference n_clusters=5 (cluster.py:46-50)
+    assert all(r.n_docs > 0 for r in res)
+
+
+def test_power_iteration_clusters_invariants(spark, sf_dir):
+    n = _n_docs(spark, sf_dir)
+    res = _QUERIES["power_iteration_clusters"](spark, sf_dir).collect()
+    assert len(res) > 0
+    assert all(r.n_docs >= 3 for r in res)  # AP's min-member filter (A2)
+    assert sum(r.n_docs for r in res) <= n  # only docs with graph edges
+    # deterministic across runs (degree init, no RNG)
+    again = _QUERIES["power_iteration_clusters"](spark, sf_dir).collect()
+    assert sorted(map(tuple, res)) == sorted(map(tuple, again))
+
+
 def test_dedup_fuzzy_subset_and_pairwise(spark, sf_dir):
     """Dedup output ⊆ input ids and survivor set is unique."""
     docs = table(spark, sf_dir, "documents")
