@@ -202,12 +202,19 @@ def lexrank_scores_grouped(weights: DataFrame, groups: DataFrame,
     )
 
 
-def similarity_edges_grouped(weights: DataFrame, groups: DataFrame) -> DataFrame:
+def similarity_edges_grouped(weights: DataFrame, groups: DataFrame,
+                             top_m: int | None = None) -> DataFrame:
     """Within-group cosine edge list (src < dst, sim ≥ threshold) via the
     bounded-group fast path: one shuffle by group, then dense numpy per
     block — same spec as similarity_edges (L2-normalize → cosine →
     threshold) without the inverted-index join's Σ df² blowup. Feeds
     graph algorithms that want an explicit edge list (PIC, components).
+
+    ``top_m``: optional kNN sparsification — keep each node's top-m
+    strongest neighbors (union-symmetrized, deterministic tie-break on
+    neighbor id). Iterative graph algorithms cost ∝ |E| per step, so a
+    dense block of n² edges is the scale killer; m·n edges preserve the
+    cluster structure spectral methods need.
 
     ``weights``: (doc_id, term, w) from tfidf_term_weights.
     ``groups``: (doc_id, group); every group must fit one executor.
@@ -225,8 +232,18 @@ def similarity_edges_grouped(weights: DataFrame, groups: DataFrame) -> DataFrame
         norms = np.sqrt((m * m).sum(axis=1))
         norms[norms == 0.0] = 1.0
         sim = (m / norms[:, None]) @ (m / norms[:, None]).T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        keep = sim[iu, ju] >= SIM_EDGE_THRESHOLD
+        n = len(ids)
+        keep_mask = sim >= SIM_EDGE_THRESHOLD
+        np.fill_diagonal(keep_mask, False)
+        if top_m is not None and n > top_m:
+            # per-row top-m by (sim desc, id asc): argsort on (-sim, j)
+            # via stable sort over the negated row, then union-symmetrize
+            order = np.argsort(-sim, axis=1, kind="stable")[:, :top_m]
+            knn = np.zeros_like(keep_mask)
+            np.put_along_axis(knn, order, True, axis=1)
+            keep_mask &= knn | knn.T
+        iu, ju = np.triu_indices(n, k=1)
+        keep = keep_mask[iu, ju]
         return pd.DataFrame({
             "src": ids[iu[keep]],
             "dst": ids[ju[keep]],

@@ -151,17 +151,25 @@ def power_iteration_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     analog per SURVEY §2.8: PowerIterationClustering on the same
     within-source TF-IDF cosine graph LexRank uses (built via the
     bounded-group edge-list fast path — one shuffle, dense numpy per
-    block). AP's exemplar count is emergent; PIC needs k, set to the
-    source-group count. AP's ≥3-member filter (A2) is kept. initMode=
-    'degree' for seedless determinism. Output: cluster sizes, largest
-    first."""
+    block), kNN-sparsified to top-10 neighbors per node: PIC cost is
+    ∝ |E| per iteration, so the m·n graph (not the dense n² block) is
+    what survives a 1000× corpus. AP's exemplar count is emergent; PIC
+    needs k, set to the source-group count. AP's ≥3-member filter (A2)
+    is kept. initMode='degree' for seedless determinism. Output:
+    cluster sizes, largest first."""
     from pyspark.ml.clustering import PowerIterationClustering
 
     docs = table(spark, sf_dir, "documents")
     groups = docs.select("doc_id", F.col("source").alias("group"))
     k = docs.select(F.countDistinct("source")).first()[0]
     weights = tfidf_term_weights(docs)
-    edges = similarity_edges_grouped(weights, groups)
+    # PIC is iterative (RDD-backed power iteration + k-means): it fires
+    # many actions over its input, so materialize the edge list once —
+    # localCheckpoint also truncates the TF-IDF/applyInPandas lineage
+    # those actions would otherwise replay per iteration.
+    edges = similarity_edges_grouped(
+        weights, groups, top_m=10
+    ).localCheckpoint(eager=True)
     pic = PowerIterationClustering(
         k=max(2, k), maxIter=10, initMode="degree", weightCol="sim"
     )

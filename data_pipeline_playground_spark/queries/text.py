@@ -100,6 +100,127 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- repetition-based quality filter (driver extension: Gopher-style) -------
+
+TOP_BIGRAM_FRAC_MAX = 0.18  # Gopher: drop docs whose top 2-gram covers >18%
+REP_TOKEN_FRAC_MAX = 0.50  # and docs where >50% of tokens are repeats
+
+_REPETITION_SQL = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM t WHERE len(toks) >= 2
+),
+top_bg AS (
+  SELECT doc_id, max(cnt) AS top_cnt, sum(cnt) AS n_bigrams
+  FROM (SELECT doc_id, bigram, count(*) AS cnt FROM bg GROUP BY doc_id, bigram)
+  GROUP BY doc_id
+),
+tok AS (
+  SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct
+  FROM t
+)
+SELECT tok.doc_id,
+       round((tok.n_tokens - tok.n_distinct) * 1.0
+             / greatest(tok.n_tokens, 1), 6) AS rep_token_frac,
+       round(coalesce(top_bg.top_cnt * 1.0 / top_bg.n_bigrams, 0.0), 6)
+         AS top_bigram_frac,
+       (round((tok.n_tokens - tok.n_distinct) * 1.0
+              / greatest(tok.n_tokens, 1), 6) < {REP_TOKEN_FRAC_MAX}
+        AND round(coalesce(top_bg.top_cnt * 1.0 / top_bg.n_bigrams, 0.0), 6)
+            < {TOP_BIGRAM_FRAC_MAX}) AS keep
+FROM tok LEFT JOIN top_bg ON top_bg.doc_id = tok.doc_id
+"""
+
+
+@query("quality_repetition", oracle=_REPETITION_SQL)
+def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filter: fraction of repeated
+    tokens and coverage of the single most frequent bigram; `keep` iff
+    both sit under the Gopher thresholds. The bigram mode needs a
+    per-(doc,bigram) count — a partial-aggregatable groupBy, so at
+    100 TB it's map-side-combined and keyed fine; everything else is a
+    shuffle-free array expression over the scan."""
+    docs = table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    tok = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        toks.alias("toks"),
+    )
+    bigrams = tok.filter(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.slice("toks", 1, F.size("toks") - 1),
+                lambda x, i: F.concat_ws(" ", x, F.element_at("toks", i + 2)),
+            )
+        ).alias("bigram"),
+    )
+    top_bg = (
+        bigrams.groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top_cnt"), F.sum("cnt").alias("n_bigrams"))
+    )
+    rep_frac = F.round(
+        (F.col("n_tokens") - F.col("n_distinct"))
+        * F.lit(1.0)
+        / F.greatest(F.col("n_tokens"), F.lit(1)),
+        6,
+    )
+    bg_frac = F.round(
+        F.coalesce(F.col("top_cnt") * F.lit(1.0) / F.col("n_bigrams"), F.lit(0.0)), 6
+    )
+    return (
+        tok.join(top_bg, "doc_id", "left")
+        .select(
+            "doc_id",
+            rep_frac.alias("rep_token_frac"),
+            bg_frac.alias("top_bigram_frac"),
+            (
+                (rep_frac < REP_TOKEN_FRAC_MAX) & (bg_frac < TOP_BIGRAM_FRAC_MAX)
+            ).alias("keep"),
+        )
+    )
+
+
+# --- PII scrubbing (driver extension: pre-training redaction pass) ----------
+
+EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9() -]{7,}[0-9]"
+
+_PII_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{PHONE_RE}')) AS n_phones,
+       regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{PHONE_RE}', '<PHONE>', 'g') AS clean_text
+FROM documents
+"""
+
+
+@query("pii_scrub", oracle=_PII_SQL)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (emails then phone-shaped digit runs →
+    placeholder tokens) with per-doc match counts — the compliance
+    scrub of an LLM ingest pipeline. Pure regexp expressions over the
+    scan: narrow, shuffle-free, codegen'd; swap in richer recognizers
+    as a pandas UDF with this same schema when policy needs them."""
+    docs = table(spark, sf_dir, "documents")
+    no_email = F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(no_email, F.lit(PHONE_RE)).alias("n_phones"),
+        F.regexp_replace(no_email, PHONE_RE, "<PHONE>").alias("clean_text"),
+    )
+
+
 # --- stopword removal (U2) + document frequency -----------------------------
 
 _TOP_TERMS_SQL = f"""

@@ -23,12 +23,16 @@ def test_rows_only_queries_are_the_ml_set():
     rows_only = set(qs) - set(osql)
     assert rows_only == {
         "kmeans_clusters",
+        "bisecting_kmeans_clusters",
+        "power_iteration_clusters",
         "lda_topics",
         "lda_doc_topics",
         "lexrank_representatives",
         "news_pipeline",
         "stem_profile",
         "pos_noun_profile",
+        "users_approx_distinct",
+        "value_approx_quantiles",
     }
 
 
