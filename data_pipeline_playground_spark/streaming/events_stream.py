@@ -65,6 +65,33 @@ def streaming_tumbling_counts(events: DataFrame, watermark: str | None = "1 hour
     )
 
 
+def streaming_enriched_counts(events: DataFrame, dim: DataFrame,
+                              watermark: str | None = "1 hour",
+                              window: str = "1 hour") -> DataFrame:
+    """Stream-static join enrichment + windowed rollup: each micro-batch
+    joins against the (re-read, broadcast) static dimension — no
+    streaming state for the join side, which is the scale-safe pattern
+    for slowly-changing dims; only the windowed aggregate keeps state.
+
+    ``dim`` must be a static frame keyed by event_type with a
+    ``category`` column (a parser/registry dispatch table is the
+    reference analog — J4, realtimeapi.py:72-75).
+    """
+    if watermark is not None:
+        events = events.withWatermark("ts", watermark)
+    enriched = events.join(F.broadcast(dim), "event_type", "left").fillna(
+        {"category": "unknown"}
+    )
+    return (
+        enriched.groupBy(F.window("ts", window).alias("w"), "category")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "category", "n_events", "total_value")
+    )
+
+
 _SESSION_STATE_SCHEMA = T.StructType(
     [
         T.StructField("n_events", T.LongType()),

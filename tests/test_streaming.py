@@ -114,6 +114,53 @@ def test_streaming_session_window_matches_batch(spark, sf_dir, events_stream_dir
         q.stop()
 
 
+def test_streaming_enriched_counts_matches_batch(spark, sf_dir, events_stream_dir):
+    """Stream-static broadcast join + windowed rollup drains to exactly
+    the batch join-then-aggregate result (same expressions, same dim)."""
+    from data_pipeline_playground_spark.streaming.events_stream import (
+        read_events_stream,
+        run_stream_to_memory,
+        streaming_dedup,
+        streaming_enriched_counts,
+    )
+
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("view", "engagement"),
+         ("purchase", "revenue"), ("signup", "growth")],
+        "event_type string, category string",
+    )
+    stream = streaming_dedup(read_events_stream(spark, events_stream_dir))
+    q = run_stream_to_memory(
+        streaming_enriched_counts(stream, dim, watermark=None),
+        "enriched_sink",
+        output_mode="update",
+    )
+    try:
+        got = {
+            (r.window_start, r.category): (r.n_events, round(r.total_value, 6))
+            for r in spark.sql("SELECT * FROM enriched_sink").collect()
+        }
+        ev = table(spark, sf_dir, "events")
+        batch = {
+            (r.window_start, r.category): (r.n_events, round(r.total_value, 6))
+            for r in (
+                ev.join(F.broadcast(dim), "event_type", "left")
+                .fillna({"category": "unknown"})
+                .groupBy(F.window("ts", "1 hour").alias("w"), "category")
+                .agg(
+                    F.count(F.lit(1)).alias("n_events"),
+                    F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+                )
+                .select(F.col("w.start").alias("window_start"), "category",
+                        "n_events", "total_value")
+                .collect()
+            )
+        }
+        assert got == batch
+    finally:
+        q.stop()
+
+
 def test_streaming_fuzzy_dedup_greedy_first_wins(spark, tmp_path):
     """Near-dup titles arriving across micro-batches: the earliest
     representative survives, later near-dups are dropped even when they
