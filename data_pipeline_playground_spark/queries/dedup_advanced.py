@@ -134,6 +134,40 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
 
 
+# ---- connected components over the near-dup graph --------------------------
+
+_COMPONENTS_SQL = (
+    _MINHASH_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+    + f""",
+pr AS (SELECT ci, cj FROM est WHERE sim >= {SIM_THRESHOLD}),
+ed AS (SELECT ci AS a, cj AS b FROM pr UNION SELECT cj AS a, ci AS b FROM pr),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT ed.b, reach.label FROM reach JOIN ed ON ed.a = reach.node
+)
+SELECT node AS doc_id, min(label) AS component_id FROM reach GROUP BY node
+"""
+)
+
+
+@query("dedup_minhash_components", oracle=_COMPONENTS_SQL)
+def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate clusters: connected components of the
+    MinHash near-dup pair graph, labeled by the component's min doc_id
+    (singletons label themselves). This is the dedup semantics the
+    pairwise keep-min-id tiers approximate — one representative per
+    CHAIN of near-dups, however long (operators/components.py; the
+    oracle is the same fixpoint as a recursive CTE)."""
+    from data_pipeline_playground_spark.operators.components import (
+        connected_components,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = _minhash_est(spark, sf_dir).filter(F.col("sim") >= SIM_THRESHOLD)
+    return connected_components(docs.select("doc_id"), pairs)
+
+
 # ---- SimHash ---------------------------------------------------------------
 
 SIMHASH_BITS = 30  # rolling hash < 2^30, so 30 usable bits

@@ -111,3 +111,63 @@ def test_dedup_tiers_consistency(spark, sf_dir):
         assert len(ids) == len(set(ids)), q
         assert set(ids) <= all_ids, q
         assert min(all_ids) in set(ids), q
+
+
+def test_connected_components_chain_triangle_singleton(spark):
+    """Min-label propagation resolves a 4-chain (diameter 3, needs
+    multiple rounds), a triangle, and leaves singletons alone."""
+    from data_pipeline_playground_spark.operators.components import (
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(10)], "doc_id bigint")
+    edges = spark.createDataFrame(
+        # chain 1-2-3-4 (listed high-to-low so labels must propagate),
+        # triangle 5-6-7; 0, 8, 9 isolated
+        [(4, 3), (3, 2), (2, 1), (5, 6), (6, 7), (5, 7)],
+        "ci bigint, cj bigint",
+    )
+    got = {
+        r.doc_id: r.component_id
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5, 8: 8, 9: 9}
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)),
+        min_size=0, max_size=12,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_connected_components_matches_union_find(spark, edge_list):
+    """Distributed result ≡ a driver-side union-find on random graphs."""
+    from data_pipeline_playground_spark.operators.components import (
+        connected_components,
+    )
+
+    n = 15
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {i: find(i) for i in range(n)}
+
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id bigint")
+    edges = spark.createDataFrame(
+        edge_list or [(0, 0)], "ci bigint, cj bigint"
+    )
+    got = {
+        r.doc_id: r.component_id
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert got == expected
