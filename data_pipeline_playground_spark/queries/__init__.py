@@ -7,6 +7,7 @@ from data_pipeline_playground_spark.queries import (  # noqa: F401
     ml,
     pipelines,
     relational,
+    sampling,
     similarity,
     temporal,
     text,

@@ -1,0 +1,104 @@
+"""Deterministic sampling & split assignment (SURVEY §2.12 — the
+training-data-pipeline operators a 100 TB corpus run needs).
+
+Random-number sampling (``df.sample``) is not reproducible across
+engines, partitionings, or reruns — a training pipeline needs the SAME
+doc in the SAME split every run, on any engine. Both operators here
+derive the decision from the portable polynomial rolling hash of a
+salted key, so they are pure narrow maps (zero shuffle), stable under
+repartitioning, and bit-identical in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_playground_spark.functions.text import (
+    rolling_hash,
+    sql_rolling_hash,
+)
+from data_pipeline_playground_spark.registry import query
+from data_pipeline_playground_spark.tables import table
+
+# train/val/test cut points over 100 hash buckets
+TRAIN_PCT = 80
+VAL_PCT = 90
+SPLIT_SALT = "split:"
+
+# per-source sampling rates (percent kept); rare/high-value strata are
+# oversampled — the knob a data-mixing pipeline turns per domain
+DEFAULT_RATE = 10
+STRATUM_RATES = {"src0": 50, "src1": 25}
+SAMPLE_SALT = "sample:"
+
+_SPLIT_KEY = f"'{SPLIT_SALT}' || CAST(doc_id AS VARCHAR)"
+_SPLIT_BUCKET = f"{sql_rolling_hash(_SPLIT_KEY)} % 100"
+_SAMPLE_KEY = f"'{SAMPLE_SALT}' || CAST(doc_id AS VARCHAR) || ':' || source"
+
+_SPLIT_SQL = f"""
+SELECT doc_id,
+       CASE WHEN {_SPLIT_BUCKET} < {TRAIN_PCT} THEN 'train'
+            WHEN {_SPLIT_BUCKET} < {VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+_RATE_CASE = "CASE source " + " ".join(
+    f"WHEN '{s}' THEN {r}" for s, r in sorted(STRATUM_RATES.items())
+) + f" ELSE {DEFAULT_RATE} END"
+
+_STRATIFIED_SQL = f"""
+SELECT doc_id, source
+FROM documents
+WHERE {sql_rolling_hash(_SAMPLE_KEY)} % 100 < {_RATE_CASE}
+"""
+
+
+@query("dataset_split", oracle=_SPLIT_SQL)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment by salted-hash bucket:
+    deterministic per doc_id, engine-portable, stable under any
+    partitioning — never RNG. Narrow map over the scan; at 100 TB the
+    split column typically becomes a parquet partition key
+    (sources/parquet_sink.py)."""
+    docs = table(spark, sf_dir, "documents")
+    bucket = (
+        rolling_hash(F.concat(F.lit(SPLIT_SALT), F.col("doc_id").cast("string")))
+        % 100
+    )
+    return docs.select(
+        "doc_id",
+        F.when(bucket < TRAIN_PCT, "train")
+        .when(bucket < VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@query("sample_stratified", oracle=_STRATIFIED_SQL)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source (stratum) deterministic sampling: keep a doc iff its
+    salted hash bucket falls under the stratum's rate — rare domains
+    oversampled, the data-mixing primitive. The salt includes the
+    source so strata draw independent buckets for the same doc_id."""
+    docs = table(spark, sf_dir, "documents")
+    rate = F.coalesce(
+        *[
+            F.when(F.col("source") == s, F.lit(r))
+            for s, r in sorted(STRATUM_RATES.items())
+        ],
+        F.lit(DEFAULT_RATE),
+    )
+    bucket = (
+        rolling_hash(
+            F.concat(
+                F.lit(SAMPLE_SALT),
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("source"),
+            )
+        )
+        % 100
+    )
+    return docs.filter(bucket < rate).select("doc_id", "source")

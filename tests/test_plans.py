@@ -66,3 +66,23 @@ def test_funnel_users_no_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "funnel_users")
     assert "Join" not in plan  # conditional-min formulation: pure agg
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["pii_scrub", "token_count_bpe", "dataset_split", "sample_stratified"],
+)
+def test_narrow_map_queries_zero_shuffle(spark, sf_dir, name):
+    """Scrubbing, token counting, and hash-based splits/sampling are
+    pure per-row maps — any Exchange in these plans is a regression."""
+    plan = _plan(spark, sf_dir, name)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan  # stays JVM-side
+
+
+def test_quality_repetition_partial_agg(spark, sf_dir):
+    """The bigram-mode aggregation must map-side combine: a partial_max
+    / partial-count aggregate before the exchange."""
+    plan = _plan(spark, sf_dir, "quality_repetition")
+    assert "partial_" in plan  # partial aggregation present
+    assert plan.count("Exchange hashpartitioning") <= 3
