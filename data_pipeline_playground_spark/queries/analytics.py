@@ -273,3 +273,57 @@ def funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("first_click") < F.col("first_purchase"))
         )
     )
+
+
+# --- cohort retention (week-over-week active users) -------------------------
+
+_COHORT_SQL = """
+WITH first_seen AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         date_trunc('week', e.ts) AS active_week
+  FROM events e JOIN first_seen f ON e.user_id = f.user_id
+)
+SELECT CAST(cohort_week AS DATE) AS cohort_week,
+       CAST(date_diff('day', cohort_week, active_week) / 7 AS INT)
+         AS week_offset,
+       count(*) AS n_users
+FROM activity
+GROUP BY 1, 2
+"""
+
+
+@query("cohort_retention", oracle=_COHORT_SQL)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users bucketed by first-seen
+    week, counted distinct per week-offset of later activity. Two
+    shuffles total — the first-seen agg and the join back both key on
+    user_id (one exchange, reused), and the distinct rides the final
+    (cohort, offset) aggregation. At 100 TB first_seen is the kind of
+    small-and-hot derived table you'd maintain incrementally
+    (streaming twin: streaming_user_totals)."""
+    ev = table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.date_trunc("week", F.col("ts")).alias("active_week"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy(
+            F.col("cohort_week").cast("date").alias("cohort_week"),
+            (F.datediff(F.col("active_week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
