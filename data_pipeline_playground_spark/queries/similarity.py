@@ -350,6 +350,80 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_K = 16  # coarse-quantizer cells
+IVF_NPROBE = 2  # cells probed per query
+
+
+@query("ann_ivf_trained_topk")
+def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a TRAINED coarse quantizer — the production shape of
+    ann_ivf_topk (which reuses the pre-assigned label as its cell):
+    seeded KMeans learns IVF_K centroids, every vector is assigned to
+    its nearest cell, and each query probes only its IVF_NPROBE nearest
+    cells. The candidate join is an equi-join on cell id, so the scan
+    is cell-pruned — cost ∝ nprobe/k of brute force. At 100 TB the fit
+    runs on a sample, the (k × dim) centroid table broadcasts
+    everywhere, and cell id becomes a partition key. Rows-only (an
+    iterative ML fit has no SQL oracle); recall vs the exact top-k is
+    invariant-tested."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from data_pipeline_playground_spark.caching import memo
+
+    def build() -> DataFrame:
+        e = _embed_double(spark, sf_dir).withColumn("nv", norm(F.col("v")))
+        feats = e.withColumn("features", array_to_vector("v"))
+        km = KMeans(k=IVF_K, maxIter=10, seed=42, featuresCol="features").fit(feats)
+        cells = km.transform(feats).select(
+            "vec_id", "v", "nv", F.col("prediction").alias("cell")
+        )
+        # centroid table: tiny (k × dim) — broadcast as array<double>
+        centroids = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())],
+            "centroid_id int, cv array<double>",
+        )
+        return cells, centroids
+
+    cells, centroids = memo(spark, "ivf_trained", sf_dir, build)
+    # queries → their IVF_NPROBE nearest centroids (k rows per query
+    # before the rank; k is a constant, so this stays driver-small)
+    q = cells.filter(F.col("vec_id") < N_QUERY_VECTORS).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nv").alias("nq")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    probe_w = Window.partitionBy("q_id").orderBy(F.asc("d2"), F.asc("centroid_id"))
+    probes = (
+        q.join(F.broadcast(centroids))
+        .withColumn("d2", d2)
+        .withColumn("pr", F.row_number().over(probe_w))
+        .filter(F.col("pr") <= IVF_NPROBE)
+        .select("q_id", "qv", "nq", F.col("centroid_id").alias("cell"))
+    )
+    pairs = cells.join(
+        F.broadcast(probes),
+        (cells["cell"] == probes["cell"]) & (F.col("vec_id") != F.col("q_id")),
+    ).select(
+        "q_id",
+        F.col("vec_id").alias("n_id"),
+        F.round(
+            dot(F.col("qv"), F.col("v"))
+            / F.greatest(F.col("nq") * F.col("nv"), F.lit(1e-12)),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", "n_id", "cosine")
+    )
+
+
 # --- embedding-cosine near-dup dedup (north-star tier) ----------------------
 
 # The synthetic embeddings carry no true near-duplicates (max within-

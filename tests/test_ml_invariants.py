@@ -71,6 +71,30 @@ def test_power_iteration_clusters_invariants(spark, sf_dir):
     assert sorted(map(tuple, res)) == sorted(map(tuple, again))
 
 
+def test_ann_ivf_trained_recall(spark, sf_dir):
+    """Trained-quantizer IVF: ≤ TOP_K neighbors per query, cosines in
+    [-1,1], and reasonable recall against the exact brute-force top-k
+    (nprobe=2 of 16 cells — recall can't be perfect by construction,
+    but must beat random cell probing by a wide margin)."""
+    from data_pipeline_playground_spark.queries.similarity import TOP_K
+
+    approx = _QUERIES["ann_ivf_trained_topk"](spark, sf_dir).collect()
+    exact = _QUERIES["embedding_cosine_topk"](spark, sf_dir).collect()
+    per_q = {}
+    for r in approx:
+        per_q.setdefault(r.q_id, set()).add(r.n_id)
+        assert -1.0 <= r.cosine <= 1.0
+    assert all(len(v) <= TOP_K for v in per_q.values())
+    exact_per_q = {}
+    for r in exact:
+        exact_per_q.setdefault(r.q_id, set()).add(r.n_id)
+    hits = sum(len(per_q.get(q, set()) & s) for q, s in exact_per_q.items())
+    total = sum(len(s) for s in exact_per_q.values())
+    # nprobe/k = 1/8 of the corpus scanned; random probing would land
+    # ~12% recall. The trained quantizer must do far better.
+    assert hits / total >= 0.3, f"recall {hits}/{total}"
+
+
 def test_dedup_fuzzy_subset_and_pairwise(spark, sf_dir):
     """Dedup output ⊆ input ids and survivor set is unique."""
     docs = table(spark, sf_dir, "documents")

@@ -22,6 +22,7 @@ def test_rows_only_queries_are_the_ml_set():
     qs, osql = all_queries(), all_oracle_sql()
     rows_only = set(qs) - set(osql)
     assert rows_only == {
+        "ann_ivf_trained_topk",
         "kmeans_clusters",
         "bisecting_kmeans_clusters",
         "power_iteration_clusters",
