@@ -232,3 +232,70 @@ def test_streaming_stateful_user_totals(spark, sf_dir, events_stream_dir):
             assert r.n >= batch.get(r.user_id, 0)
     finally:
         q.stop()
+
+
+def test_streaming_state_survives_restart(spark, tmp_path):
+    """Kill a stateful stream mid-input, restart from the checkpoint:
+    the keyed state (running totals) must resume, not reset — the
+    recovery property an always-on deployment depends on."""
+    import json
+    import os
+
+    from data_pipeline_playground_spark.streaming.events_stream import (
+        streaming_user_totals,
+    )
+
+    d = tmp_path / "in"
+    d.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(i, rows):
+        p = d / f"part-{i}.json"
+        p.write_text("\n".join(json.dumps(r) for r in rows))
+        os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    write_batch(0, [
+        {"event_id": 1, "ts": "2026-01-01T00:00:00", "user_id": 7,
+         "event_type": "click", "value": 1.5, "props": "{}"},
+        {"event_id": 2, "ts": "2026-01-01T00:01:00", "user_id": 7,
+         "event_type": "click", "value": 2.5, "props": "{}"},
+    ])
+
+    def run_once():
+        # foreachBatch sink: checkpoint-recoverable (the memory sink is
+        # not); rows land in a driver-side list per micro-batch
+        out: list[tuple] = []
+        stream = (
+            spark.readStream.schema(
+                "event_id bigint, ts timestamp, user_id bigint, "
+                "event_type string, value double, props string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .json(str(d))
+        )
+        q = (
+            streaming_user_totals(stream)
+            .writeStream.foreachBatch(
+                lambda bdf, _bid: out.extend(
+                    (r.user_id, r.n_events, r.total_value) for r in bdf.collect()
+                )
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+        return out
+
+    first = run_once()  # batch 0 processed, state checkpointed
+    assert (7, 2, 4.0) in set(first)
+
+    write_batch(1, [
+        {"event_id": 3, "ts": "2026-01-01T00:02:00", "user_id": 7,
+         "event_type": "click", "value": 4.0, "props": "{}"},
+    ])
+    second = run_once()  # restarted query: must see state n=2 and add 1
+    assert (7, 3, 8.0) in set(second)  # resumed from n=2/4.0, not zero
+    assert (7, 2, 4.0) not in set(second)  # batch 0 NOT reprocessed

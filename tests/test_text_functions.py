@@ -86,3 +86,27 @@ def test_sentence_split(spark):
     rows = df.select(sent.alias("s")).collect()
     assert rows[0].s == ["One sentence", "Two", "Three"]
     assert rows[1].s == ["nopunct"]
+
+
+def test_split_sentences_udtf_lateral(spark, sf_dir):
+    """The UDTF surface (§2.11): LATERAL table function from SQL, same
+    semantics as the inline array splitter."""
+    from data_pipeline_playground_spark.functions.udtfs import register_udtfs
+    from data_pipeline_playground_spark.tables import table
+
+    register_udtfs(spark)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("docs_udtf")
+    got = spark.sql(
+        """SELECT d.doc_id, s.sent_id, s.sentence
+           FROM docs_udtf d, LATERAL split_sentences(d.text) s"""
+    )
+    # equivalent inline array form
+    sent = F.filter(
+        F.transform(F.split(F.col("text"), "[.!?]+"), lambda s: F.trim(s)),
+        lambda s: s != F.lit(""),
+    )
+    expect = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.posexplode(sent).alias("sent_id", "sentence"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
