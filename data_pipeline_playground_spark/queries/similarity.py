@@ -493,7 +493,15 @@ def _embed_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("ci", "cj", cos.alias("cosine"))
             .cache()
         )
-        return all_pairs.filter(F.col("cosine") >= EMBED_DUP_THRESHOLD)
+        # ... but don't let the n²/cells-row cache squat on executor
+        # storage for the rest of the session (it evicts other queries'
+        # blocks): eagerly materialize the tiny thresholded result
+        # THROUGH the cache (one join pass), then free the big block.
+        kept = all_pairs.filter(
+            F.col("cosine") >= EMBED_DUP_THRESHOLD
+        ).localCheckpoint(eager=True)
+        all_pairs.unpersist()
+        return kept
 
     return memo(spark, "embed_dup_pairs", sf_dir, build)
 
