@@ -148,6 +148,57 @@ def streaming_user_totals(events: DataFrame, timeout_ms: int | None = None) -> D
     )
 
 
+def streaming_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Spark 4-native twin of streaming_user_totals on the
+    transformWithStateInPandas API (StatefulProcessor + typed
+    ValueState): same running per-user totals, but state lives in the
+    RocksDB state store — the API/stateful-backend pair new deployments
+    should prefer (changelog checkpointing, TTL, multiple state
+    variables per processor).
+
+    Requires ``spark.sql.streaming.stateStore.providerClass`` =
+    RocksDBStateStoreProvider on the session (the HDFS-backed default
+    does not implement transformWithState), and the ``protobuf``
+    package (the TWS driver worker speaks protobuf to the JVM — absent
+    in this container, so the equivalence test import-skips; the legacy
+    applyInPandasWithState twin above runs everywhere).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n bigint, total double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._totals.exists():
+                n, total = self._totals.get()
+            else:
+                n, total = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserTotals(),
+        outputStructType=_SESSION_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 _FUZZY_STATE_SCHEMA = T.StructType(
     [T.StructField("kept_titles", T.ArrayType(T.StringType()))]
 )

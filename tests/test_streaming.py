@@ -299,3 +299,53 @@ def test_streaming_state_survives_restart(spark, tmp_path):
     second = run_once()  # restarted query: must see state n=2 and add 1
     assert (7, 3, 8.0) in set(second)  # resumed from n=2/4.0, not zero
     assert (7, 2, 4.0) not in set(second)  # batch 0 NOT reprocessed
+
+
+def test_streaming_user_totals_tws_matches_legacy(spark, sf_dir, events_stream_dir):
+    """transformWithStateInPandas (RocksDB state store) produces the
+    same final per-user totals as the applyInPandasWithState legacy
+    twin on the same drained input."""
+    # the TWS driver worker requires protobuf (not in this container)
+    pytest.importorskip("google.protobuf.descriptor")
+    from data_pipeline_playground_spark.streaming.events_stream import (
+        read_events_stream,
+        run_stream_to_memory,
+        streaming_user_totals_tws,
+    )
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_events_stream(spark, events_stream_dir, max_files_per_trigger=3)
+        q = run_stream_to_memory(
+            streaming_user_totals_tws(stream), "tws_sink", output_mode="update"
+        )
+        try:
+            got = {
+                r.user_id: r.n
+                for r in spark.sql(
+                    """SELECT user_id, max(n_events) AS n FROM tws_sink
+                       GROUP BY user_id"""
+                ).collect()
+            }
+        finally:
+            q.stop()
+        ev = table(spark, sf_dir, "events")
+        dupes = ev.orderBy("event_id").limit(20)  # fixture injects these
+        batch = {
+            r.user_id: r.n
+            for r in ev.unionByName(dupes)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert got == batch
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
