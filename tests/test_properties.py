@@ -171,3 +171,62 @@ def test_connected_components_matches_union_find(spark, edge_list):
         for r in connected_components(nodes, edges).collect()
     }
     assert got == expected
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)),
+        min_size=0, max_size=12,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_components_star_matches_union_find(spark, edge_list):
+    """Large-star/small-star contraction ≡ union-find on random graphs."""
+    from data_pipeline_playground_spark.operators.components import (
+        connected_components_star,
+    )
+
+    n = 15
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {i: find(i) for i in range(n)}
+
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id bigint")
+    edges = spark.createDataFrame(
+        edge_list or [(0, 0)], "ci bigint, cj bigint"
+    )
+    got = {
+        r.doc_id: r.component_id
+        for r in connected_components_star(nodes, edges).collect()
+    }
+    assert got == expected
+
+
+def test_components_star_long_chain(spark):
+    """A 30-node chain (diameter 29): the contraction variant must
+    resolve it well inside MAX_ROUNDS — the deep-graph case min-label
+    propagation is slowest on."""
+    from data_pipeline_playground_spark.operators.components import (
+        connected_components_star,
+    )
+
+    n = 30
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id bigint")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "ci bigint, cj bigint"
+    )
+    got = {
+        r.doc_id: r.component_id
+        for r in connected_components_star(nodes, edges).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
