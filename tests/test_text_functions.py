@@ -110,3 +110,31 @@ def test_split_sentences_udtf_lateral(spark, sf_dir):
         .select("doc_id", F.posexplode(sent).alias("sent_id", "sentence"))
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
+
+
+def test_pii_scrub_redacts_crafted_rows(spark):
+    """The corpus has no PII, so the oracle check alone is vacuous on
+    matches — drive the same expressions over crafted rows."""
+    from data_pipeline_playground_spark.queries.text import EMAIL_RE, PHONE_RE
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact Jo.Doe+spam@example.co.uk or call +1 (555) 123-4567 now"),
+            (2, "two mails: a@b.io c@d.org; digits 42 stay"),
+            (3, "clean text with room 1234 and no pii"),
+        ],
+        "doc_id bigint, text string",
+    )
+    no_email = F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>")
+    out = {
+        r.doc_id: (r.n_emails, r.n_phones, r.clean)
+        for r in df.select(
+            "doc_id",
+            F.regexp_count(F.col("text"), F.lit(EMAIL_RE)).alias("n_emails"),
+            F.regexp_count(no_email, F.lit(PHONE_RE)).alias("n_phones"),
+            F.regexp_replace(no_email, PHONE_RE, "<PHONE>").alias("clean"),
+        ).collect()
+    }
+    assert out[1] == (1, 1, "contact <EMAIL> or call <PHONE> now")
+    assert out[2] == (2, 0, "two mails: <EMAIL> <EMAIL>; digits 42 stay")
+    assert out[3] == (0, 0, "clean text with room 1234 and no pii")
