@@ -299,12 +299,13 @@ GROUP BY 1, 2
 @query("cohort_retention", oracle=_COHORT_SQL)
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention matrix: users bucketed by first-seen
-    week, counted distinct per week-offset of later activity. Two
-    shuffles total — the first-seen agg and the join back both key on
-    user_id (one exchange, reused), and the distinct rides the final
-    (cohort, offset) aggregation. At 100 TB first_seen is the kind of
-    small-and-hot derived table you'd maintain incrementally
-    (streaming twin: streaming_user_totals)."""
+    week, counted distinct per week-offset of later activity. Three
+    shuffles (executed plan, pinned by scripts/plan_audit.py): the
+    first-seen agg shares its user_id exchange with the join back,
+    then the per-user-week distinct, then the (cohort, offset) matrix
+    agg. At 100 TB first_seen is the kind of small-and-hot derived
+    table you'd maintain incrementally (streaming twin:
+    streaming_user_totals)."""
     ev = table(spark, sf_dir, "events")
     first_seen = ev.groupBy("user_id").agg(
         F.date_trunc("week", F.min("ts")).alias("cohort_week")

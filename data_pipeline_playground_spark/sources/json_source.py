@@ -60,3 +60,34 @@ def write_json_sink(df: DataFrame, path: str) -> None:
 def to_json_column(df: DataFrame, *cols: str) -> DataFrame:
     """In-plan JSON serialization (S7): one JSON string per row."""
     return df.select(F.to_json(F.struct(*cols)).alias("json"))
+
+
+def read_jsonl_with_quarantine(
+    spark: SparkSession, path: str, schema: str | T.StructType
+) -> tuple[DataFrame, DataFrame]:
+    """Schema-on-read json-lines ingest with corrupt-record quarantine:
+    returns (good_rows, quarantined_raw_lines).
+
+    Production ingestion hygiene for a 100 TB feed: malformed records
+    must neither kill the job (FAILFAST) nor vanish (DROPMALFORMED) —
+    PERMISSIVE mode routes them to a side output for replay/audit.
+    The frame is cached before the split: Spark only populates the
+    corrupt-record column on rows materialized with the full schema,
+    so filtering it without materializing first is unsupported.
+    """
+    struct = (
+        T.StructType.fromDDL(schema) if isinstance(schema, str) else schema
+    )
+    full = struct.add("_corrupt_record", T.StringType())
+    raw = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .cache()
+    )
+    good = raw.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    quarantined = raw.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line")
+    )
+    return good, quarantined

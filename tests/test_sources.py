@@ -156,3 +156,27 @@ def test_wiki_page_summary_image_fallback(spark, tmp_path):
     assert rows["ThumbOnly"].image == "thumb2.png"  # fallback chain
     assert rows["NoImage"].image is None
     assert all(r.found for r in rows.values())
+
+
+def test_jsonl_quarantine_split(spark, tmp_path):
+    """Malformed lines land in the quarantine frame, valid rows parse —
+    neither job failure nor silent drops."""
+    from data_pipeline_playground_spark.sources.json_source import (
+        read_jsonl_with_quarantine,
+    )
+
+    p = tmp_path / "feed.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "ok one"}\n'
+        '{"doc_id": 2, "text": "ok two"}\n'
+        "{not json at all\n"
+        '{"doc_id": "not-a-number", "text": 3}\n'
+        '{"doc_id": 3, "text": "ok three"}\n'
+    )
+    good, bad = read_jsonl_with_quarantine(
+        spark, str(p), "doc_id bigint, text string"
+    )
+    assert {r.doc_id for r in good.collect()} == {1, 2, 3}
+    raw_lines = [r.raw_line for r in bad.collect()]
+    assert len(raw_lines) == 2
+    assert any("not json" in l for l in raw_lines)
