@@ -102,3 +102,47 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 100
     )
     return docs.filter(bucket < rate).select("doc_id", "source")
+
+
+_TRAIN_MIX_SQL = f"""
+SELECT doc_id, source
+FROM documents
+WHERE {sql_rolling_hash(_SAMPLE_KEY)} % 100 < {_RATE_CASE}
+  AND {_SPLIT_BUCKET} < {TRAIN_PCT}
+"""
+
+
+@query("training_mix", oracle=_TRAIN_MIX_SQL)
+def training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed 'build the training set' step: docs that pass the
+    per-source sampling rate AND land in the train split — both
+    decisions independent salted hashes, so the mix is reproducible
+    end-to-end and the composition stays one shuffle-free narrow map
+    (conjunctive predicates over the same scan; at 100 TB this filter
+    sits directly above the parquet reader)."""
+    docs = table(spark, sf_dir, "documents")
+    rate = F.coalesce(
+        *[
+            F.when(F.col("source") == s, F.lit(r))
+            for s, r in sorted(STRATUM_RATES.items())
+        ],
+        F.lit(DEFAULT_RATE),
+    )
+    sample_bucket = (
+        rolling_hash(
+            F.concat(
+                F.lit(SAMPLE_SALT),
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("source"),
+            )
+        )
+        % 100
+    )
+    split_bucket = (
+        rolling_hash(F.concat(F.lit(SPLIT_SALT), F.col("doc_id").cast("string")))
+        % 100
+    )
+    return docs.filter(
+        (sample_bucket < rate) & (split_bucket < TRAIN_PCT)
+    ).select("doc_id", "source")

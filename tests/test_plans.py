@@ -70,7 +70,7 @@ def test_funnel_users_no_join(spark, sf_dir):
 
 @pytest.mark.parametrize(
     "name",
-    ["pii_scrub", "token_count_bpe", "dataset_split", "sample_stratified"],
+    ["pii_scrub", "token_count_bpe", "dataset_split", "sample_stratified", "training_mix"],
 )
 def test_narrow_map_queries_zero_shuffle(spark, sf_dir, name):
     """Scrubbing, token counting, and hash-based splits/sampling are
