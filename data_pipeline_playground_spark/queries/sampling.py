@@ -146,3 +146,89 @@ def training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(
         (sample_bucket < rate) & (split_bucket < TRAIN_PCT)
     ).select("doc_id", "source")
+
+
+# --- benchmark decontamination (n-gram overlap vs a held-out set) -----------
+
+BENCH_SET_MAX_ID = 5  # doc_id < 5 stands in for the external benchmark set
+
+_DECON_TOKENS = (
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+)
+
+
+def _decon_shingles(n: int) -> str:
+    toks = _DECON_TOKENS
+    return (
+        f"CASE WHEN len({toks}) >= {n} THEN "
+        f"list_distinct(list_transform(range(1, len({toks}) - {n} + 2), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n} - 1), ' '))) "
+        "ELSE CAST([] AS VARCHAR[]) END"
+    )
+
+
+_DECONTAMINATE_SQL: str
+
+
+def _build_decon_sql() -> str:
+    from data_pipeline_playground_spark.operators.minhash import SHINGLE_N
+
+    sh = _decon_shingles(SHINGLE_N)
+    return f"""
+WITH ex AS (
+  SELECT doc_id, unnest({sh}) AS g FROM documents
+),
+bench AS (SELECT DISTINCT g FROM ex WHERE doc_id < {BENCH_SET_MAX_ID}),
+hits AS (
+  SELECT ex.doc_id, count(*) AS n_shared
+  FROM ex JOIN bench ON ex.g = bench.g
+  WHERE ex.doc_id >= {BENCH_SET_MAX_ID}
+  GROUP BY ex.doc_id
+)
+SELECT doc_id, n_shared FROM hits
+"""
+
+
+_DECONTAMINATE_SQL = _build_decon_sql()
+
+
+@query("decontaminate_overlap", oracle=_DECONTAMINATE_SQL)
+def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing ≥1 word
+    n-gram with the held-out benchmark set (stand-in: doc_id <
+    BENCH_SET_MAX_ID), with the shared-shingle count. The benchmark
+    shingle set is always tiny relative to the corpus → broadcast
+    hash join against the exploded training shingles, so the only
+    real shuffle is the per-doc count (partial-aggregated). The same
+    shape handles eval-set leakage checks at 100 TB: shingle the
+    benchmark once, broadcast everywhere, scan the corpus once."""
+    from pyspark.sql import Window
+
+    from data_pipeline_playground_spark.functions.text import tokenize
+    from data_pipeline_playground_spark.operators.minhash import SHINGLE_N
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(tokenize(F.col("text"))).alias("pos", "tok")
+    )
+    w_lead = Window.partitionBy("doc_id").orderBy("pos")
+    last = F.lead("tok", SHINGLE_N - 1).over(w_lead)
+    gram = F.concat_ws(
+        " ", *(["tok"] + [F.lead("tok", i).over(w_lead) for i in range(1, SHINGLE_N)])
+    )
+    ex = (
+        toks.select("doc_id", F.when(last.isNotNull(), gram).alias("g"))
+        .filter(F.col("g").isNotNull())
+        .distinct()
+    )
+    bench = (
+        ex.filter(F.col("doc_id") < BENCH_SET_MAX_ID)
+        .select("g")
+        .distinct()
+    )
+    return (
+        ex.filter(F.col("doc_id") >= BENCH_SET_MAX_ID)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
