@@ -611,3 +611,95 @@ def pos_noun_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_nouns").alias("total_nouns"),
         F.count(F.lit(1)).alias("n_docs"),
     )
+
+
+# --- per-source corpus health report (driver extension) ---------------------
+
+_SOURCE_REPORT_SQL = f"""
+WITH t AS (
+  SELECT source, lang, length(text) AS n_chars,
+         len({_SQL_TOKENS}) AS n_tokens,
+         len(list_distinct({_SQL_TOKENS})) AS n_distinct
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(avg(n_tokens), 6) AS avg_tokens,
+       round(avg((n_tokens - n_distinct) * 1.0 / greatest(n_tokens, 1)), 6)
+         AS avg_rep_frac,
+       count(DISTINCT lang) AS n_langs
+FROM t GROUP BY source
+"""
+
+
+@query("source_quality_report", oracle=_SOURCE_REPORT_SQL)
+def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health rollup — the monitoring view a data-ops
+    pipeline keeps per ingest domain: volume, token mass, repetition,
+    language spread. One partial-aggregated shuffle keyed by source
+    (every metric is an algebraic aggregate over per-row expressions,
+    so the map side combines before the exchange; countDistinct(lang)
+    expands but lang cardinality is tiny)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    per_doc = docs.select(
+        "source",
+        "lang",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+        F.round(
+            F.avg(
+                (F.col("n_tokens") - F.col("n_distinct"))
+                * F.lit(1.0)
+                / F.greatest(F.col("n_tokens"), F.lit(1))
+            ),
+            6,
+        ).alias("avg_rep_frac"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+# --- length-outlier trim (percentile bounds) --------------------------------
+
+OUTLIER_LO, OUTLIER_HI = 0.01, 0.99
+
+_OUTLIER_SQL = f"""
+WITH b AS (
+  SELECT round(quantile_cont(length(text), {OUTLIER_LO}), 6) AS lo,
+         round(quantile_cont(length(text), {OUTLIER_HI}), 6) AS hi
+  FROM documents
+)
+SELECT d.doc_id, length(d.text) AS n_chars
+FROM documents d, b
+WHERE length(d.text) >= b.lo AND length(d.text) <= b.hi
+"""
+
+
+@query("length_outlier_filter", oracle=_OUTLIER_SQL)
+def length_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trim docs outside the [P1, P99] length band — the standard
+    outlier pass before training-data tokenization. Exact interpolated
+    percentiles here (both engines use linear interpolation, rounded
+    to 6 before comparing so the oracle filter is bit-identical); at
+    100 TB swap in approx_percentile — the t-digest sketch merges
+    map-side, so the bounds pass is one scan + a 1-row broadcast,
+    which is also the exact plan shape used here."""
+    docs = table(spark, sf_dir, "documents")
+    bounds = docs.agg(
+        F.round(F.percentile(F.length("text"), F.lit(OUTLIER_LO)), 6).alias("lo"),
+        F.round(F.percentile(F.length("text"), F.lit(OUTLIER_HI)), 6).alias("hi"),
+    )
+    return (
+        docs.join(F.broadcast(bounds))
+        .filter(
+            (F.length("text") >= F.col("lo")) & (F.length("text") <= F.col("hi"))
+        )
+        .select("doc_id", F.length("text").alias("n_chars"))
+    )
