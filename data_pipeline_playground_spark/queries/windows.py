@@ -246,3 +246,65 @@ def user_value_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.abs("delta")), 6).alias("avg_abs_delta"),
         F.round(F.max("delta"), 6).alias("max_delta"),
     )
+
+
+# --- hourly anomaly detection (z-score over per-type hourly counts) ---------
+
+ANOMALY_Z = 3.0
+
+_ANOMALY_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_start,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type,
+         count(*) AS n,
+         sum(cnt) AS s,
+         sum(cnt * cnt) AS ss
+  FROM hourly GROUP BY event_type
+)
+SELECT h.event_type, CAST(h.hour_start AS TIMESTAMP) AS hour_start, h.cnt,
+       round((h.cnt - s * 1.0 / n)
+             / sqrt(greatest((ss - s * 1.0 * s / n) / (n - 1), 1e-12)), 4)
+         AS z
+FROM hourly h JOIN stats USING (event_type)
+WHERE n > 1
+  AND abs((h.cnt - s * 1.0 / n)
+          / sqrt(greatest((ss - s * 1.0 * s / n) / (n - 1), 1e-12)))
+      > {ANOMALY_Z}
+"""
+
+
+@query("events_hourly_anomalies", oracle=_ANOMALY_SQL)
+def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume anomaly detection: hours whose event count sits more than
+    3σ from the event type's hourly mean. Variance is computed from
+    exact integer sums (Σcnt, Σcnt² as BIGINT) rather than a streaming
+    stddev aggregate, so the float result — and therefore the flagged
+    set — is bit-identical across engines AND across partitionings: the
+    operator gives the same answer on 1 or 1000 executors. Two
+    partial-aggregated shuffles (hourly counts, per-type moments); the
+    moments table is event-type-sized → broadcast back."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_start")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    stats = hourly.groupBy(F.col("event_type").alias("et")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cnt").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("ss"),
+    )
+    mean = F.col("s") * F.lit(1.0) / F.col("n")
+    var = (F.col("ss") - F.col("s") * F.lit(1.0) * F.col("s") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    z = (F.col("cnt") - mean) / F.sqrt(F.greatest(var, F.lit(1e-12)))
+    return (
+        hourly.join(
+            F.broadcast(stats), hourly["event_type"] == stats["et"]
+        )
+        .filter((F.col("n") > 1) & (F.abs(z) > ANOMALY_Z))
+        .select("event_type", "hour_start", "cnt", F.round(z, 4).alias("z"))
+    )
