@@ -230,3 +230,36 @@ def test_components_star_long_chain(spark):
         for r in connected_components_star(nodes, edges).collect()
     }
     assert got == {i: 0 for i in range(n)}
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet="ab1 .'!-\t",
+            min_size=0, max_size=40,
+        ),
+        min_size=1, max_size=8,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_bpe_split_matches_python_re(spark, texts):
+    """The BPE pre-tokenizer regex must produce the same match count in
+    Java (Spark) as in Python's re — both leftmost-first alternation —
+    on adversarial mixes of contractions, digits, punctuation runs and
+    whitespace. Guards the cross-engine claim in queries/text.py."""
+    import re as _re
+
+    from data_pipeline_playground_spark.queries.text import BPE_SPLIT_RE
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, t string")
+    got = {
+        r.i: r.n
+        for r in df.select(
+            "i",
+            F.size(
+                F.regexp_extract_all(F.lower(F.col("t")), F.lit(BPE_SPLIT_RE), F.lit(0))
+            ).alias("n"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == len(_re.findall(BPE_SPLIT_RE, t.lower())), repr(t)
