@@ -92,6 +92,49 @@ def streaming_enriched_counts(events: DataFrame, dim: DataFrame,
     )
 
 
+def streaming_click_purchase_join(events: DataFrame,
+                                  within: str = "1 hour",
+                                  watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the same
+    user's clicks in the preceding ``within`` window — the attribution
+    join. Both sides carry watermarks and the join condition bounds
+    event time in BOTH directions, so Spark can expire join state:
+    click state older than watermark+interval is dropped, purchase
+    state likewise. Without the time bound the state store would grow
+    forever — the bound is what makes a stream-stream join deployable.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("purchase_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            f"""click_user = purchase_user
+                AND purchase_ts >= click_ts
+                AND purchase_ts <= click_ts + INTERVAL {within}"""
+        ),
+    ).select(
+        F.col("click_user").alias("user_id"),
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
 _SESSION_STATE_SCHEMA = T.StructType(
     [
         T.StructField("n_events", T.LongType()),

@@ -349,3 +349,50 @@ def test_streaming_user_totals_tws_matches_legacy(spark, sf_dir, events_stream_d
             spark.conf.unset(provider_key)
         else:
             spark.conf.set(provider_key, old)
+
+
+def test_streaming_stream_stream_interval_join(spark, sf_dir, events_stream_dir):
+    """Stream-stream interval join (attribution: purchases to the same
+    user's clicks within the preceding hour) drains to exactly the
+    batch interval-join result."""
+    from data_pipeline_playground_spark.streaming.events_stream import (
+        read_events_stream,
+        run_stream_to_memory,
+        streaming_click_purchase_join,
+    )
+
+    # raw stream (no dedup upstream: the join defines its own per-side
+    # watermarks and Spark disallows redefining one); the injected
+    # duplicate events produce duplicate matches, which the set
+    # comparison collapses
+    stream = read_events_stream(spark, events_stream_dir)
+    q = run_stream_to_memory(
+        streaming_click_purchase_join(stream), "ss_join_sink", output_mode="append"
+    )
+    try:
+        got = {
+            (r.user_id, r.click_ts, r.purchase_ts, round(r.purchase_value, 6))
+            for r in spark.sql("SELECT * FROM ss_join_sink").collect()
+        }
+        ev = table(spark, sf_dir, "events")
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("cu"), F.col("ts").alias("click_ts")
+        )
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("pu"), F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        batch = {
+            (r.cu, r.click_ts, r.purchase_ts, round(r.purchase_value, 6))
+            for r in clicks.join(
+                purchases,
+                F.expr(
+                    """cu = pu AND purchase_ts >= click_ts
+                       AND purchase_ts <= click_ts + INTERVAL 1 HOUR"""
+                ),
+            ).collect()
+        }
+        assert len(batch) > 0
+        assert got == batch
+    finally:
+        q.stop()
