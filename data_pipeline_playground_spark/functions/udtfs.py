@@ -44,3 +44,13 @@ def register_udtfs(spark: SparkSession) -> None:
         FROM documents d, LATERAL split_sentences(d.text) s
     """
     spark.udtf.register("split_sentences", SplitSentences)
+
+
+# Ship the UDTF class (and _SENT_RE it captures) by value: executor
+# Python workers do not necessarily have this package on sys.path
+# (see functions/nlp_udfs.py for the same pattern).
+import sys as _sys
+
+from pyspark.cloudpickle import register_pickle_by_value as _by_value
+
+_by_value(_sys.modules[__name__])

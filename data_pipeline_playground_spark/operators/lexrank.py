@@ -154,7 +154,8 @@ def tfidf_term_weights(docs: DataFrame, text_col: str = "text",
 
 
 def lexrank_scores_grouped(weights: DataFrame, groups: DataFrame,
-                           group_type: str = "string") -> DataFrame:
+                           group_type: str = "string",
+                           id_type: str = "bigint") -> DataFrame:
     """Bounded-group LexRank fast path: one shuffle by group, then the
     whole pipeline (L2 normalize → cosine matrix → threshold → damped
     power iteration) runs as dense numpy per group via applyInPandas
@@ -198,7 +199,7 @@ def lexrank_scores_grouped(weights: DataFrame, groups: DataFrame,
         return pd.DataFrame({"group": [g] * n, "doc_id": ids, "score": score})
 
     return joined.groupBy("group").applyInPandas(
-        run, schema=f"group {group_type}, doc_id bigint, score double"
+        run, schema=f"group {group_type}, doc_id {id_type}, score double"
     )
 
 
@@ -252,6 +253,80 @@ def similarity_edges_grouped(weights: DataFrame, groups: DataFrame,
 
     return joined.groupBy("group").applyInPandas(
         run, schema="src bigint, dst bigint, sim double"
+    )
+
+
+def sentence_rows(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """One row per sentence via the SplitSentences UDTF (N2), LATERAL
+    from SQL — (doc_id, sent_id, sentence, sid). ``sid`` is a
+    zero-padded sortable string key so sentence identity survives the
+    bigint-keyed machinery downstream and ties break in (doc, position)
+    order, matching the reference's stable sentence ordering
+    (summarize.py:17-26 ranks sentences, preserving feed order on ties).
+    """
+    from data_pipeline_playground_spark.functions.udtfs import register_udtfs
+
+    spark = docs.sparkSession
+    register_udtfs(spark)
+    docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).createOrReplaceTempView("_lexrank_sentence_src")
+    sents = spark.sql(
+        """
+        SELECT d.doc_id, s.sent_id, s.sentence
+        FROM _lexrank_sentence_src d, LATERAL split_sentences(d.text) s
+        """
+    )
+    return sents.withColumn(
+        "sid", F.format_string("%012d-%04d", F.col("doc_id"), F.col("sent_id"))
+    )
+
+
+def lexrank_sentence_summaries(docs: DataFrame, groups: DataFrame,
+                               k: int = 3,
+                               group_type: str = "string") -> DataFrame:
+    """Sentence-granularity LexRank (reference N10, summarize.py:17-26:
+    rank the cluster's *sentences*, return the top-k sentence texts —
+    reddit_api.py:148-149 joins top-3 with ' ').
+
+    Pipeline: split docs into sentences (UDTF) → sentence-level
+    smooth-idf TF-IDF over the whole corpus → per-group cosine graph +
+    damped power iteration (grouped fast path, one shuffle) → top-k
+    sentences per group in rank order, space-joined.
+
+    ``groups``: (doc_id, group) — every doc's sentences inherit its
+    group; a group's sentence set must fit one executor (clusters are
+    bounded, reference shape). Output: (group, summary, n_sentences).
+    """
+    sents = sentence_rows(docs).cache()
+    sent_groups = (
+        sents.join(groups, "doc_id")
+        .select(F.col("sid").alias("doc_id"), "group")
+    )
+    weights = tfidf_term_weights(
+        sents.select(F.col("sid").alias("doc_id"), F.col("sentence").alias("text"))
+    )
+    scores = lexrank_scores_grouped(
+        weights, sent_groups, group_type=group_type, id_type="string"
+    )
+    w = Window.partitionBy("group").orderBy(
+        F.desc(F.round("score", 9)), F.asc("doc_id")
+    )
+    top = (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .join(sents.select(F.col("sid").alias("doc_id"), "sentence"), "doc_id")
+    )
+    return top.groupBy("group").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("rank", "sentence"))),
+                lambda s: s["sentence"],
+            ),
+            " ",
+        ).alias("summary"),
+        F.count(F.lit(1)).alias("n_sentences"),
     )
 
 

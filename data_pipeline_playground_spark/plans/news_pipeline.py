@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from data_pipeline_playground_spark.operators.lexrank import (
     lexrank_scores_grouped,
+    lexrank_sentence_summaries,
     tfidf_term_weights,
     top_k_representatives,
 )
@@ -51,8 +52,12 @@ def run_news_pipeline(spark: SparkSession, sf_dir: str,
     feats = Normalizer(inputCol="tfidf", outputCol="features", p=2.0).transform(
         idf.transform(tf)
     )
+    from data_pipeline_playground_spark.queries.ml import KMEANS_K_CAP
+
     n = deduped.count()
-    k = max(2, n // 4)
+    # k = n//4 per cluster.py:51-53, capped (see queries/ml.py
+    # KMEANS_K_CAP): uncapped, KMeans cost grows O(n²d) with the corpus.
+    k = max(2, min(n // 4, KMEANS_K_CAP))
     km = KMeans(k=k, maxIter=20, seed=42, featuresCol="features").fit(feats)
     # cached: four downstream consumers (groups, keywords, sizes,
     # summaries) would otherwise re-run the whole featurize+predict
@@ -81,21 +86,50 @@ def run_news_pipeline(spark: SparkSession, sf_dir: str,
         .withColumn("w", F.col("tf") * (F.log((n_clusters + 1.0) / (F.col("df") + 1.0)) + 1.0))
     )
     kw_win = Window.partitionBy("cluster_id").orderBy(F.desc(F.round("w", 9)), F.asc("term"))
+    # collect as (rank, term) structs then sort: collect_list order is
+    # shuffle-nondeterministic; the space-joined string (not an array)
+    # keeps the driver's pandas hasher able to factorize the column
     keywords = (
         w.withColumn("rn", F.row_number().over(kw_win))
         .filter(F.col("rn") <= n_keywords)
         .groupBy("cluster_id")
-        .agg(F.collect_list("term").alias("keywords"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("rn", "term"))),
+                    lambda s: s["term"],
+                ),
+                " ",
+            ).alias("keywords")
+        )
     )
 
     sizes = clustered.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_articles"))
-    summary_text = clustered.select(
+
+    # --- summary: sentence-level LexRank top-3 per cluster (N10 —
+    # reference summarize.py:17-26 ranks *sentences*; reddit_api.py:
+    # 148-149 joins top-3 with ' '). Fallback to a 160-char excerpt of
+    # the top doc only if a cluster yields no token-bearing sentence.
+    summaries = lexrank_sentence_summaries(
+        clustered.select("doc_id", "text"),
+        clustered.select("doc_id", F.col("cluster_id").alias("group")),
+        k=3,
+        group_type="int",
+    ).select(F.col("group").alias("cluster_id"), F.col("summary").alias("sent_summary"))
+    excerpt = clustered.select(
         F.col("doc_id").alias("top_doc_id"),
-        F.substring("text", 1, 160).alias("summary_text"),
+        F.substring("text", 1, 160).alias("excerpt_text"),
     )
     return (
         sizes.join(keywords, "cluster_id", "left")
         .join(best, "cluster_id", "left")
-        .join(summary_text, "top_doc_id", "left")
-        .select("cluster_id", "n_articles", "keywords", "top_doc_id", "summary_text")
+        .join(summaries, "cluster_id", "left")
+        .join(excerpt, "top_doc_id", "left")
+        .select(
+            "cluster_id",
+            "n_articles",
+            "keywords",
+            "top_doc_id",
+            F.coalesce("sent_summary", "excerpt_text").alias("summary_text"),
+        )
     )

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from data_pipeline_playground_spark.functions.text import tokenize
 from data_pipeline_playground_spark.operators.lexrank import (
     lexrank_scores_grouped,
+    lexrank_sentence_summaries,
     similarity_edges_grouped,
     tfidf_term_weights,
     top_k_representatives,
@@ -21,6 +22,13 @@ from data_pipeline_playground_spark.registry import query
 from data_pipeline_playground_spark.tables import table
 
 SEED = 42
+
+# Reference cluster.py:51-53 sets k = n_articles // 4, which is sane for
+# its ~100-article scrape but makes KMeans O(n·k·d) = O(n²d) when k∝n.
+# Deviation (documented): cap k so cost stays O(n·d) past the cap — at
+# the reference's own scale (n ≤ 256) the cap never binds, so behavior
+# is identical where the reference actually runs.
+KMEANS_K_CAP = 64
 
 
 def _tokens_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -44,16 +52,17 @@ def _tfidf_features(tokens_df: DataFrame):
 
 @query("kmeans_clusters")
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K-Means over TF-IDF vectors, k = n_docs // 4 (reference intent at
-    cluster.py:51-53: KMeans(n_clusters=len(articles)//4, k-means++,
-    seeded). Output: cluster sizes (J2 label-join shape: groupBy on the
+    """K-Means over TF-IDF vectors, k = min(n_docs // 4, cap) (reference
+    intent at cluster.py:51-53: KMeans(n_clusters=len(articles)//4,
+    k-means++, seeded); see KMEANS_K_CAP for the documented deviation).
+    Output: cluster sizes (J2 label-join shape: groupBy on the
     prediction column)."""
     from pyspark.ml.clustering import KMeans
 
     toks = _tokens_df(spark, sf_dir)
     feats, _ = _tfidf_features(toks)
     n = feats.count()
-    k = max(2, n // 4)
+    k = max(2, min(n // 4, KMEANS_K_CAP))
     model = KMeans(k=k, maxIter=20, seed=SEED, featuresCol="features").fit(feats)
     pred = model.transform(feats)
     return (
@@ -93,7 +102,10 @@ def lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     cv_model, model, _ = _lda_fit(spark, sf_dir)
     vocab = cv_model.vocabulary
     topics = model.describeTopics(10)
-    to_words = F.udf(lambda idxs: [vocab[i] for i in idxs], "array<string>")
+    # space-joined string (not array<string>) so the driver's
+    # pandas-based hasher can factorize the column; order is the
+    # model's weight ranking, which is deterministic under the seed
+    to_words = F.udf(lambda idxs: " ".join(vocab[i] for i in idxs), "string")
     return topics.select(
         F.col("topic").alias("topic_id"),
         to_words("termIndices").alias("keywords"),
@@ -196,3 +208,17 @@ def lexrank_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights = tfidf_term_weights(docs)
     scores = lexrank_scores_grouped(weights, groups, group_type="string")
     return top_k_representatives(scores, k=3)
+
+
+@query("lexrank_summaries")
+def lexrank_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-granularity LexRank summaries per source group — the
+    reference's actual N10 output shape (summarize.py:17-26 ranks
+    sentences and returns top-k sentence text; reddit_api.py:148-149
+    joins the top-3 with ' '). Sentences come from the SplitSentences
+    UDTF (N2); rows-only check (iterative centrality); the
+    summary ⊆ source-sentences invariant is tested in
+    tests/test_ml_invariants.py."""
+    docs = table(spark, sf_dir, "documents")
+    groups = docs.select("doc_id", F.col("source").alias("group"))
+    return lexrank_sentence_summaries(docs, groups, k=3, group_type="string")

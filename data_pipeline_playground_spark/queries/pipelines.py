@@ -28,9 +28,12 @@ WITH b AS (
   FROM documents
 )
 SELECT doc_id AS media_id,
-       list_transform(range(0, 8),
-                      k -> floor(len(list_filter(residues, r -> r = k))
-                                 * 1000000.0 / total + 0.5) / 1000000.0) AS features
+       array_to_string(
+         list_transform(range(0, 8),
+                        k -> printf('%.6f',
+                                    floor(len(list_filter(residues, r -> r = k))
+                                          * 1000000.0 / total + 0.5) / 1000000.0)),
+         ' ') AS features
 FROM b
 """
 
@@ -43,14 +46,23 @@ def multimodal_decode_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB reproduces the UTF-8 byte residues with ascii(); rounding is
     the engine-portable half-away formula (multimodal/media.py). This
     pins the whole Arrow plumbing — schema, batching, null handling —
-    to exact values, not just row counts."""
+    to exact values, not just row counts. The vector is emitted as a
+    space-joined %.6f string: the driver's pandas hasher cannot
+    factorize list cells, and both engines hold the identical double
+    (same half-away rounding), so fixed-point formatting is stable."""
     from data_pipeline_playground_spark.multimodal.media import (
         attach_payload_from_text,
         decode_features,
     )
 
     docs = table(spark, sf_dir, "documents")
-    return decode_features(attach_payload_from_text(docs))
+    decoded = decode_features(attach_payload_from_text(docs))
+    return decoded.select(
+        "media_id",
+        F.array_join(
+            F.transform("features", lambda x: F.format_string("%.6f", x)), " "
+        ).alias("features"),
+    )
 
 
 _JSON_SERIALIZE_SQL = """

@@ -282,17 +282,27 @@ def parts_with_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "group_collect_docs",
     oracle="""
-SELECT source, list_sort(list(doc_id)) AS doc_ids, count(*) AS n_docs
+SELECT source,
+       array_to_string(list_sort(list(doc_id)), ' ') AS doc_ids,
+       count(*) AS n_docs
 FROM documents GROUP BY source
 """,
 )
 def group_collect_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """groupBy + sorted collect_list — the cluster-assembly shape
-    (reference cluster.py:61-65; array sorted for order-insensitive
-    hashing)."""
+    (reference cluster.py:61-65). The collected array is sorted then
+    space-joined to a string so the driver's pandas-based hasher (which
+    cannot factorize list cells) can hash the output; both engines sort
+    numerically before stringifying."""
     docs = table(spark, sf_dir, "documents")
     return docs.groupBy("source").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+            " ",
+        ).alias("doc_ids"),
         F.count(F.lit(1)).alias("n_docs"),
     )
 

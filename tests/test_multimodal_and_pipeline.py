@@ -80,5 +80,5 @@ def test_news_pipeline_end_to_end(spark, sf_dir):
     assert sum(r.n_articles for r in rows) <= docs_n  # dedup removed some
     for r in rows:
         assert r.n_articles > 0
-        assert r.keywords and len(r.keywords) <= 5
+        assert r.keywords and len(r.keywords.split(" ")) <= 5
         assert r.summary_text  # every cluster got a representative text
