@@ -43,7 +43,7 @@ def main() -> None:
         start = time.perf_counter()
         try:
             queries[name](spark, sf_dir).count()
-            timings[name] = round(time.perf_counter() - start, 4)
+            timings[name] = round(time.perf_counter() - start, 3)
         except Exception as exc:  # one bad query must not sink the bench
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
             print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
@@ -58,7 +58,9 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    # one compact line (no spaces): the line is consumed by automated
+    # JSON-line parsers whose capture may be length-bounded
+    print(json.dumps(out, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -48,18 +48,31 @@ def exact_dedup(df: DataFrame, key: str = "text", id_col: str = "doc_id") -> Dat
 
 
 def fuzzy_dedup_survivors(df: DataFrame, text_col: str = "text",
-                          id_col: str = "doc_id") -> DataFrame:
+                          id_col: str = "doc_id",
+                          candidates: str = "band") -> DataFrame:
     """Fuzzy near-dup removal (reference D1): survivor ids.
 
     Row i survives iff no j < i with fuzz_ratio(title_i, title_j) >
     FUZZ_THRESHOLD, where title = substring(text, 1, TITLE_PREFIX_LEN).
 
-    The anti-join condition carries a length-band prefilter that is
-    *implied* by the threshold (ratio > 80 ⇒ lev < (la+lb)/5 and
-    lev ≥ |la−lb| ⇒ |la−lb| < (la+lb)/5 ⇒ 2/3·la < lb < 3/2·la), so it
-    prunes pairs without changing results — Catalyst turns the pruned
-    self-join into a much smaller comparison set.
+    ``candidates`` picks the candidate-pair generator:
+
+    - ``"band"`` (default, exact): length-band pruned self-join. The
+      band is *implied* by the threshold (ratio > 80 ⇒ lev < (la+lb)/5
+      and lev ≥ |la−lb| ⇒ 2/3·la < lb < 3/2·la), so it prunes pairs
+      without changing results — but the comparison count within a band
+      is still O(n²): this is the small-corpus / per-group path.
+    - ``"minhash"`` (scale path): LSH band buckets over title shingles
+      generate candidates (shuffle ∝ candidates, not n²), each verified
+      with the same exact banded Levenshtein predicate — so precision
+      is exact and only recall depends on LSH. Recall is NOT provably 1
+      (a ratio>80 pair sharing no band bucket is missed and both rows
+      survive); tests/test_dedup.py measures the survivor-set agreement
+      at test scale. At 100 TB this is the designated substitute — the
+      crossover is wherever a length-band exceeds executor memory.
     """
+    if candidates == "minhash":
+        return _fuzzy_survivors_minhash_candidates(df, text_col, id_col)
     titles = df.select(
         F.col(id_col).alias("_i"),
         F.substring(F.col(text_col), 1, TITLE_PREFIX_LEN).alias("_title"),
@@ -97,6 +110,50 @@ def fuzzy_dedup_survivors(df: DataFrame, text_col: str = "text",
     # its repartition hoisted above the join by Catalyst and runs on a
     # single scan partition — serial O(n²).
     matched = left.join(right, cond).select(left["_i"].alias("_dup")).distinct()
+    return titles.join(
+        matched, titles["_i"] == matched["_dup"], "left_anti"
+    ).select(F.col("_i").alias(id_col))
+
+
+def _fuzzy_survivors_minhash_candidates(df: DataFrame, text_col: str,
+                                        id_col: str) -> DataFrame:
+    """MinHash-candidate variant of fuzzy_dedup_survivors: LSH buckets
+    propose pairs, exact banded Levenshtein verifies them (same
+    threshold predicate as the band path, so precision is identical;
+    see fuzzy_dedup_survivors for the recall caveat)."""
+    from data_pipeline_playground_spark.operators.minhash import (
+        band_keys,
+        candidate_pairs,
+        shingle_hashes,
+        signatures,
+    )
+
+    titles = df.select(
+        F.col(id_col).alias("_i"),
+        F.substring(F.col(text_col), 1, TITLE_PREFIX_LEN).alias("_title"),
+        F.length(F.substring(F.col(text_col), 1, TITLE_PREFIX_LEN)).alias("_len"),
+    )
+    hashes = shingle_hashes(titles, text_col="_title", id_col="_i")
+    sig = signatures(df.sparkSession, hashes)
+    cand = candidate_pairs(band_keys(sig))  # (ci > cj) distinct pairs
+    a = titles.select(F.col("_i").alias("ci"), F.col("_title").alias("_ta"),
+                      F.col("_len").alias("_la"))
+    b = titles.select(F.col("_i").alias("cj"), F.col("_title").alias("_tb"),
+                      F.col("_len").alias("_lb"))
+    total = F.col("_la") + F.col("_lb")
+    max_lev = (2 * TITLE_PREFIX_LEN) // 5 - 1
+    lev = F.levenshtein(F.col("_ta"), F.col("_tb"), max_lev)
+    verified = (
+        cand.join(a, "ci")
+        .join(b, "cj")
+        .filter(
+            (lev >= 0)
+            & (F.lit(100.0) * (total - lev) / F.greatest(total, F.lit(1))
+               > F.lit(FUZZ_THRESHOLD))
+        )
+    )
+    # ci > cj by construction, so ci is the later (non-surviving) row
+    matched = verified.select(F.col("ci").alias("_dup")).distinct()
     return titles.join(
         matched, titles["_i"] == matched["_dup"], "left_anti"
     ).select(F.col("_i").alias(id_col))

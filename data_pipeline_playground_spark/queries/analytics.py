@@ -203,30 +203,126 @@ def top_part_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- sketch aggregates (the unbounded-cardinality scale path) ---------------
 
 
-@query("users_approx_distinct")
+_APPROX_DISTINCT_SQL = """
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       TRUE AS hll_within_6pct
+FROM events GROUP BY event_type
+"""
+
+
+@query("users_approx_distinct", oracle=_APPROX_DISTINCT_SQL)
 def users_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct users per event_type (rsd 2%) — the
     mergeable-sketch substitute for countDistinct at unbounded
     cardinality: partial sketches combine associatively, so the shuffle
-    carries ~1.5 KB per group instead of the distinct key set. No
-    oracle (DuckDB's HLL differs); accuracy is invariant-tested against
-    the exact count (tests/test_temporal_invariants.py)."""
+    carries ~1.5 KB per group instead of the distinct key set. DuckDB's
+    HLL isn't bit-identical, so the oracle checks a bounded-error
+    certificate: the exact count (both engines) plus a boolean this
+    side computes — |HLL − exact| ≤ max(3·rsd·exact, 2) — and the
+    oracle asserts TRUE. The exact aggregate rides the same shuffle and
+    exists only to certify the sketch; at 100 TB you'd ship the sketch
+    alone."""
     ev = table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    bound = F.greatest(F.lit(0.06) * F.col("exact_users"), F.lit(2.0))
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (F.abs(F.col("approx_users") - F.col("exact_users")) <= bound).alias(
+            "hll_within_6pct"
+        ),
     )
 
 
-@query("value_approx_quantiles")
+_APPROX_QUANTILES_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.50), 6) AS p50_exact,
+       round(quantile_cont(value, 0.95), 6) AS p95_exact,
+       TRUE AS sketch_within_bound
+FROM events GROUP BY event_type
+"""
+
+
+@query("value_approx_quantiles", oracle=_APPROX_QUANTILES_SQL)
 def value_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile per event_type (accuracy 10000) — the
     mergeable-sketch path for event_value_percentiles: no per-group
-    sort, error bounded by 1/accuracy. Invariant-tested against the
-    exact interpolated percentiles."""
+    sort, rank error bounded by 1/accuracy. Oracle checks a
+    bounded-error certificate: exact interpolated p50/p95 (both
+    engines, round-6 portable) plus a boolean — each sketch estimate
+    within 5% of the group's value spread of the exact percentile
+    (the sketch returns an order statistic, so small groups carry an
+    irreducible interpolation gap on top of the rank error) — asserted
+    TRUE by the oracle."""
     ev = table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    agg = ev.groupBy("event_type").agg(
         F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("ap50"),
         F.approx_percentile("value", F.lit(0.95), F.lit(10000)).alias("ap95"),
+        F.round(F.percentile("value", F.lit(0.50)), 6).alias("p50_exact"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95_exact"),
+        (F.max("value") - F.min("value")).alias("spread"),
+    )
+    tol = F.lit(0.05) * F.greatest(F.col("spread"), F.lit(1.0))
+    return agg.select(
+        "event_type",
+        "p50_exact",
+        "p95_exact",
+        (
+            (F.abs(F.col("ap50") - F.col("p50_exact")) <= tol)
+            & (F.abs(F.col("ap95") - F.col("p95_exact")) <= tol)
+        ).alias("sketch_within_bound"),
+    )
+
+
+_QUARTILES_APPROX_SQL = """
+SELECT CAST(range AS INT) AS quartile, TRUE AS n_within_bound
+FROM range(1, 5)
+"""
+
+
+@query("customer_spend_quartiles_approx", oracle=_QUARTILES_APPROX_SQL)
+def customer_spend_quartiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe quartile bucketing: approx_percentile cut-points +
+    broadcast bucketize — no global-order window (the one construct in
+    customer_spend_quartiles that cannot scale: ntile needs a
+    single-partition total sort). Here the cut-points are a 1-row
+    sketch aggregate, broadcast back over the spend table, and each row
+    buckets itself with three comparisons — fully parallel at any
+    scale. Oracle-checked as a bounded-count certificate: with rank
+    error 1/accuracy, every bucket must hold n/4 ± (1% + ties); the
+    boolean is computed here, asserted TRUE by the oracle."""
+    o = table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(_dec2("o_totalprice")).cast("double").alias("total_spend")
+    )
+    cuts = spend.agg(
+        F.approx_percentile(
+            "total_spend", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), F.lit(10000)
+        ).alias("cuts"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    bucketed = spend.join(F.broadcast(cuts)).select(
+        "n_total",
+        (
+            F.lit(1)
+            + (F.col("total_spend") > F.col("cuts")[0]).cast("int")
+            + (F.col("total_spend") > F.col("cuts")[1]).cast("int")
+            + (F.col("total_spend") > F.col("cuts")[2]).cast("int")
+        ).alias("quartile"),
+    )
+    per_bucket = bucketed.groupBy("quartile").agg(
+        F.count(F.lit(1)).alias("n_customers"), F.first("n_total").alias("n_total")
+    )
+    bound = F.lit(0.01) * F.col("n_total") + F.lit(2.0)
+    return per_bucket.select(
+        "quartile",
+        (F.abs(F.col("n_customers") - F.col("n_total") / 4.0) <= bound).alias(
+            "n_within_bound"
+        ),
     )
 
 

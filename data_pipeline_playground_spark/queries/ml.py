@@ -50,6 +50,23 @@ def _tfidf_features(tokens_df: DataFrame):
     return norm.transform(feats), cv_model.vocabulary
 
 
+def _tfidf_features_memo(spark: SparkSession, sf_dir: str):
+    """Corpus TF-IDF features, fitted once per (session, sf_dir) —
+    KMeans, BisectingKMeans and the dedup-free ML paths all featurize
+    the identical documents table, so the two fits (CountVectorizer,
+    IDF) and the cached feature frame are shared. Returns
+    (features_df, vocabulary, n_docs)."""
+    from data_pipeline_playground_spark.caching import memo
+
+    def build():
+        toks = _tokens_df(spark, sf_dir)
+        feats, vocab = _tfidf_features(toks)
+        feats = feats.cache()
+        return (feats, vocab, feats.count())
+
+    return memo(spark, "tfidf_features", sf_dir, build)
+
+
 @query("kmeans_clusters")
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-Means over TF-IDF vectors, k = min(n_docs // 4, cap) (reference
@@ -59,9 +76,7 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     prediction column)."""
     from pyspark.ml.clustering import KMeans
 
-    toks = _tokens_df(spark, sf_dir)
-    feats, _ = _tfidf_features(toks)
-    n = feats.count()
+    feats, _, n = _tfidf_features_memo(spark, sf_dir)
     k = max(2, min(n // 4, KMEANS_K_CAP))
     model = KMeans(k=k, maxIter=20, seed=SEED, featuresCol="features").fit(feats)
     pred = model.transform(feats)
@@ -144,8 +159,7 @@ def bisecting_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the affinity matches the reference's intent. Output: cluster sizes."""
     from pyspark.ml.clustering import BisectingKMeans
 
-    toks = _tokens_df(spark, sf_dir)
-    feats, _ = _tfidf_features(toks)
+    feats, _, _ = _tfidf_features_memo(spark, sf_dir)
     model = BisectingKMeans(k=5, seed=SEED, featuresCol="features").fit(feats)
     return (
         model.transform(feats)

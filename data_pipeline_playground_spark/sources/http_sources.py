@@ -207,18 +207,19 @@ def fetch_and_extract(
     fetch_fn the text column is NULL for every row (offline mode).
 
     ``parser_registry`` maps source id → CSS selector (reference
-    news_parsers.py:16-51). HTML parsing uses a deliberately simple
-    tag-strip extractor; a real lxml/pyquery selector engine plugs in
-    here (import-gated — the container does not ship lxml).
+    news_parsers.py:16-51). Extraction uses the stdlib selector engine
+    in sources/css_select.py with the reference's exactly-one-match-
+    else-null semantics (gen_parser, news_parsers.py:1-13): zero or
+    multiple selector matches yield a NULL text row.
     """
     import pandas as pd  # noqa: F401 — required for mapInPandas
+
+    from data_pipeline_playground_spark.sources.css_select import extract_one
 
     registry = dict(parser_registry)
     fetch = fetch_fn
 
     def _extract(batches):
-        import re
-
         for pdf in batches:
             texts = []
             for url, source in zip(pdf["url"], pdf["source"]):
@@ -231,9 +232,7 @@ def fetch_and_extract(
                 if html is None:
                     texts.append(None)
                 else:
-                    # minimal extraction: drop script/style, strip tags
-                    html = re.sub(r"(?s)<(script|style)[^>]*>.*?</\1>", " ", html)
-                    texts.append(re.sub(r"<[^>]+>", " ", html).strip() or None)
+                    texts.append(extract_one(html, registry[source]))
             pdf = pdf.assign(text=texts)
             yield pdf
 

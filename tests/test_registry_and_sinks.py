@@ -32,8 +32,7 @@ def test_rows_only_queries_are_the_ml_set():
         "news_pipeline",
         "stem_profile",
         "pos_noun_profile",
-        "users_approx_distinct",
-        "value_approx_quantiles",
+        "lexrank_summaries",
     }
 
 

@@ -110,12 +110,85 @@ def test_fetch_and_extract_null_propagation(spark, fixture_dir):
     registry = {"nytimes": "article.story"}
 
     def fake_fetch(url: str):
-        return "<html><script>x</script><p>Body text</p></html>"
+        return (
+            "<html><body><article class='story'>"
+            "<script>x</script><p>Body text</p>"
+            "</article><div>chrome</div></body></html>"
+        )
 
     out = fetch_and_extract(articles, registry, fake_fetch)
     rows = {r.source: r.text for r in out.collect()}
-    assert rows["nytimes"] == "Body text"  # S6: script stripped, text kept
+    assert rows["nytimes"] == "Body text"  # S6: selector match, script stripped
     assert rows["unknown-src"] is None  # J4 registry miss → null (P6)
+
+
+def test_fetch_and_extract_multi_match_null(spark, fixture_dir):
+    """Reference gen_parser (news_parsers.py:10-11): more than one
+    selector match → null, not concatenation."""
+    from data_pipeline_playground_spark.sources.http_sources import (
+        fetch_and_extract,
+        read_newsapi,
+    )
+
+    articles = read_newsapi(spark, str(fixture_dir / "newsapi.json"))
+    registry = {"nytimes": "article.story"}
+
+    def fake_fetch(url: str):
+        return (
+            "<html><article class='story'>one</article>"
+            "<article class='story'>two</article></html>"
+        )
+
+    out = fetch_and_extract(articles, registry, fake_fetch)
+    rows = {r.source: r.text for r in out.collect()}
+    assert rows["nytimes"] is None
+
+
+def test_css_select_reference_selector_shapes():
+    """Every selector shape the reference registry uses
+    (news_parsers.py:16-51) resolves correctly."""
+    from data_pipeline_playground_spark.sources.css_select import extract_one
+
+    html = """
+    <html><body>
+      <div class="article-copy extra">copy text</div>
+      <div id="article_body">id text</div>
+      <div itemprop="articleBody">attr text</div>
+      <div class="body_12ab">prefix text</div>
+      <section id="body-text">section text</section>
+    </body></html>
+    """
+    assert extract_one(html, "div.article-copy") == "copy text"
+    assert extract_one(html, "div#article_body") == "id text"
+    assert extract_one(html, 'div[itemprop="articleBody"]') == "attr text"
+    assert extract_one(html, 'div[class^="body_"]') == "prefix text"
+    assert extract_one(html, "section#body-text") == "section text"
+    assert extract_one(html, "div.absent") is None
+    # nested text + void tags + whitespace normalization
+    nested = "<div class='a'><p>x<br>y</p> <em>z</em></div>"
+    assert extract_one(nested, "div.a") == "x y z"
+
+
+def test_css_chunked_parse_matches_whole(
+):
+    """R2: incremental 4-byte-chunk parsing yields the same tree/text
+    as whole-document parsing, even with tags split across chunks."""
+    from data_pipeline_playground_spark.sources.css_select import (
+        element_text,
+        parse_html,
+        parse_html_chunks,
+        select,
+    )
+
+    html = (
+        "<html><body><div class='article-copy'><p>alpha beta</p>"
+        "<script>no()</script><em>gamma</em></div></body></html>"
+    )
+    chunks = [html[i : i + 4] for i in range(0, len(html), 4)]
+    whole = select(parse_html(html), "div.article-copy")
+    inc = select(parse_html_chunks(chunks), "div.article-copy")
+    assert len(whole) == len(inc) == 1
+    assert element_text(whole[0]) == element_text(inc[0]) == "alpha beta gamma"
 
 
 def test_json_sink_roundtrip(spark, sf_dir, tmp_path):

