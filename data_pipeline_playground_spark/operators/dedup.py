@@ -134,7 +134,10 @@ def _fuzzy_survivors_minhash_candidates(df: DataFrame, text_col: str,
         F.length(F.substring(F.col(text_col), 1, TITLE_PREFIX_LEN)).alias("_len"),
     )
     hashes = shingle_hashes(titles, text_col="_title", id_col="_i")
-    sig = signatures(df.sparkSession, hashes)
+    # cached + eagerly materialized: the band self-join would re-run
+    # the shingle+hash fold (and race the lazy cache within one action)
+    sig = signatures(df.sparkSession, hashes).cache()
+    sig.count()
     cand = candidate_pairs(band_keys(sig))  # (ci > cj) distinct pairs
     a = titles.select(F.col("_i").alias("ci"), F.col("_title").alias("_ta"),
                       F.col("_len").alias("_la"))

@@ -41,63 +41,65 @@ def shingle_hashes(docs: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id") -> DataFrame:
     """doc_id × distinct shingle → portable int64 hash.
 
-    Shingle strings are built with posexplode + lead() windows (whole-
-    stage codegen) rather than array lambdas; the hash itself stays the
-    oracle-portable polynomial fold (the one part DuckDB must mirror).
+    Shingle strings are built array-native (word_ngrams: sequence +
+    transform + element_at, all whole-stage codegen, no shuffle — the
+    old posexplode+lead() form paid a per-doc window sort); the hash
+    stays the oracle-portable polynomial fold (the one part DuckDB must
+    mirror).
     """
-    from pyspark.sql import Window
+    from data_pipeline_playground_spark.functions.text import word_ngrams
 
-    toks = docs.select(
+    # The tokenize→ngram→hash projection is the CPU-heavy part of the
+    # whole pipeline and is narrow — but test-scale parquet is a single
+    # partition, so spread the scan explicitly or the fold runs on one
+    # core (at real scale many files make this a no-op-equivalent).
+    shuffle_n = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return docs.repartition(shuffle_n).select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(tokenize(F.col(text_col))).alias("pos", "tok"),
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    last_lead = F.lead("tok", SHINGLE_N - 1).over(w)
-    gram = F.concat_ws(
-        " ", *(["tok"] + [F.lead("tok", i).over(w) for i in range(1, SHINGLE_N)])
-    )
-    return (
-        toks.select("doc_id", F.when(last_lead.isNotNull(), gram).alias("sh"))
-        .filter(F.col("sh").isNotNull())
-        .distinct()
-        .select("doc_id", rolling_hash(F.col("sh")).alias("h"))
-    )
+        F.explode(word_ngrams(tokenize(F.col(text_col)), SHINGLE_N)).alias("sh"),
+    ).select("doc_id", rolling_hash(F.col("sh")).alias("h"))
 
 
 def signatures(spark: SparkSession, hashes: DataFrame) -> DataFrame:
-    """K min-hash components per doc: min((a*h + b) mod P) per i.
+    """K min-hash components per doc, WIDE: one row per doc with
+    columns v0..v{K-1} = min((a_i*h + b_i) mod P) over the doc's
+    shingle hashes.
 
-    The K-way expansion is a broadcast cross-join against the tiny
-    param table; the only shuffle is the (doc_id, i) min-aggregate.
+    All K permutations are column expressions over the same row — no
+    K-way row fan-out, no param-table join; the single (doc_id) shuffle
+    carries K partial mins with map-side combine. (``spark`` is kept in
+    the signature for callers that pass it; the params are inlined.)
     """
-    params = spark.createDataFrame(HASH_PARAMS, "i int, a long, b long")
-    return (
-        hashes.join(F.broadcast(params))
-        .select(
-            "doc_id",
-            "i",
-            ((F.col("a") * F.col("h") + F.col("b")) % ROLL_MOD).alias("hv"),
-        )
-        .groupBy("doc_id", "i")
-        .agg(F.min("hv").alias("v"))
+    return hashes.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % ROLL_MOD).alias(f"v{i}")
+            for i, a, b in HASH_PARAMS
+        ]
     )
 
 
 def band_keys(sig: DataFrame) -> DataFrame:
     """LSH band key per (doc, band): '-'-joined r signature values in
-    component order."""
-    return (
-        sig.withColumn("band", (F.col("i") / BAND_ROWS).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "v"))),
-                    lambda x: x["v"].cast("string"),
-                ),
-                "-",
-            ).alias("bkey")
-        )
+    component order — built from the wide signature row with one
+    explode, no aggregation."""
+    n_bands = NUM_HASHES // BAND_ROWS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "-",
+                    *[
+                        F.col(f"v{i}").cast("string")
+                        for i in range(b * BAND_ROWS, (b + 1) * BAND_ROWS)
+                    ],
+                ).alias("bkey"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sig.select("doc_id", F.explode(bands).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
     )
 
 
@@ -123,17 +125,22 @@ def candidate_pairs(bands: DataFrame) -> DataFrame:
 
 def estimated_similarity(cand: DataFrame, sig: DataFrame) -> DataFrame:
     """Signature-estimate Jaccard per candidate pair: fraction of equal
-    components."""
-    sa = sig.select(F.col("doc_id").alias("ci"), F.col("i").alias("ia"), F.col("v").alias("va"))
-    sb = sig.select(F.col("doc_id").alias("cj2"), F.col("i").alias("ib"), F.col("v").alias("vb"))
+    components — two equi-joins against the wide signature rows, then
+    one row-local expression; no per-component explode, no aggregation."""
+    sa = sig.select(
+        F.col("doc_id").alias("ci"),
+        *[F.col(f"v{i}").alias(f"a{i}") for i in range(NUM_HASHES)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("cj"),
+        *[F.col(f"v{i}").alias(f"b{i}") for i in range(NUM_HASHES)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(NUM_HASHES)
+    )
     return (
         cand.join(sa, "ci")
-        .join(sb, (F.col("cj") == F.col("cj2")) & (F.col("ia") == F.col("ib")))
-        .groupBy("ci", "cj")
-        .agg(
-            (
-                F.sum(F.when(F.col("va") == F.col("vb"), 1).otherwise(0))
-                / F.lit(float(NUM_HASHES))
-            ).alias("sim")
-        )
+        .join(sb, "cj")
+        .select("ci", "cj", (matches / F.lit(float(NUM_HASHES))).alias("sim"))
     )

@@ -105,7 +105,12 @@ def _minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build():
         docs = table(spark, sf_dir, "documents")
-        sig = signatures(spark, shingle_hashes(docs))
+        # cache the wide signature table (one short row per doc): bands
+        # self-join + the two est joins would otherwise re-run the
+        # CPU-heavy shingle+hash fold four times; materialize eagerly —
+        # within a single action the self-join branches race the cache
+        sig = signatures(spark, shingle_hashes(docs)).cache()
+        sig.count()
         cand = candidate_pairs(band_keys(sig))
         return estimated_similarity(cand, sig).cache()
 
