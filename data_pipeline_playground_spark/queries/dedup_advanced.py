@@ -220,15 +220,22 @@ WHERE NOT EXISTS (SELECT 1 FROM pairs WHERE pairs.ci = d.doc_id)
 
 
 def _simhash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id → simhash (30-bit) via distinct-token bit voting."""
-    docs = table(spark, sf_dir, "documents")
+    """doc_id → simhash (30-bit) via distinct-token bit voting.
+
+    The scan is explicitly repartitioned before the interpreted
+    rolling-hash fold — test parquet is one partition and the fold is
+    the CPU-heavy step (at scale, many files make this a near-no-op).
+    The bit votes stay a (doc, bit) fan-out aggregate: the 30× row
+    expansion is cheap relative to a 30-wide CASE-WHEN aggregate row
+    (measured ~2× faster warm), and shiftright by a COLUMN only exists
+    in SQL form anyway."""
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    docs = table(spark, sf_dir, "documents").repartition(shuffle_n)
     th = docs.select(
         "doc_id",
         F.explode(F.array_distinct(tokenize(F.col("text")))).alias("tk"),
     ).select("doc_id", rolling_hash(F.col("tk")).alias("h"))
     bits = spark.range(SIMHASH_BITS).select(F.col("id").cast("int").alias("b"))
-    # shiftright/shiftleft by a COLUMN only exists in SQL form — the
-    # PySpark wrappers require a literal int shift.
     bitw = (
         th.join(F.broadcast(bits))
         .groupBy("doc_id", "b")
@@ -357,6 +364,10 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .cache()
     )
+    # materialize eagerly: gdf/ranked/sets all branch off ex inside one
+    # action and would otherwise race the lazy cache, re-running the
+    # shingle build per branch
+    ex.count()
     # global rarity order: document frequency asc, hash as tie-break
     gdf = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("gdf"))
     w_doc = Window.partitionBy("doc_id").orderBy(F.asc("gdf"), F.asc("sh"))
