@@ -86,3 +86,42 @@ def test_quality_repetition_partial_agg(spark, sf_dir):
     plan = _plan(spark, sf_dir, "quality_repetition")
     assert "partial_" in plan  # partial aggregation present
     assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_quartiles_approx_no_global_sort(spark, sf_dir):
+    """The approx-quartile bucketize exists precisely to avoid the
+    ntile path's single-partition total sort: its plan must contain no
+    global-order exchange and the cut-point join must be broadcast."""
+    plan = _plan(spark, sf_dir, "customer_spend_quartiles_approx")
+    assert "Exchange rangepartitioning" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_fuzzy_minhash_no_quadratic_join(spark, sf_dir):
+    """The LSH-candidate fuzzy dedup must never fall back to the banded
+    self-join's nested-loop comparison: candidates come from equi-joins
+    on band keys, so the plan has hash joins only (the Levenshtein
+    verify is a filter over the candidate join, not a join condition
+    over the corpus)."""
+    plan = _plan(spark, sf_dir, "dedup_fuzzy_minhash")
+    assert "CartesianProduct" not in plan
+    # the only BNLJs allowed are broadcast-tiny (none expected here)
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_signatures_single_shuffle(spark, sf_dir):
+    """Wide minhash signatures: one doc_id exchange with partial_min
+    map-side combine; no param-table join, no per-component exchange."""
+    from data_pipeline_playground_spark.operators.minhash import (
+        shingle_hashes,
+        signatures,
+    )
+    from data_pipeline_playground_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    sig = signatures(spark, shingle_hashes(docs))
+    plan = sig._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min" in plan
+    # one exchange for the explicit repartition + one for the agg
+    assert plan.count("Exchange") <= 2
+    assert "Join" not in plan

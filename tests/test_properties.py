@@ -263,3 +263,61 @@ def test_bpe_split_matches_python_re(spark, texts):
     }
     for i, t in enumerate(texts):
         assert got[i] == len(_re.findall(BPE_SPLIT_RE, t.lower())), repr(t)
+
+
+# --- CSS selector engine (sources/css_select.py) ----------------------------
+
+_css_tags = st.sampled_from(["div", "p", "span", "article", "section", "em"])
+_css_words = st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=6)
+
+
+@st.composite
+def _dom(draw, depth=0):
+    """Random element tree rendered to HTML, tracking ground truth for
+    one target selector class 'tgt': (html, n_target_matches,
+    target_texts)."""
+    tag = draw(_css_tags)
+    is_target = draw(st.booleans()) if depth > 0 else False
+    cls = "tgt" if is_target else draw(st.sampled_from(["a", "b", ""]))
+    n_kids = 0 if depth >= 3 else draw(st.integers(0, 3))
+    text = draw(_css_words) if draw(st.booleans()) else ""
+    inner, n_sub, sub_texts = text, 0, []
+    parts = [text] if text else []
+    for _ in range(n_kids):
+        h, n, ts = draw(_dom(depth=depth + 1))
+        parts.append(h)
+        n_sub += n
+        sub_texts.extend(ts)
+    inner = "".join(parts)
+    attr = f" class='{cls}'" if cls else ""
+    html = f"<{tag}{attr}>{inner}</{tag}>"
+    n_here = n_sub + (1 if is_target else 0)
+    return html, n_here, sub_texts
+
+
+@given(_dom())
+@settings(max_examples=200, deadline=None)
+def test_css_select_finds_exactly_marked_nodes(tree):
+    """select() must find exactly the elements carrying the target
+    class, however nested — and extract_one returns text only on a
+    unique match (reference gen_parser semantics)."""
+    from data_pipeline_playground_spark.sources.css_select import (
+        extract_one,
+        parse_html,
+        select,
+    )
+
+    html, n_targets, _ = tree
+    matches = select(parse_html(html), "div.tgt") + select(
+        parse_html(html), "p.tgt"
+    ) + select(parse_html(html), "span.tgt") + select(
+        parse_html(html), "article.tgt"
+    ) + select(parse_html(html), "section.tgt") + select(
+        parse_html(html), "em.tgt"
+    )
+    assert len(matches) == n_targets
+    got = extract_one(html, "div.tgt")
+    div_targets = select(parse_html(html), "div.tgt")
+    if len(div_targets) != 1:
+        assert got is None
+    # a unique match returns its (possibly empty->None) text
