@@ -40,6 +40,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in sorted(queries):
+        # Drop any cached data left by the previous query so each
+        # timing is independent of run order (query-internal caches are
+        # created and used within one call; Python-side model memos are
+        # unaffected).
+        spark.catalog.clearCache()
         start = time.perf_counter()
         try:
             queries[name](spark, sf_dir).count()

@@ -10,6 +10,7 @@ from data_pipeline_playground_spark.queries import (  # noqa: F401
     relational,
     sampling,
     similarity,
+    sketches,
     temporal,
     text,
     windows,

@@ -380,10 +380,25 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos")
         <= F.col("nd") - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("nd")) + 1
     )
-    a = prefix.select(F.col("doc_id").alias("ci"), F.col("sh").alias("sha"))
-    b = prefix.select(F.col("doc_id").alias("cj"), F.col("sh").alias("shb"))
+    a = prefix.select(
+        F.col("doc_id").alias("ci"), F.col("sh").alias("sha"), F.col("nd").alias("nda")
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("cj"), F.col("sh").alias("shb"), F.col("nd").alias("ndb")
+    )
+    # PPJoin length filter: J(A,B) ≥ t ⇒ min(|A|,|B|) ≥ t·max(|A|,|B|);
+    # applied inside the equi-join it prunes candidates whose set sizes
+    # are too far apart before the distinct/verify stages see them.
     cand = (
-        a.join(b, (F.col("sha") == F.col("shb")) & (F.col("cj") < F.col("ci")))
+        a.join(
+            b,
+            (F.col("sha") == F.col("shb"))
+            & (F.col("cj") < F.col("ci"))
+            & (
+                F.least("nda", "ndb")
+                >= F.lit(JACCARD_THRESHOLD) * F.greatest("nda", "ndb")
+            ),
+        )
         .select("ci", "cj")
         .distinct()
     )
