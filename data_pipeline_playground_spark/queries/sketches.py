@@ -117,3 +117,125 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min("c") >= F.col("exact_cnt")).alias("est_ge_exact"),
         )
     )
+
+
+# ---- Bloom-filter blocklist membership -------------------------------------
+
+BLOOM_M = 4096   # bits
+BLOOM_K = 3      # hash functions
+BLOCK_MAX_ID = 5  # doc_id < 5 stands in for the external blocklist corpus
+
+def _sql_block_shingles() -> str:
+    from data_pipeline_playground_spark.queries.sampling import _decon_shingles
+    from data_pipeline_playground_spark.operators.minhash import SHINGLE_N
+
+    return _decon_shingles(SHINGLE_N)
+
+
+def _sql_bloom_bucket(k_expr: str, g_expr: str) -> str:
+    key = f"CAST({k_expr} AS VARCHAR) || ':' || {g_expr}"
+    return f"({sql_rolling_hash(key)}) % {BLOOM_M}"
+
+
+def _build_bloom_sql() -> str:
+    sh = _sql_block_shingles()
+    return f"""
+WITH ex AS (SELECT doc_id, unnest({sh}) AS g FROM documents),
+block AS (SELECT DISTINCT g FROM ex WHERE doc_id < {BLOCK_MAX_ID}),
+ks AS (SELECT unnest(range(0, {BLOOM_K})) AS k),
+bits AS (SELECT DISTINCT {_sql_bloom_bucket('k', 'g')} AS bit
+         FROM block CROSS JOIN ks),
+probe AS (SELECT doc_id, g FROM ex WHERE doc_id >= {BLOCK_MAX_ID}),
+pb AS (
+  SELECT probe.doc_id, probe.g, COUNT(*) AS nbits
+  FROM probe CROSS JOIN ks
+  JOIN bits ON bits.bit = {_sql_bloom_bucket('ks.k', 'probe.g')}
+  GROUP BY probe.doc_id, probe.g
+),
+bh AS (SELECT doc_id, COUNT(CASE WHEN nbits = {BLOOM_K} THEN 1 END) AS bloom_hits
+       FROM pb GROUP BY doc_id),
+exact AS (SELECT probe.doc_id, COUNT(*) AS exact_hits
+          FROM probe JOIN block USING (g) GROUP BY probe.doc_id),
+base AS (SELECT DISTINCT doc_id FROM probe)
+SELECT base.doc_id,
+       COALESCE(bh.bloom_hits, 0) AS bloom_hits,
+       COALESCE(exact.exact_hits, 0) AS exact_hits,
+       COALESCE(bh.bloom_hits, 0) >= COALESCE(exact.exact_hits, 0) AS no_false_neg
+FROM base LEFT JOIN bh USING (doc_id) LEFT JOIN exact USING (doc_id)
+"""
+
+
+def _bloom_buckets(g: F.Column) -> F.Column:
+    """array<long> of the BLOOM_K bucket ids of a shingle."""
+    return F.array(
+        *[
+            rolling_hash(F.concat(F.lit(f"{k}:"), g)) % BLOOM_M
+            for k in range(BLOOM_K)
+        ]
+    )
+
+
+@query("bloom_blocklist_hits", oracle=_build_bloom_sql())
+def bloom_blocklist_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter blocklist screening: per probe doc, how many of its
+    shingles the Bloom filter flags vs. ground truth, plus the
+    no-false-negative certificate (Bloom's structural guarantee; false
+    positives are expected and measurable as bloom_hits - exact_hits).
+
+    The filter is BLOOM_K portable-hash buckets over BLOOM_M bits built
+    from the blocklist corpus (stand-in: doc_id < BLOCK_MAX_ID, as in
+    decontaminate_overlap). Plan shape: the bit set is at most BLOOM_M
+    integers no matter how large the blocklist — it broadcasts to the
+    probe side, so the corpus is screened in one narrow pass plus a
+    broadcast join. At 100 TB this is the standard pre-filter in front
+    of exact decontamination: the Bloom pass prunes the corpus to
+    candidate docs cheaply, and the exact join runs only on those.
+    (Here both passes run corpus-wide so the oracle can check the
+    false-positive accounting itself.)
+    """
+    from data_pipeline_playground_spark.functions.text import tokenize, word_ngrams
+    from data_pipeline_playground_spark.operators.minhash import SHINGLE_N
+
+    docs = table(spark, sf_dir, "documents")
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ex = docs.repartition(shuffle_n).select(
+        "doc_id",
+        F.explode(word_ngrams(tokenize(F.col("text")), SHINGLE_N)).alias("g"),
+    )
+    block = ex.filter(F.col("doc_id") < BLOCK_MAX_ID).select("g").distinct()
+    bits = block.select(
+        F.explode(_bloom_buckets(F.col("g"))).alias("bit")
+    ).distinct()
+    probe = ex.filter(F.col("doc_id") >= BLOCK_MAX_ID)
+    pb = (
+        probe.select(
+            "doc_id", "g", F.explode(_bloom_buckets(F.col("g"))).alias("bit")
+        )
+        .join(F.broadcast(bits), "bit")
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("nbits"))
+    )
+    bh = (
+        pb.filter(F.col("nbits") == BLOOM_K)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("bloom_hits"))
+    )
+    exact = (
+        probe.join(F.broadcast(block), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("exact_hits"))
+    )
+    base = probe.select("doc_id").distinct()
+    return (
+        base.join(bh, "doc_id", "left")
+        .join(exact, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("bloom_hits", F.lit(0)).alias("bloom_hits"),
+            F.coalesce("exact_hits", F.lit(0)).alias("exact_hits"),
+            (
+                F.coalesce("bloom_hits", F.lit(0))
+                >= F.coalesce("exact_hits", F.lit(0))
+            ).alias("no_false_neg"),
+        )
+    )
