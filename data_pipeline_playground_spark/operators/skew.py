@@ -31,3 +31,30 @@ def salted_sum(df: DataFrame, key: str, value: Column | str,
         .agg(F.sum("_v").alias("_partial"))
     )
     return partial.groupBy(key).agg(F.sum("_partial").alias(out))
+
+
+def salted_join(fact: DataFrame, dim: DataFrame, key: str,
+                n_salts: int = 16) -> DataFrame:
+    """Skew-safe equi-join: replicate `dim` across n_salts salt values
+    and join `fact` on (key, deterministic-salt), so a hot fact key
+    spreads over n_salts tasks instead of landing on one.
+
+    Results are identical to ``fact.join(dim, key)`` (every fact row
+    still meets its dim row exactly once — in the one replica whose
+    salt matches). Use when the dim is too big to broadcast AND fact
+    keys are skewed; AQE's skew-join split covers the sort-merge case,
+    but salting also works under bucketing/storage-partitioned joins
+    where AQE cannot re-split. The fact salt is derived from the whole
+    row (no rand()) so retries/speculation see the same salt.
+    """
+    salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt")
+    dim_rep = dim.select("*", salts)
+    fact_salt = (
+        F.crc32(F.concat_ws("#", *[F.col(c).cast("string") for c in fact.columns]))
+        % n_salts
+    ).cast("int").alias("_salt")
+    return (
+        fact.select("*", fact_salt)
+        .join(dim_rep, [key, "_salt"])
+        .drop("_salt")
+    )

@@ -4,6 +4,8 @@ from data_pipeline_playground_spark.queries import (  # noqa: F401
     analytics,
     dedup,
     dedup_advanced,
+    graph,
+    maintenance,
     ml,
     packing,
     pipelines,

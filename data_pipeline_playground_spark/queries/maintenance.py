@@ -1,0 +1,90 @@
+"""Table-maintenance operators: CDC upsert / merge-on-read compaction.
+
+A long-lived corpus or warehouse table is maintained by merging change
+batches (upserts + tombstone deletes) into the base — the Hudi/Delta
+``MERGE INTO`` pattern. The engine-level primitive is latest-wins
+keyed reconciliation: UNION the base with the change batch, rank by
+version per key, keep the winner, drop tombstones.
+
+The change batch here is *derived* from the orders table itself (keys
+divisible by 10 get a status update, keys divisible by 17 a delete —
+overlaps resolve to delete), so the operator is deterministic and
+oracle-checkable without synthetic inputs.
+
+At 100 TB: the union is shuffle-free (narrow concat of scans); the
+only shuffle is the per-key window, and in a partitioned table layout
+it runs only over the partitions the change batch touches (partition
+pruning on the merge keys' partitions — see sources/parquet_sink.py).
+Reference parity: the reference has no incremental maintenance; this
+generalizes its batch-rebuild pipeline (pipeline.py:12-68) to the
+incremental setting any standing 100 TB table needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_playground_spark.registry import query
+from data_pipeline_playground_spark.tables import table
+
+UPD_MOD = 10   # keys with o_orderkey % 10 == 0 receive a status update
+DEL_MOD = 17   # keys with o_orderkey % 17 == 0 are deleted (tombstone)
+UPDATED_STATUS = "X"
+
+_UPSERT_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, 0 AS version, 'I' AS op FROM orders
+),
+changes AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % {DEL_MOD} = 0 THEN o_orderstatus
+              ELSE '{UPDATED_STATUS}' END AS o_orderstatus,
+         1 AS version,
+         CASE WHEN o_orderkey % {DEL_MOD} = 0 THEN 'D' ELSE 'U' END AS op
+  FROM orders
+  WHERE o_orderkey % {DEL_MOD} = 0 OR o_orderkey % {UPD_MOD} = 0
+),
+merged AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                               ORDER BY version DESC) AS rn
+  FROM (SELECT * FROM base UNION ALL SELECT * FROM changes)
+)
+SELECT o_orderkey, o_orderstatus, version
+FROM merged WHERE rn = 1 AND op <> 'D'
+"""
+
+
+@query("orders_upsert_latest", oracle=_UPSERT_SQL)
+def orders_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins CDC merge: base ∪ change-batch → rank by version per
+    key → keep winner → drop tombstones. The surviving row carries the
+    version that won, so downstream can audit which rows were rewritten
+    (version=1 ⇒ updated this batch).
+    """
+    orders = table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.lit(0).alias("version"),
+        F.lit("I").alias("op"),
+    )
+    is_del = F.col("o_orderkey") % DEL_MOD == 0
+    changes = (
+        orders.filter(is_del | (F.col("o_orderkey") % UPD_MOD == 0))
+        .select(
+            "o_orderkey",
+            F.when(is_del, F.col("o_orderstatus"))
+            .otherwise(F.lit(UPDATED_STATUS))
+            .alias("o_orderstatus"),
+            F.lit(1).alias("version"),
+            F.when(is_del, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        )
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("version"))
+    return (
+        base.unionByName(changes)
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("o_orderkey", "o_orderstatus", "version")
+    )

@@ -687,6 +687,49 @@ def salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", F.col("_dec_total").cast("double").alias("total"))
 
 
+_SALTED_JOIN_SQL = """
+SELECT s.s_suppkey AS suppkey, s.s_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+       count(*) AS n_lines
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_suppkey, s.s_name
+"""
+
+
+@query("supplier_revenue_salted", oracle=_SALTED_JOIN_SQL)
+def supplier_revenue_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe fact⋈dim join via key salting — identical results to
+    the plain join (the oracle IS the plain join), but the dim side is
+    replicated across 16 salts and each fact row picks one replica
+    deterministically, so a hot supplier key spreads over 16 tasks
+    instead of one. The technique AQE's skew split cannot replace
+    under bucketed/storage-partitioned layouts; decimal partials keep
+    the merge order-insensitive (same discipline as
+    salted_user_totals)."""
+    from data_pipeline_playground_spark.operators.skew import salted_join
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"),
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+        ).alias("_rev"),
+    )
+    supp = table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_name"
+    )
+    return (
+        salted_join(li, supp, "suppkey")
+        .groupBy("suppkey", "s_name")
+        .agg(
+            F.sum("_rev").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
 # --- set operators: EXCEPT / INTERSECT --------------------------------------
 
 _CLICK_NOT_ERROR_SQL = """
