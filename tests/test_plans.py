@@ -125,3 +125,65 @@ def test_minhash_signatures_single_shuffle(spark, sf_dir):
     # one exchange for the explicit repartition + one for the agg
     assert plan.count("Exchange") <= 2
     assert "Join" not in plan
+
+
+def test_doc_chunks_zero_shuffle(spark, sf_dir):
+    """Chunking is sequence+explode+slice over the scan — a pure
+    narrow map; any Exchange is a regression."""
+    plan = _plan(spark, sf_dir, "doc_chunks")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_sample_weighted_no_global_sort(spark, sf_dir):
+    """A-ES top-K must compile to TakeOrderedAndProject (per-partition
+    top-K + driver merge), never a full Sort of the corpus."""
+    plan = _plan(spark, sf_dir, "sample_weighted")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_pack_sequences_single_window_shuffle(spark, sf_dir):
+    """The per-source running sum and the bin aggregation share the
+    source partitioning: one hash exchange on source, one on the
+    (source, bin) agg at most."""
+    plan = _plan(spark, sf_dir, "pack_sequences")
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_heavy_hitters_cms_broadcasts_counters(spark, sf_dir):
+    """The 4096-row CMS counter table must broadcast to the probe —
+    a sort-merge join here would shuffle the candidates pointlessly."""
+    plan = _plan(spark, sf_dir, "heavy_hitters_cms")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bloom_broadcasts_bits(spark, sf_dir):
+    """Both the bit set and the exact blocklist are broadcast-sized;
+    the probe side must never shuffle for those joins."""
+    plan = _plan(spark, sf_dir, "bloom_blocklist_hits")
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_salted_join_no_cartesian(spark, sf_dir):
+    """The salt explode must stay an equi-join on (key, salt) — a
+    CartesianProduct or BroadcastNestedLoopJoin is a regression."""
+    plan = _plan(spark, sf_dir, "supplier_revenue_salted")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_upsert_single_shuffle(spark, sf_dir):
+    """Latest-wins merge: the union is narrow; the only hash exchange
+    is the per-key window."""
+    plan = _plan(spark, sf_dir, "orders_upsert_latest")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Union" in plan
+
+
+def test_dedup_paragraph_no_python(spark, sf_dir):
+    """Segment build is higher-order functions, not UDFs: the plan
+    must contain no Python evaluation node."""
+    plan = _plan(spark, sf_dir, "dedup_paragraph")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
