@@ -108,7 +108,12 @@ def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w_dec").cast("double")
             / F.sum("w_dec").over(wsrc).cast("double")
         ).alias("p"),
-    )
+    ).cache()
+    # materialize eagerly: every iteration references edges, and without
+    # the cache the 6-table edge derivation re-executes once per round
+    # (the plan showed 5 lineitem scans); the edge table is ≤ nations²
+    # rows, so this is the cheap side of that trade at any scale
+    edges.count()
     nodes = n.select(F.col("n_name").alias("node"))
     ranks = nodes.select("node", F.lit(1.0 / PR_N).alias("r"))
     base = F.lit((1 - PR_DAMPING) / PR_N)
