@@ -305,3 +305,25 @@ def run_stream_to_memory(stream_df: DataFrame, query_name: str,
     )
     q.awaitTermination()
     return q
+
+
+def streaming_cms_counters(events: DataFrame) -> DataFrame:
+    """Count–min sketch counters maintained continuously over the
+    event stream (keys = event_type) — the streaming twin of
+    queries/sketches.heavy_hitters_cms's counter build.
+
+    The sketch IS the state bound: a complete-mode aggregation whose
+    state is at most CMS_DEPTH × CMS_WIDTH rows no matter how long the
+    stream runs — the canonical way to keep frequency estimates over
+    an unbounded stream without per-key state. Batch equivalence is
+    exact (same portable-hash buckets), tested in
+    tests/test_streaming.py.
+    """
+    from data_pipeline_playground_spark.queries.sketches import _buckets
+
+    return (
+        events.select(F.explode(_buckets(F.col("event_type"))).alias("db"))
+        .select("db.d", "db.bucket")
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )

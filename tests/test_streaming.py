@@ -396,3 +396,44 @@ def test_streaming_stream_stream_interval_join(spark, sf_dir, events_stream_dir)
         assert got == batch
     finally:
         q.stop()
+
+
+def test_streaming_cms_matches_batch(spark, sf_dir, events_stream_dir):
+    """The streaming CMS counter table equals the batch sketch built
+    over the same (deduplicated) events — and its row count is bounded
+    by DEPTH×WIDTH regardless of stream length."""
+    from data_pipeline_playground_spark.queries.sketches import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        _buckets,
+    )
+    from data_pipeline_playground_spark.streaming.events_stream import (
+        read_events_stream,
+        run_stream_to_memory,
+        streaming_cms_counters,
+        streaming_dedup,
+    )
+    from pyspark.sql import functions as F
+
+    stream = read_events_stream(spark, events_stream_dir)
+    q = run_stream_to_memory(
+        streaming_cms_counters(streaming_dedup(stream)),
+        "cms_sink",
+        output_mode="complete",
+    )
+    try:
+        stream_rows = {
+            (r.d, r.bucket): r.c for r in spark.sql("SELECT * FROM cms_sink").collect()
+        }
+        batch = (
+            table(spark, sf_dir, "events")
+            .select(F.explode(_buckets(F.col("event_type"))).alias("db"))
+            .select("db.d", "db.bucket")
+            .groupBy("d", "bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        batch_rows = {(r.d, r.bucket): r.c for r in batch.collect()}
+        assert stream_rows == batch_rows
+        assert len(stream_rows) <= CMS_DEPTH * CMS_WIDTH
+    finally:
+        q.stop()
