@@ -201,7 +201,12 @@ def bloom_blocklist_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = docs.repartition(shuffle_n).select(
         "doc_id",
         F.explode(word_ngrams(tokenize(F.col("text")), SHINGLE_N)).alias("g"),
-    )
+    ).cache()
+    # four branches read the shingle set (block, probe→pb, probe→exact,
+    # base); materialize eagerly so they don't race the lazy cache and
+    # re-run the CPU-heavy shingle build (same discipline as
+    # dedup_jaccard_pairs)
+    ex.count()
     block = ex.filter(F.col("doc_id") < BLOCK_MAX_ID).select("g").distinct()
     bits = block.select(
         F.explode(_bloom_buckets(F.col("g"))).alias("bit")
