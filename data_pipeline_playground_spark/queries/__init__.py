@@ -5,6 +5,7 @@ from data_pipeline_playground_spark.queries import (  # noqa: F401
     dedup,
     dedup_advanced,
     graph,
+    layout,
     maintenance,
     ml,
     packing,
