@@ -11,6 +11,7 @@ from data_pipeline_playground_spark.queries import (  # noqa: F401
     packing,
     pipelines,
     relational,
+    retrieval,
     sampling,
     similarity,
     sketches,

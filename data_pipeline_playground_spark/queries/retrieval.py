@@ -1,0 +1,239 @@
+"""Text retrieval + language-model statistics over `documents`.
+
+The reference ranks search-API results heuristically
+(`/root/reference/wikipedia_api.py` top-k over section scores); this
+module supplies the at-scale generalizations a training-data pipeline
+needs on top of that: an inverted index, BM25 ranking, and two
+LM-statistics quality signals (token entropy, unigram log-prob).
+
+Everything is JVM-side (explode + groupBy + broadcast of the tiny
+corpus-stat rows) and fully oracle-checked. Floating-point scores are
+rounded to 6 decimals BEFORE any ranking so that last-ulp `ln`/`log2`
+differences between the JVM and DuckDB's libm can never flip an order.
+
+Scale notes (100 TB):
+- inverted index: one shuffle on term; postings heads are bounded
+  (top-20 doc_ids) so no reducer materializes an unbounded list.
+- BM25: the query-term filter prunes the exploded token stream *before*
+  the shuffle; corpus stats (N, avgdl) are a 1-row broadcast; the df
+  table is |query| rows — broadcast.
+- unigram model: the term->count table is vocabulary-sized; at web
+  scale that still fits executor memory for natural-language vocabs
+  (<100M terms x 16B); if not, the join degrades gracefully to a
+  shuffle join on term — the plan keeps the aggregate map-side either
+  way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_playground_spark.functions.text import tokenize
+from data_pipeline_playground_spark.registry import query
+from data_pipeline_playground_spark.tables import table
+
+_SQL_TOKENS = (
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+)
+
+# ---- inverted index --------------------------------------------------------
+
+POSTINGS_HEAD = 20  # bounded postings-list prefix per term
+
+_INVERTED_INDEX_SQL = f"""
+WITH ex AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter({_SQL_TOKENS}, t -> length(t) > 2))) AS term
+  FROM documents
+)
+SELECT term, count(*) AS df,
+       array_to_string(list_sort(list(doc_id))[1:{POSTINGS_HEAD}], ',') AS postings_head
+FROM ex GROUP BY term
+"""
+
+
+@query("inverted_index", oracle=_INVERTED_INDEX_SQL)
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """term -> document frequency + the first 20 doc_ids of the sorted
+    postings list. One shuffle on term; the collect_set is bounded by
+    the slice so no reducer holds an unbounded posting list (full
+    postings at scale would be written as a term-bucketed table
+    instead, same plan shape)."""
+    docs = table(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(tokenize(F.col("text")), lambda t: F.length(t) > 2)
+            )
+        ).alias("term"),
+    )
+    return ex.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.concat_ws(
+            ",",
+            F.slice(F.sort_array(F.collect_set("doc_id")), 1, POSTINGS_HEAD).cast(
+                "array<string>"
+            ),
+        ).alias("postings_head"),
+    )
+
+
+# ---- BM25 top-k ------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("hash", "join", "stream")
+BM25_TOPK = 15
+
+_q_list = ", ".join(f"'{t}'" for t in BM25_QUERY)
+
+_BM25_SQL = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+st AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ({_q_list}) GROUP BY doc_id, term
+),
+dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+sc AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (st.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+             * tf.tf * ({BM25_K1} + 1)
+             / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / st.avgdl))
+         ) AS s
+  FROM tf
+  JOIN dfr USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN st
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 6) AS bm25
+FROM sc
+QUALIFY row_number() OVER (ORDER BY round(s, 6) DESC, doc_id) <= {BM25_TOPK}
+"""
+
+
+@query("bm25_topk", oracle=_BM25_SQL)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-15 documents for a fixed 3-term query. The token
+    explosion is filtered to the query terms before any shuffle, the
+    1-row corpus stats and the |query|-row df table are broadcast, and
+    the final rank is a top-k over |matching docs| rows. Scores are
+    rounded before ranking (see module docstring)."""
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    dl = t.select("doc_id", F.size("toks").alias("dl"))
+    st = dl.agg(F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n_docs"))
+    tok = t.select("doc_id", F.explode("toks").alias("term"))
+    tf = (
+        tok.filter(F.col("term").isin(*BM25_QUERY))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfr = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(BM25_K1) * (
+        F.lit(1 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+    )
+    term_score = idf * F.col("tf") * F.lit(BM25_K1 + 1) / denom
+    sc = (
+        tf.join(F.broadcast(dfr), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(st))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(term_score), 6).alias("bm25"))
+    )
+    # orderBy+limit plans as TakeOrderedAndProject: per-partition heap
+    # top-k + driver merge of k rows — no single-partition window.
+    return sc.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(BM25_TOPK)
+
+
+# ---- token-distribution entropy (quality signal) ---------------------------
+
+LOW_ENTROPY_BITS = 3.5  # repetitive-doc flag threshold
+
+_ENTROPY_SQL = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+cnt AS (
+  SELECT doc_id, term, count(*) AS c
+  FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+  GROUP BY doc_id, term
+),
+n AS (SELECT doc_id, len(toks) AS n FROM t WHERE len(toks) > 0),
+e AS (
+  SELECT cnt.doc_id,
+         round(-sum((c * 1.0 / n.n) * log2(c * 1.0 / n.n)), 6) AS entropy_bits
+  FROM cnt JOIN n ON n.doc_id = cnt.doc_id
+  GROUP BY cnt.doc_id
+)
+SELECT doc_id, entropy_bits, entropy_bits < {LOW_ENTROPY_BITS} AS low_entropy
+FROM e
+"""
+
+
+@query("token_entropy", oracle=_ENTROPY_SQL)
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (bits) of each document's token distribution —
+    the repetitive/boilerplate detector that complements the Gopher
+    bigram-coverage filter in `quality_repetition`. Two map-side
+    combinable aggregations, both keyed by doc_id so the second reuses
+    the first's partitioning (one shuffle end-to-end)."""
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    cnt = (
+        t.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = t.select("doc_id", F.size("toks").alias("n")).filter(F.col("n") > 0)
+    p = F.col("c") * F.lit(1.0) / F.col("n")
+    ent = (
+        cnt.join(n, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.round(-F.sum(p * F.log2(p)), 6).alias("entropy_bits"))
+    )
+    return ent.select(
+        "doc_id",
+        "entropy_bits",
+        (F.col("entropy_bits") < LOW_ENTROPY_BITS).alias("low_entropy"),
+    )
+
+
+# ---- unigram log-probability (perplexity proxy) ----------------------------
+
+_UNIGRAM_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents),
+uni AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+tot AS (SELECT sum(c) AS s FROM uni)
+SELECT tok.doc_id, round(avg(ln(uni.c * 1.0 / tot.s)), 6) AS avg_logprob
+FROM tok JOIN uni USING (term) CROSS JOIN tot
+GROUP BY tok.doc_id
+"""
+
+
+@query("unigram_logprob", oracle=_UNIGRAM_SQL)
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram model — the cheap stand-in for the KenLM perplexity filter
+    of CCNet-style pipelines. Outlier-low docs are gibberish;
+    outlier-high are boilerplate. The unigram table is
+    vocabulary-sized (broadcast here; falls back to a shuffle join on
+    term if a web-scale vocab outgrows the broadcast threshold)."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("term"))
+    uni = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = uni.agg(F.sum("c").alias("s"))
+    lp = F.log(F.col("c") * F.lit(1.0) / F.col("s"))
+    return (
+        tok.join(F.broadcast(uni), "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(lp), 6).alias("avg_logprob"))
+    )
