@@ -173,6 +173,64 @@ def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(docs.select("doc_id"), pairs)
 
 
+# ---- incremental dedup (new batch vs existing base corpus) -----------------
+
+# Deterministic batch membership: every 4th doc_id is the "incoming"
+# batch, the rest are the already-ingested base corpus.
+_NEW_PRED = "doc_id % 4 = 3"
+
+_INCREMENTAL_SQL = (
+    _MINHASH_CTES
+    + f"""
+SELECT d.doc_id FROM documents d
+WHERE d.{_NEW_PRED}
+  AND NOT EXISTS (
+    SELECT 1 FROM est
+    WHERE est.sim >= {SIM_THRESHOLD}
+      AND ((est.ci = d.doc_id AND NOT est.cj % 4 = 3)
+        OR (est.cj = d.doc_id AND NOT est.ci % 4 = 3))
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM documents b
+    WHERE NOT b.{_NEW_PRED} AND md5(b.text) = md5(d.text)
+  )
+"""
+)
+
+
+@query("dedup_incremental", oracle=_INCREMENTAL_SQL)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: which docs of an incoming batch
+    (doc_id % 4 == 3) survive against the already-ingested base corpus
+    — exact tier (md5 text match) + MinHash tier (signature sim ≥ 0.5
+    with any base doc). The production pattern at 100 TB: base
+    SIGNATURES are a stored table maintained across ingests; only the
+    new batch is shingled+hashed, and the band join is new×base — cost
+    per ingest ∝ batch size, never corpus size. New-batch internal
+    duplicates are deliberately NOT removed here (that is a plain
+    `dedup_minhash` over the batch); this operator isolates the
+    cross-corpus screen. Here base-ness is a pure doc_id expression, so
+    the cross-pair filter needs no extra join against the memoized
+    candidate-pair estimates."""
+    docs = table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 4 == 3
+    est = _minhash_est(spark, sf_dir).filter(F.col("sim") >= SIM_THRESHOLD)
+    ci_new = (F.col("ci") % 4 == 3) & ~(F.col("cj") % 4 == 3)
+    cj_new = (F.col("cj") % 4 == 3) & ~(F.col("ci") % 4 == 3)
+    rej_minhash = est.select(
+        F.when(ci_new, F.col("ci")).when(cj_new, F.col("cj")).alias("doc_id")
+    ).filter(F.col("doc_id").isNotNull())
+    base_hashes = (
+        docs.filter(~is_new).select(F.md5("text").alias("th")).distinct()
+    )
+    new_docs = docs.filter(is_new).select("doc_id", F.md5("text").alias("th"))
+    rej_exact = new_docs.join(base_hashes, "th", "left_semi").select("doc_id")
+    return (
+        new_docs.select("doc_id")
+        .join(rej_minhash.union(rej_exact), "doc_id", "left_anti")
+    )
+
+
 # ---- SimHash ---------------------------------------------------------------
 
 SIMHASH_BITS = 30  # rolling hash < 2^30, so 30 usable bits

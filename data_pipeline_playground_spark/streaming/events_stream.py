@@ -307,6 +307,28 @@ def run_stream_to_memory(stream_df: DataFrame, query_name: str,
     return q
 
 
+def streaming_incremental_dedup(new_docs: DataFrame,
+                                base_docs: DataFrame) -> DataFrame:
+    """Streaming twin of queries/dedup_advanced.dedup_incremental's
+    exact tier: documents arriving on a stream are screened against the
+    static base corpus by content hash (md5 of text) — a stream-static
+    LEFT ANTI join, so only never-before-seen content flows through.
+
+    No streaming state at all: the static side is re-read (and
+    broadcast) per micro-batch, the stream side passes through row by
+    row — the scale-safe ingest screen when the base fingerprint table
+    fits the broadcast budget. At 100 TB the same plan swaps the
+    broadcast for a bucketed shuffle join on the hash prefix.
+    ``new_docs`` needs (doc_id, text); ``base_docs`` just text.
+    """
+    base_hashes = base_docs.select(F.md5("text").alias("th")).distinct()
+    return (
+        new_docs.withColumn("th", F.md5("text"))
+        .join(F.broadcast(base_hashes), "th", "left_anti")
+        .drop("th")
+    )
+
+
 def streaming_cms_counters(events: DataFrame) -> DataFrame:
     """Count–min sketch counters maintained continuously over the
     event stream (keys = event_type) — the streaming twin of

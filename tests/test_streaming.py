@@ -437,3 +437,47 @@ def test_streaming_cms_matches_batch(spark, sf_dir, events_stream_dir):
         assert len(stream_rows) <= CMS_DEPTH * CMS_WIDTH
     finally:
         q.stop()
+
+
+def test_streaming_incremental_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """Documents streamed in micro-batches and screened against the
+    static base corpus yield exactly the batch exact-tier survivors:
+    new docs whose md5(text) matches any base doc are dropped."""
+    from data_pipeline_playground_spark.streaming.events_stream import (
+        run_stream_to_memory,
+        streaming_incremental_dedup,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 4 == 3
+    base = docs.filter(~is_new)
+    new_docs = docs.filter(is_new).select("doc_id", "text")
+
+    d = tmp_path / "incoming"
+    d.mkdir()
+    new_docs.coalesce(2).write.mode("overwrite").json(str(d))
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = run_stream_to_memory(
+        streaming_incremental_dedup(stream, base),
+        "incr_dedup_sink",
+        output_mode="append",
+    )
+    try:
+        got = {
+            r.doc_id for r in spark.sql("SELECT doc_id FROM incr_dedup_sink").collect()
+        }
+        base_hashes = base.select(F.md5("text").alias("th")).distinct()
+        expected = {
+            r.doc_id
+            for r in new_docs.withColumn("th", F.md5("text"))
+            .join(base_hashes, "th", "left_anti")
+            .collect()
+        }
+        assert got == expected
+        assert len(got) > 0
+    finally:
+        q.stop()
