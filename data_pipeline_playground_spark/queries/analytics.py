@@ -424,3 +424,153 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+# --- robust outlier detection: median/MAD z-scores --------------------------
+
+MAD_K = 1.4826  # normal-consistency constant
+MAD_Z_CUT = 3.0
+
+_MAD_SQL = f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_id, e.event_type, e.value, abs(e.value - m.med) AS dev
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM dev GROUP BY event_type)
+SELECT d.event_id, d.event_type, round(d.value, 6) AS value,
+       round(d.dev / ({MAD_K} * m.mad), 6) AS robust_z
+FROM dev d JOIN mad m USING (event_type)
+WHERE m.mad > 0 AND d.dev > {MAD_Z_CUT} * {MAD_K} * m.mad
+"""
+
+
+@query("events_mad_outliers", oracle=_MAD_SQL)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outliers: |value - median| > 3 scaled MADs.
+    The mean/stddev z-score (events_hourly_anomalies) breaks down when
+    the outliers themselves inflate sigma; median/MAD is the
+    breakdown-resistant version. Two grouped exact percentiles (each
+    one shuffle with map-side partials) + two broadcast joins of the
+    per-type row; Spark's `percentile` and DuckDB's `quantile_cont`
+    share the same linear interpolation, so the cut is value-exact.
+    At 100 TB the exact percentile swaps for approx_percentile with a
+    certificate bound (the value_approx_quantiles pattern)."""
+    ev = table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_id", "event_type", "value",
+        F.abs(F.col("value") - F.col("med")).alias("dev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("dev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(
+            (F.col("mad") > 0)
+            & (F.col("dev") > F.lit(MAD_Z_CUT * MAD_K) * F.col("mad"))
+        )
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round(F.col("dev") / (F.lit(MAD_K) * F.col("mad")), 6).alias("robust_z"),
+        )
+    )
+
+
+# --- Q11 shape: parts whose revenue exceeds a share of the global total -----
+
+PART_SHARE_MULT = "1.5"  # keep parts above 1.5x the mean part value
+
+_PART_SHARE_SQL = f"""
+WITH pv AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS dval
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT SUM(dval) AS t, COUNT(*) AS n FROM pv)
+SELECT l_partkey AS partkey, CAST(dval AS DOUBLE) AS part_value
+FROM pv CROSS JOIN tot
+WHERE dval * n > {PART_SHARE_MULT} * t
+"""
+
+
+@query("important_parts_share", oracle=_PART_SHARE_SQL)
+def important_parts_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose revenue exceeds 1.5x the mean part
+    value. One grouped aggregate, then a 1-row decimal total broadcast
+    back as the HAVING threshold — the global-total-vs-group pattern.
+    All money math stays DECIMAL until the final projection, and the
+    mean cut is cross-multiplied (dval*n > 1.5*t) rather than divided,
+    so the comparison is exact integer/decimal arithmetic in both
+    engines (a double total or a decimal division would make the
+    boundary rounding-dependent)."""
+    lineitem = table(spark, sf_dir, "lineitem")
+    pv = lineitem.groupBy("l_partkey").agg(
+        F.sum(_dec2("l_extendedprice")).alias("dval")
+    )
+    tot = pv.agg(F.sum("dval").alias("t"), F.count(F.lit(1)).alias("n"))
+    thresh = F.expr(f"CAST({PART_SHARE_MULT} AS DECIMAL(3,1))") * F.col("t")
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("dval") * F.col("n") > thresh)
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("dval").cast("double").alias("part_value"),
+        )
+    )
+
+
+# --- distribution window functions: percent_rank / cume_dist ----------------
+
+_NATION_PCTRANK_SQL = """
+WITH nr AS (
+  SELECT n.n_name,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS drev
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n   ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+)
+SELECT n_name, CAST(drev AS DOUBLE) AS revenue,
+       round(percent_rank() OVER (ORDER BY drev, n_name), 6) AS pct_rank,
+       round(cume_dist()    OVER (ORDER BY drev, n_name), 6) AS cume
+FROM nr
+"""
+
+
+@query("nation_revenue_pctrank", oracle=_NATION_PCTRANK_SQL)
+def nation_revenue_pctrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions over per-nation revenue:
+    percent_rank + cume_dist. The global window runs over the
+    POST-aggregate frame — cardinality is bounded by |nation| (25), so
+    the single-partition sort is a non-issue at any fact-table scale;
+    the heavy lifting (3 joins + grouped decimal sum) happens before
+    it, with the dim chain broadcast so lineitem never shuffles for
+    the joins. Ordering keys include n_name so ties are deterministic."""
+    lineitem = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    nr = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(_dec2("l_extendedprice")).alias("drev"))
+    )
+    w = Window.orderBy("drev", "n_name")
+    return nr.select(
+        "n_name",
+        F.col("drev").cast("double").alias("revenue"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )

@@ -88,3 +88,114 @@ def orders_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn") == 1) & (F.col("op") != "D"))
         .select("o_orderkey", "o_orderstatus", "version")
     )
+
+
+# --- data-quality audit (Deequ-style constraint suite) ----------------------
+
+_DQ_SQL = """
+SELECT 'orders_fk_customer' AS check_name,
+       (SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)) AS n_violations
+UNION ALL
+SELECT 'lineitem_fk_orders',
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey))
+UNION ALL
+SELECT 'documents_text_nonempty',
+       (SELECT count(*) FROM documents
+        WHERE text IS NULL OR length(trim(text)) = 0)
+UNION ALL
+SELECT 'orders_totalprice_positive',
+       (SELECT count(*) FROM orders WHERE o_totalprice <= 0)
+UNION ALL
+SELECT 'lineitem_qty_range',
+       (SELECT count(*) FROM lineitem
+        WHERE l_quantity < 1 OR l_quantity > 50)
+UNION ALL
+SELECT 'lineitem_discount_range',
+       (SELECT count(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1)
+UNION ALL
+SELECT 'events_ts_nonnull',
+       (SELECT count(*) FROM events WHERE ts IS NULL)
+"""
+
+
+@query("dq_audit", oracle=_DQ_SQL)
+def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-suite audit (the Deequ/Great-Expectations shape): one
+    row per declared check with its violation count — referential
+    integrity, non-null/non-empty, value ranges, temporal ordering.
+    The FK checks are LEFT ANTI joins (broadcast when the PK side is a
+    dim, shuffle-hash when both sides are facts); every scalar check is
+    a map-side-combinable conditional count over one scan. A pipeline
+    gates ingest on `n_violations == 0` rows. At 100 TB each check
+    prunes to the columns it reads (ReadSchema stays 1-2 columns per
+    scan) and the union is a narrow concat of 1-row aggregates."""
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    lineitem = table(spark, sf_dir, "lineitem")
+    documents = table(spark, sf_dir, "documents")
+    events = table(spark, sf_dir, "events")
+
+    def one(name: str, cnt: DataFrame) -> DataFrame:
+        return cnt.select(
+            F.lit(name).alias("check_name"),
+            F.col("n").cast("long").alias("n_violations"),
+        )
+
+    checks = [
+        one(
+            "orders_fk_customer",
+            orders.join(
+                F.broadcast(customer.select("c_custkey")),
+                orders.o_custkey == F.col("c_custkey"),
+                "left_anti",
+            ).agg(F.count(F.lit(1)).alias("n")),
+        ),
+        one(
+            "lineitem_fk_orders",
+            lineitem.join(
+                orders.select("o_orderkey"),
+                lineitem.l_orderkey == F.col("o_orderkey"),
+                "left_anti",
+            ).agg(F.count(F.lit(1)).alias("n")),
+        ),
+        one(
+            "documents_text_nonempty",
+            documents.agg(
+                F.count_if(
+                    F.col("text").isNull() | (F.length(F.trim("text")) == 0)
+                ).alias("n")
+            ),
+        ),
+        one(
+            "orders_totalprice_positive",
+            orders.agg(F.count_if(F.col("o_totalprice") <= 0).alias("n")),
+        ),
+        one(
+            "lineitem_qty_range",
+            lineitem.agg(
+                F.count_if(
+                    (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)
+                ).alias("n")
+            ),
+        ),
+        one(
+            "lineitem_discount_range",
+            lineitem.agg(
+                F.count_if(
+                    (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
+                ).alias("n")
+            ),
+        ),
+        one(
+            "events_ts_nonnull",
+            events.agg(F.count_if(F.col("ts").isNull()).alias("n")),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
