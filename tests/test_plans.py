@@ -187,3 +187,60 @@ def test_dedup_paragraph_no_python(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_paragraph")
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_bm25_topk_uses_takeordered(spark, sf_dir):
+    """The top-k must be TakeOrderedAndProject (per-partition heap +
+    k-row driver merge) — a rangepartitioning sort or a global-window
+    row_number here would be a single-partition bottleneck at scale."""
+    plan = _plan(spark, sf_dir, "bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "Window" not in plan
+
+
+def test_inverted_index_single_shuffle(spark, sf_dir):
+    """explode → groupBy(term) is one hash shuffle; the bounded
+    postings head must not add a sort exchange."""
+    plan = _plan(spark, sf_dir, "inverted_index")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_token_entropy_reuses_partitioning(spark, sf_dir):
+    """Both aggregations key on doc_id (after the per-(doc,term)
+    count) — the plan must not exceed the two grouped shuffles, and
+    the doc_id join must not introduce extra exchanges."""
+    plan = _plan(spark, sf_dir, "token_entropy")
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_events_mad_outliers_broadcasts_stats(spark, sf_dir):
+    """The per-type median/MAD rows are dimension-sized and must come
+    back as broadcast joins, never a shuffle of the fact."""
+    plan = _plan(spark, sf_dir, "events_mad_outliers")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_important_parts_share_no_cartesian(spark, sf_dir):
+    """The 1-row global total joins via broadcast nested loop (the
+    intended plan for a 1-row side); a CartesianProduct would mean the
+    broadcast hint was lost."""
+    plan = _plan(spark, sf_dir, "important_parts_share")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_dq_audit_fk_checks_are_anti_joins(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dq_audit")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_incremental_anti_join(spark, sf_dir):
+    """Survivors come from LEFT ANTI joins against the rejection sets —
+    the incremental screen must not materialize a positive cross join."""
+    plan = _plan(spark, sf_dir, "dedup_incremental")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
