@@ -62,7 +62,7 @@ def run_news_pipeline(spark: SparkSession, sf_dir: str,
     # k = n//4 per cluster.py:51-53, capped (see queries/ml.py
     # KMEANS_K_CAP): uncapped, KMeans cost grows O(n²d) with the corpus.
     k = max(2, min(n // 4, KMEANS_K_CAP))
-    km = KMeans(k=k, maxIter=20, seed=42, featuresCol="features").fit(feats)
+    km = KMeans(k=k, maxIter=10, seed=42, featuresCol="features").fit(feats)
     # cached: four downstream consumers (groups, keywords, sizes,
     # summaries) would otherwise re-run the whole featurize+predict
     clustered = km.transform(feats).select(

@@ -78,7 +78,7 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     feats, _, n = _tfidf_features_memo(spark, sf_dir)
     k = max(2, min(n // 4, KMEANS_K_CAP))
-    model = KMeans(k=k, maxIter=20, seed=SEED, featuresCol="features").fit(feats)
+    model = KMeans(k=k, maxIter=10, seed=SEED, featuresCol="features").fit(feats)
     pred = model.transform(feats)
     return (
         pred.groupBy(F.col("prediction").alias("cluster_id"))
@@ -102,7 +102,7 @@ def _lda_fit(spark: SparkSession, sf_dir: str):
         bow = cv_model.transform(toks)
         n = bow.count()
         k = max(2, min(n // 5, 10))
-        model = LDA(k=k, maxIter=20, seed=SEED, optimizer="online").fit(bow)
+        model = LDA(k=k, maxIter=10, seed=SEED, optimizer="online").fit(bow)
         return (cv_model, model, bow)
 
     return memo(spark, "lda_fit", sf_dir, build)

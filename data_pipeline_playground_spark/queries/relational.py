@@ -764,3 +764,44 @@ def users_purchase_and_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = ev.filter(F.col("event_type") == "purchase").select("user_id")
     b = ev.filter(F.col("event_type") == "signup").select("user_id")
     return a.intersect(b)
+
+
+# --- VARIANT semi-structured path (Spark 4) ---------------------------------
+
+_PROPS_VARIANT_SQL = """
+WITH x AS (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events WHERE props IS NOT NULL
+)
+SELECT event_type,
+       min(k) AS k_min,
+       max(k) AS k_max,
+       sum(k) AS k_sum,
+       sum(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS n_k_gt50
+FROM x GROUP BY event_type
+"""
+
+
+@query("events_props_variant", oracle=_PROPS_VARIANT_SQL)
+def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VARIANT twin of events_props_extract: props parsed ONCE into
+    Spark 4's binary semi-structured VARIANT encoding, then typed
+    extractions (`try_variant_get`) feed the aggregate. Vs per-path
+    `get_json_object`, the parse cost is paid once per row regardless
+    of how many fields are read — the scale answer for multi-field
+    schema-on-read over big JSON columns (shredded storage at rest is
+    the step beyond). Same single map-side-combinable shuffle."""
+    ev = table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "bigint")
+    return (
+        ev.filter(F.col("props").isNotNull())
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.sum("k").cast("bigint").alias("k_sum"),
+            F.count_if(F.col("k") > 50).alias("n_k_gt50"),
+        )
+    )
