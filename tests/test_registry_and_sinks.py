@@ -55,3 +55,38 @@ def test_partitioned_parquet_roundtrip(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in buf.getvalue()
     n_en = docs.filter(F.col("lang") == "en").count()
     assert en.count() == n_en
+
+
+def test_jsonlines_datasource_writer_roundtrip(spark, sf_dir, tmp_path):
+    """The Python DataSource sink writes task files + _SUCCESS via
+    two-phase commit, and the written directory reads back value-equal
+    through spark.read.json."""
+    from data_pipeline_playground_spark.sources.jsonlines_sink import (
+        JsonLinesDataSource,
+    )
+    from data_pipeline_playground_spark.tables import table
+
+    try:
+        spark.dataSource.register(JsonLinesDataSource)
+    except Exception as exc:  # already registered by a prior test
+        assert "already" in str(exc).lower()
+
+    out = str(tmp_path / "docs_out")
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    docs.repartition(3).write.format("jsonlines").mode("append").option(
+        "path", out
+    ).save()
+
+    import os
+
+    files = os.listdir(out)
+    assert "_SUCCESS" in files
+    parts = [f for f in files if f.startswith("part-") and f.endswith(".json")]
+    assert len(parts) == 3  # one task file per partition
+    assert "_temporary" not in files  # temp dir cleaned after commit
+
+    back = spark.read.json(out)
+    assert back.count() == docs.count()
+    a = {(r.doc_id, r.text, r.source) for r in docs.collect()}
+    b = {(r.doc_id, r.text, r.source) for r in back.collect()}
+    assert a == b
