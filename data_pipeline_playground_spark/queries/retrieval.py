@@ -237,3 +237,89 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(F.avg(lp), 6).alias("avg_logprob"))
     )
+
+
+# ---- PMI collocations ------------------------------------------------------
+
+PMI_MIN_PAIRS = 5  # ignore pairs co-occurring in fewer docs
+PMI_TOPK = 20
+
+_PMI_SQL = f"""
+WITH ex AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter({_SQL_TOKENS}, t -> length(t) > 2))) AS tok
+  FROM documents
+),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM ex),
+df AS (SELECT tok, count(*) AS c FROM ex GROUP BY tok),
+pairs AS (
+  SELECT a.tok AS ta, b.tok AS tb, count(*) AS cab
+  FROM ex a JOIN ex b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY a.tok, b.tok
+),
+scored AS (
+  SELECT p.ta, p.tb, p.cab,
+         round(ln(n.n_docs * p.cab * 1.0 / (da.c * db.c)), 6) AS pmi
+  FROM pairs p
+  JOIN df da ON da.tok = p.ta
+  JOIN df db ON db.tok = p.tb
+  CROSS JOIN n
+  WHERE p.cab >= {PMI_MIN_PAIRS}
+)
+SELECT ta, tb, cab, pmi FROM scored
+QUALIFY row_number() OVER (ORDER BY pmi DESC, ta, tb) <= {PMI_TOPK}
+"""
+
+
+@query("term_pmi_topk", oracle=_PMI_SQL)
+def term_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by pointwise mutual information over
+    document-level co-occurrence — the classic collocation detector
+    (and the feature builder for word-graph methods). The pair build
+    is a self-equi-join on doc_id over DISTINCT doc tokens, so the
+    fan-out is v_doc² per doc (bounded by per-doc vocabulary, not doc
+    length); the df and 1-row N frames broadcast into the scoring
+    join, and the min-count filter prunes the long tail before
+    scoring. PMI rounds to 6 decimals BEFORE the top-k order (module
+    docstring: ulp-proof ranking). At web scale add a doc-frequency
+    floor on single terms to keep the pair aggregate's key space
+    vocabulary-shaped, not pair-shaped."""
+    docs = table(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(tokenize(F.col("text")), lambda t: F.length(t) > 2)
+            )
+        ).alias("tok"),
+    ).cache()
+    n = ex.agg(F.countDistinct("doc_id").alias("n_docs"))
+    dfr = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    a = ex.select(F.col("doc_id").alias("da"), F.col("tok").alias("ta"))
+    b = ex.select(F.col("doc_id").alias("db"), F.col("tok").alias("tb"))
+    pairs = (
+        a.join(b, (F.col("da") == F.col("db")) & (F.col("ta") < F.col("tb")))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .filter(F.col("cab") >= PMI_MIN_PAIRS)
+    )
+    da = dfr.select(F.col("tok").alias("ta"), F.col("c").alias("ca"))
+    db = dfr.select(F.col("tok").alias("tb"), F.col("c").alias("cb"))
+    scored = (
+        pairs.join(F.broadcast(da), "ta")
+        .join(F.broadcast(db), "tb")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "ta", "tb", "cab",
+            F.round(
+                F.log(
+                    F.col("n_docs") * F.col("cab") * F.lit(1.0)
+                    / (F.col("ca") * F.col("cb"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi"), F.asc("ta"), F.asc("tb")
+    ).limit(PMI_TOPK)

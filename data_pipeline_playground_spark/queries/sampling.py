@@ -232,3 +232,48 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+# --- per-source cap (corpus balancing) --------------------------------------
+
+SOURCE_CAP = 15  # keep at most N docs per source
+CAP_SALT = "cap:"
+
+_CAP_KEY = f"'{CAP_SALT}' || CAST(doc_id AS VARCHAR)"
+
+_SOURCE_CAP_SQL = f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {sql_rolling_hash(_CAP_KEY)}, doc_id
+         ) AS rn
+  FROM documents
+)
+WHERE rn <= {SOURCE_CAP}
+"""
+
+
+@query("source_cap", oracle=_SOURCE_CAP_SQL)
+def source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap each source at N docs — the heavy-domain down-weighting step
+    of a corpus mix (e.g. 'at most N pages per site'). Which docs
+    survive is decided by salted-hash order (with doc_id tie-break),
+    so the cap is a uniform deterministic draw: same survivors every
+    run, any engine, any partitioning — NOT 'first N in file order',
+    which would bias toward early crawl batches. One shuffle
+    (partitionBy source); at 100 TB a skewed mega-source is pre-capped
+    per file/partition first (any per-partition N ≥ cap preserves the
+    global top-N by hash) so no single reducer sorts a whole domain."""
+    docs = table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    order_key = rolling_hash(
+        F.concat(F.lit(CAP_SALT), F.col("doc_id").cast("string"))
+    )
+    w = Window.partitionBy("source").orderBy(order_key.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SOURCE_CAP)
+        .select("doc_id", "source")
+    )
