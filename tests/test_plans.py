@@ -244,3 +244,29 @@ def test_dedup_incremental_anti_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_incremental")
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_source_cap_single_shuffle(spark, sf_dir):
+    """The per-source cap is one window shuffle on source — the hash
+    order key is computed inline, never a join."""
+    plan = _plan(spark, sf_dir, "source_cap")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_term_pmi_broadcasts_stats(spark, sf_dir):
+    """df/N frames broadcast into PMI scoring; the top-k must be
+    TakeOrderedAndProject, and the min-count prune must run before the
+    scoring joins (no unpruned pair stream reaches them)."""
+    plan = _plan(spark, sf_dir, "term_pmi_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_events_props_variant_single_shuffle(spark, sf_dir):
+    """parse_json → variant_get stays a narrow map; the only exchange
+    is the grouped aggregate's."""
+    plan = _plan(spark, sf_dir, "events_props_variant")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan  # variant path is JVM-side
