@@ -520,3 +520,106 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     pairs = _embed_dup_pairs(spark, sf_dir)
     return e.join(pairs, e.vec_id == pairs.ci, "left_anti").select("vec_id")
+
+
+# --- train/eval embedding drift check ---------------------------------------
+
+_DRIFT_TRAIN_PCT = 80
+
+def _drift_sql() -> str:
+    from data_pipeline_playground_spark.functions.text import sql_rolling_hash
+    from data_pipeline_playground_spark.queries.sampling import SPLIT_SALT
+
+    bucket = sql_rolling_hash(f"'{SPLIT_SALT}' || CAST(vec_id AS VARCHAR)")
+    return f"""
+WITH e AS (
+  SELECT vec_id, label,
+         CASE WHEN {bucket} % 100 < {_DRIFT_TRAIN_PCT}
+              THEN 'train' ELSE 'eval' END AS split,
+         embedding
+  FROM embeddings
+),
+x AS (
+  SELECT label, split,
+         generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM e
+),
+c AS (SELECT label, split, pos, sum(v) AS s FROM x GROUP BY label, split, pos),
+p AS (
+  SELECT a.label,
+         sum(a.s * b.s) AS dp, sum(a.s * a.s) AS na, sum(b.s * b.s) AS nb
+  FROM c a
+  JOIN c b ON a.label = b.label AND a.pos = b.pos
+          AND a.split = 'train' AND b.split = 'eval'
+  GROUP BY a.label
+),
+n AS (SELECT label, split, count(*) AS n FROM e GROUP BY label, split)
+SELECT p.label,
+       round(dp / (sqrt(na) * sqrt(nb)), 6) AS centroid_cosine,
+       nt.n AS n_train, ne.n AS n_eval
+FROM p
+JOIN n nt ON nt.label = p.label AND nt.split = 'train'
+JOIN n ne ON ne.label = p.label AND ne.split = 'eval'
+"""
+
+
+@query("embedding_split_drift", oracle=_drift_sql())
+def embedding_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift check between the deterministic train/eval
+    splits: cosine between each label's train centroid and eval
+    centroid (cosine of the per-dimension SUMS — scale-invariant, so
+    no division by n). A healthy random split scores near 1.0;
+    systematic drift (temporal skew, label leakage into one split)
+    drops it. Plan: posexplode → (label, split, pos) partial-sum
+    aggregate (one shuffle, combiner-friendly), then a dim²-free
+    self-join on (label, pos) over LABEL×DIM rows — the fact table is
+    touched once. The split is the same salted portable hash as
+    dataset_split, so this composes with the real split assignment."""
+    from data_pipeline_playground_spark.functions.text import rolling_hash
+    from data_pipeline_playground_spark.queries.sampling import SPLIT_SALT
+
+    emb = _embed_double(spark, sf_dir)
+    bucket = (
+        rolling_hash(F.concat(F.lit(SPLIT_SALT), F.col("vec_id").cast("string")))
+        % 100
+    )
+    e = emb.select(
+        "vec_id", "label",
+        F.when(bucket < _DRIFT_TRAIN_PCT, "train").otherwise("eval").alias("split"),
+        "v",
+    )
+    x = e.select("label", "split", F.posexplode("v").alias("pos", "val"))
+    c = x.groupBy("label", "split", "pos").agg(F.sum("val").alias("s"))
+    a = c.filter(F.col("split") == "train").select(
+        F.col("label").alias("la"), F.col("pos").alias("pa"), F.col("s").alias("sa")
+    )
+    b = c.filter(F.col("split") == "eval").select(
+        F.col("label").alias("lb"), F.col("pos").alias("pb"), F.col("s").alias("sb")
+    )
+    p = (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("pa") == F.col("pb")))
+        .groupBy(F.col("la").alias("label"))
+        .agg(
+            F.sum(F.col("sa") * F.col("sb")).alias("dp"),
+            F.sum(F.col("sa") * F.col("sa")).alias("na"),
+            F.sum(F.col("sb") * F.col("sb")).alias("nb"),
+        )
+    )
+    n = e.groupBy("label", "split").agg(F.count(F.lit(1)).alias("n"))
+    nt = n.filter(F.col("split") == "train").select(
+        F.col("label"), F.col("n").alias("n_train")
+    )
+    ne = n.filter(F.col("split") == "eval").select(
+        F.col("label"), F.col("n").alias("n_eval")
+    )
+    return (
+        p.select(
+            "label",
+            F.round(
+                F.col("dp") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))), 6
+            ).alias("centroid_cosine"),
+        )
+        .join(F.broadcast(nt), "label")
+        .join(F.broadcast(ne), "label")
+    )
