@@ -17,7 +17,9 @@ parquet and foreachBatch sinks (no always-on cluster needed).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -327,6 +329,62 @@ def streaming_incremental_dedup(new_docs: DataFrame,
         .join(F.broadcast(base_hashes), "th", "left_anti")
         .drop("th")
     )
+
+
+def streaming_cdc_apply(spark: SparkSession, changes: DataFrame,
+                        base: DataFrame, state_dir: str,
+                        key: str = "o_orderkey",
+                        version_col: str = "version") -> None:
+    """Streaming CDC sink: apply change batches to a keyed table state
+    via foreachBatch — the streaming twin of
+    queries/maintenance.orders_upsert_latest, i.e. the MERGE INTO loop
+    a Hudi/Delta table runs continuously.
+
+    Each micro-batch merges latest-wins (version desc, then op 'D'
+    beats others at equal version so a delete in the CURRENT batch
+    wins over the state it deletes) and writes a NEW state version
+    directory ``v{batch_id}`` — never overwriting the directory it
+    just read, so a crash mid-write leaves the previous state intact
+    and foreachBatch's batch-id-based replay keeps the sink
+    effectively exactly-once (rewriting v{batch_id} is idempotent).
+    At 100 TB the rewrite touches only the partitions the batch's
+    keys live in (partition-pruned MERGE), not the whole table.
+
+    ``changes`` is a streaming frame with (key, payload..., version,
+    op) where op ∈ I/U/D; ``base`` is the initial table state.
+    Blocks until the stream drains (availableNow trigger).
+    """
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        versions = sorted(
+            int(d[1:]) for d in os.listdir(state_dir)
+            if d.startswith("v") and d[1:].isdigit()
+        ) if os.path.isdir(state_dir) else []
+        cur = (
+            spark.read.parquet(os.path.join(state_dir, f"v{versions[-1]}"))
+            if versions else base
+        )
+        w = Window.partitionBy(key).orderBy(
+            F.desc(version_col), F.desc(F.col("op") == "D")
+        )
+        merged = (
+            cur.unionByName(batch_df)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .filter(F.col("op") != "D")
+        )
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v{batch_id}")
+        )
+
+    q = (
+        changes.writeStream.foreachBatch(merge)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(state_dir, "_ckpt"))
+        .start()
+    )
+    q.awaitTermination()
 
 
 def streaming_cms_counters(events: DataFrame) -> DataFrame:

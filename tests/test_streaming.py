@@ -481,3 +481,66 @@ def test_streaming_incremental_dedup_matches_batch(spark, sf_dir, tmp_path):
         assert len(got) > 0
     finally:
         q.stop()
+
+
+def test_streaming_cdc_apply_matches_batch_upsert(spark, sf_dir, tmp_path):
+    """Streaming the change batch through the foreachBatch CDC sink in
+    3 micro-batches converges to exactly the batch upsert's final
+    state (orders_upsert_latest)."""
+    import os
+
+    from data_pipeline_playground_spark.queries.maintenance import (
+        DEL_MOD,
+        UPD_MOD,
+        UPDATED_STATUS,
+    )
+    from data_pipeline_playground_spark.registry import all_queries
+    from data_pipeline_playground_spark.streaming.events_stream import (
+        streaming_cdc_apply,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey", "o_orderstatus",
+        F.lit(0).alias("version"), F.lit("I").alias("op"),
+    )
+    is_del = F.col("o_orderkey") % DEL_MOD == 0
+    changes = orders.filter(is_del | (F.col("o_orderkey") % UPD_MOD == 0)).select(
+        "o_orderkey",
+        F.when(is_del, F.col("o_orderstatus"))
+        .otherwise(F.lit(UPDATED_STATUS))
+        .alias("o_orderstatus"),
+        F.lit(1).alias("version"),
+        F.when(is_del, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+    )
+
+    in_dir = tmp_path / "changes_in"
+    in_dir.mkdir()
+    changes.repartition(3).write.mode("overwrite").json(str(in_dir))
+
+    stream = (
+        spark.readStream.schema(
+            "o_orderkey bigint, o_orderstatus string, version int, op string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(in_dir))
+    )
+    state_dir = str(tmp_path / "state")
+    streaming_cdc_apply(spark, stream, base, state_dir)
+
+    versions = sorted(
+        int(d[1:]) for d in os.listdir(state_dir)
+        if d.startswith("v") and d[1:].isdigit()
+    )
+    assert len(versions) >= 2  # multiple micro-batches actually applied
+    final = spark.read.parquet(os.path.join(state_dir, f"v{versions[-1]}"))
+
+    expected = all_queries()["orders_upsert_latest"](spark, sf_dir)
+    got = {
+        (r.o_orderkey, r.o_orderstatus, r.version)
+        for r in final.select("o_orderkey", "o_orderstatus", "version").collect()
+    }
+    want = {
+        (r.o_orderkey, r.o_orderstatus, r.version) for r in expected.collect()
+    }
+    assert got == want
