@@ -184,6 +184,68 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+def attach_audio_from_text(docs: DataFrame) -> DataFrame:
+    """Audio-kind twin of attach_payload_from_text: UTF-8 bytes stand
+    in for a PCM waveform; duration_ms derives from the byte length so
+    windowing logic sees realistic varying durations."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (F.length("text") * 10).cast("int").alias("duration_ms"),
+            F.lit("pcm8").alias("codec"),
+        ).alias("meta"),
+    )
+
+
+def audio_window_rms(media: DataFrame, win_ms: int = 200) -> DataFrame:
+    """Windowed RMS energy for audio rows — the shape of every audio
+    featurizer (VAD, loudness normalization, silence trimming): split
+    the waveform into duration/win_ms windows, one energy value each.
+
+    The stub decode treats payload bytes as centered 8-bit PCM
+    (librosa/ffmpeg replaces only the bytes→samples step); the
+    windowing is numpy-vectorized inside an Arrow-batched mapInPandas,
+    one Python pass per partition, binary never on the driver. Output
+    is (media_id, window_idx, rms) — rounded to 6dp so results are
+    bitwise partition-order independent."""
+    import math
+
+    import pandas as pd
+
+    def _run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in batches:
+            mids, widx, rms = [], [], []
+            for mid, p, m in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                dur = (m or {}).get("duration_ms") or 0
+                if p is None or dur <= 0:
+                    continue
+                wave = (
+                    np.frombuffer(bytes(p), dtype=np.uint8).astype(np.float64)
+                    - 128.0
+                )
+                n_win = max(int(dur) // win_ms, 1)
+                for w, chunk in enumerate(np.array_split(wave, n_win)):
+                    if not len(chunk):
+                        continue
+                    v = float(np.sqrt(np.mean(chunk * chunk)))
+                    mids.append(mid)
+                    widx.append(w)
+                    rms.append(math.floor(v * 1e6 + 0.5) / 1e6)
+            yield pd.DataFrame(
+                {"media_id": mids, "window_idx": widx, "rms": rms}
+            )
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        _run, schema="media_id bigint, window_idx int, rms double"
+    )
+
+
 # Ship decode helpers by value in pickled mapInPandas closures (see
 # functions/nlp_udfs.py — workers may not have this package on path;
 # must use pyspark's vendored cloudpickle).

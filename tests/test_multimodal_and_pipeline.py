@@ -82,3 +82,53 @@ def test_news_pipeline_end_to_end(spark, sf_dir):
         assert r.n_articles > 0
         assert r.keywords and len(r.keywords.split(" ")) <= 5
         assert r.summary_text  # every cluster got a representative text
+
+
+def test_audio_window_rms_shape_and_determinism(spark, sf_dir):
+    """Every audio row yields ceil-split windows of its duration;
+    window indices are dense from 0; RMS is bounded by the 8-bit PCM
+    range; and the result is identical under a different partitioning
+    (the row-local math can't depend on batch boundaries)."""
+    from data_pipeline_playground_spark.multimodal.media import (
+        attach_audio_from_text,
+        audio_window_rms,
+    )
+    from data_pipeline_playground_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents").limit(100)
+    media = attach_audio_from_text(docs)
+    out = audio_window_rms(media, win_ms=200).cache()
+
+    n_media = media.count()
+    per = (
+        out.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_win"),
+            F.max("window_idx").alias("max_idx"),
+            F.min("window_idx").alias("min_idx"),
+            F.max("rms").alias("max_rms"),
+            F.min("rms").alias("min_rms"),
+        )
+    )
+    rows = per.collect()
+    assert len(rows) == n_media  # every audio row produced windows
+    for r in rows:
+        assert r.min_idx == 0 and r.max_idx == r.n_win - 1  # dense 0..n-1
+        assert 0.0 <= r.min_rms and r.max_rms <= 128.0
+
+    # duration 10ms/char, 200ms windows → n_win == duration // 200 (≥1)
+    expected = {
+        r.media_id: max((r.dur // 200), 1)
+        for r in media.select(
+            "media_id", F.col("meta.duration_ms").alias("dur")
+        ).collect()
+    }
+    got = {r.media_id: r.n_win for r in rows}
+    assert got == expected
+
+    again = {
+        (r.media_id, r.window_idx): r.rms
+        for r in audio_window_rms(media.repartition(7), win_ms=200).collect()
+    }
+    first = {(r.media_id, r.window_idx): r.rms for r in out.collect()}
+    assert again == first
