@@ -2,6 +2,7 @@
 
 from data_pipeline_playground_spark.queries import (  # noqa: F401
     analytics,
+    corpus_stats,
     dedup,
     dedup_advanced,
     graph,

@@ -1,0 +1,294 @@
+"""Corpus-level LM statistics + span dedup + tokenizer induction +
+canonical selection (SURVEY §2.12/§2.13 — driver-mandated LLM-pipeline
+extensions beyond the reference surface).
+
+The reference's text handling stops at word tokens and TF-IDF
+(`/root/reference/cluster.py:12-18`, `lda.py:19-29`); a training-data
+pipeline additionally needs (a) an n-gram LM quality signal beyond the
+unigram proxy, (b) cross-document repeated-span detection (the
+ExactSubstr dedup signal of Lee et al. 2022, "Deduplicating Training
+Data Makes Language Models Better"), (c) the first iteration of BPE
+tokenizer training (Sennrich et al. 2016: most frequent adjacent
+symbol pair), and (d) canonical-document selection inside near-dup
+clusters (keep the best member, not blindly the min id).
+
+All four are fully oracle-checked. Float scores are rounded before any
+ranking (ulp-proof, see queries/retrieval.py); the BPE and span
+operators rank by exact integers so no rounding is needed at all.
+
+Scale notes (100 TB):
+- bigram model: one explode + two vocabulary-shaped aggregates; the
+  bigram-count table is pair-vocab-sized — broadcast while it fits,
+  shuffle join on (w1, w2) when it doesn't; either way the per-doc
+  aggregate stays map-side combinable on doc_id.
+- duplicate_spans: shuffle key is the span text (at scale: its
+  xxhash64, keeping only min(span) per hash) — one explode + one
+  combinable count; never a pairwise doc join.
+- bpe_top_merges: pair counting runs over the DISTINCT-word table
+  weighted by word frequency, so cost is vocabulary-shaped, not
+  corpus-shaped — exactly how real BPE trainers batch it.
+- dedup_keep_best: reuses the memoized MinHash candidate pairs and the
+  iterative components operator; the argmax is a per-component window
+  whose partitions are component-sized (bounded by cluster size, never
+  corpus size).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_playground_spark.functions.text import tokenize
+from data_pipeline_playground_spark.queries.dedup_advanced import (
+    _MINHASH_CTES,
+    _minhash_est,
+    SIM_THRESHOLD,
+)
+from data_pipeline_playground_spark.registry import query
+from data_pipeline_playground_spark.tables import table
+
+_SQL_TOKENS = (
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+)
+
+# ---- bigram log-probability (perplexity proxy, order-2) --------------------
+
+BIGRAM_ALPHA = 0.5  # add-alpha smoothing
+
+_BIGRAM_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+  WHERE len({_SQL_TOKENS}) >= 2
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> [toks[i], toks[i + 1]])) AS b
+  FROM t
+),
+bge AS (SELECT doc_id, b[1] AS w1, b[2] AS w2 FROM bg),
+cb AS (SELECT w1, w2, count(*) AS c12 FROM bge GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS c1 FROM bge GROUP BY w1),
+v AS (
+  SELECT count(DISTINCT term) AS v
+  FROM (SELECT unnest(toks) AS term FROM t)
+)
+SELECT e.doc_id,
+       round(avg(ln((cb.c12 + {BIGRAM_ALPHA})
+                    / (c1.c1 + {BIGRAM_ALPHA} * v.v))), 6)
+         AS avg_bigram_logprob
+FROM bge e
+JOIN cb USING (w1, w2)
+JOIN c1 USING (w1)
+CROSS JOIN v
+GROUP BY e.doc_id
+"""
+
+
+@query("bigram_logprob", oracle=_BIGRAM_SQL)
+def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram conditional log-probability under the
+    corpus's own add-0.5-smoothed bigram model — the order-2 upgrade of
+    `unigram_logprob` (CCNet-style perplexity quality filter). The
+    bigram/context count tables are vocabulary-shaped and broadcast
+    (falling back to a shuffle join on the bigram key at web scale);
+    the per-doc average is one map-side-combinable aggregate on
+    doc_id. Guarded to docs with ≥2 tokens so both engines score the
+    identical row set."""
+    docs = table(spark, sf_dir, "documents")
+    t = (
+        docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .cache()
+    )
+    bge = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> struct(element_at(toks, i) AS w1, "
+                "element_at(toks, i + 1) AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    cb = bge.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bge.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = t.select(F.explode("toks").alias("term")).agg(
+        F.countDistinct("term").alias("v")
+    )
+    lp = F.log(
+        (F.col("c12") + F.lit(BIGRAM_ALPHA))
+        / (F.col("c1") + F.lit(BIGRAM_ALPHA) * F.col("v"))
+    )
+    return (
+        bge.join(F.broadcast(cb), ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(lp), 6).alias("avg_bigram_logprob"))
+    )
+
+
+# ---- cross-document duplicate spans (ExactSubstr signal) -------------------
+
+SPAN_W = 8  # tokens per span window, stride 1
+
+_SPANS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+  WHERE len({_SQL_TOKENS}) >= {SPAN_W}
+),
+s AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             range(1, len(toks) - {SPAN_W} + 2),
+             i -> array_to_string(list_slice(toks, i, i + {SPAN_W} - 1), ' ')
+         ))) AS span
+  FROM t
+)
+SELECT span, count(*) AS n_docs, min(doc_id) AS first_doc
+FROM s GROUP BY span HAVING count(*) >= 2
+"""
+
+
+@query("duplicate_spans", oracle=_SPANS_SQL)
+def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim {SPAN_W}-token windows (stride 1) that appear in ≥2
+    distinct documents — the span-granular duplication signal behind
+    ExactSubstr dedup (Lee et al. 2022): boilerplate, licenses, and
+    templated text surface here even when whole-document similarity is
+    low. One explode + one combinable count grouped by span; per-doc
+    windows are pre-deduped so `count(*)` IS the distinct-doc count.
+    At 100 TB the shuffle key becomes xxhash64(span) with min(span)
+    kept per hash (8-byte keys instead of span text); the plan shape
+    is unchanged."""
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokenize(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= SPAN_W
+    )
+    spans = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"array_distinct(transform(sequence(1, size(toks) - {SPAN_W} + 1), "
+                f"i -> concat_ws(' ', slice(toks, i, {SPAN_W}))))"
+            )
+        ).alias("span"),
+    )
+    return (
+        spans.groupBy("span")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+# ---- BPE tokenizer induction: first merge iteration ------------------------
+
+BPE_TOPK = 20
+
+_BPE_SQL = f"""
+WITH tok AS (SELECT unnest({_SQL_TOKENS}) AS w FROM documents),
+wc AS (
+  SELECT w, count(*) AS c FROM tok WHERE length(w) >= 2 GROUP BY w
+),
+pairs AS (
+  SELECT unnest(list_transform(range(1, length(w)),
+             i -> substring(w, i, 1) || ' ' || substring(w, i + 1, 1))) AS pair,
+         c
+  FROM wc
+)
+SELECT pair, sum(c) AS freq FROM pairs GROUP BY pair
+QUALIFY row_number() OVER (ORDER BY sum(c) DESC, pair) <= {BPE_TOPK}
+"""
+
+
+@query("bpe_top_merges", oracle=_BPE_SQL)
+def bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{BPE_TOPK} adjacent character pairs by corpus frequency —
+    the candidate set for the FIRST merge of BPE tokenizer training
+    (Sennrich et al. 2016). Pair counting runs over the DISTINCT-word
+    table weighted by word frequency (exactly how real BPE trainers
+    batch the corpus), so the explode is vocabulary-shaped; frequencies
+    are exact integers, so the top-k order needs no float rounding.
+    Plans as TakeOrderedAndProject — no single-partition window."""
+    docs = table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = wc.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1), "
+                "i -> concat(substring(w, i, 1), ' ', substring(w, i + 1, 1)))"
+            )
+        ).alias("pair"),
+        "c",
+    )
+    freq = pairs.groupBy("pair").agg(F.sum("c").alias("freq"))
+    return freq.orderBy(F.desc("freq"), F.asc("pair")).limit(BPE_TOPK)
+
+
+# ---- canonical selection inside near-dup components ------------------------
+
+_KEEP_BEST_SQL = (
+    _MINHASH_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+    + f""",
+pr AS (SELECT ci, cj FROM est WHERE sim >= {SIM_THRESHOLD}),
+ed AS (SELECT ci AS a, cj AS b FROM pr UNION SELECT cj AS a, ci AS b FROM pr),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT ed.b, reach.label FROM reach JOIN ed ON ed.a = reach.node
+),
+comp AS (SELECT node AS doc_id, min(label) AS component_id FROM reach GROUP BY node),
+joined AS (
+  SELECT c.component_id, d.doc_id, d.n_chars
+  FROM comp c JOIN documents d USING (doc_id)
+),
+best AS (
+  SELECT component_id, doc_id AS kept_doc_id FROM joined
+  QUALIFY row_number() OVER (
+    PARTITION BY component_id ORDER BY n_chars DESC, doc_id
+  ) = 1
+),
+cnt AS (SELECT component_id, count(*) AS n_members FROM joined GROUP BY component_id)
+SELECT b.component_id, b.kept_doc_id, c.n_members
+FROM best b JOIN cnt c USING (component_id)
+"""
+)
+
+
+@query("dedup_keep_best", oracle=_KEEP_BEST_SQL)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: within each transitive MinHash
+    near-dup component, keep the LONGEST member (n_chars desc, doc_id
+    tie-break) — the realistic training-data choice (keep the fullest
+    copy), vs the keep-min-id convention of the pairwise tiers.
+    Reuses the memoized candidate-pair estimates and the iterative
+    components operator; the argmax window partitions by component, so
+    partition size is bounded by duplicate-cluster size, never corpus
+    size. The oracle re-derives components as a recursive CTE and the
+    same QUALIFY argmax."""
+    from data_pipeline_playground_spark.operators.components import (
+        connected_components,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = _minhash_est(spark, sf_dir).filter(F.col("sim") >= SIM_THRESHOLD)
+    comp = connected_components(docs.select("doc_id"), pairs)
+    joined = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("component_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    best = (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("component_id", F.col("doc_id").alias("kept_doc_id"))
+    )
+    cnt = joined.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return best.join(cnt, "component_id")

@@ -270,3 +270,42 @@ def test_events_props_variant_single_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "events_props_variant")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "BatchEvalPython" not in plan  # variant path is JVM-side
+
+
+def test_bigram_logprob_broadcasts_model(spark, sf_dir):
+    """Bigram/context count tables broadcast into the scoring join;
+    the per-doc average is the only hash aggregate consuming the
+    scored stream — and nothing drops to Python."""
+    plan = _plan(spark, sf_dir, "bigram_logprob")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_duplicate_spans_single_shuffle(spark, sf_dir):
+    """Span detection is one explode + one combinable count: exactly
+    one exchange, no join of any kind."""
+    plan = _plan(spark, sf_dir, "duplicate_spans")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    # map-side combine: partial aggregate before the exchange
+    assert plan.index("HashAggregate") < plan.index("Exchange hashpartitioning")
+
+
+def test_bpe_top_merges_vocab_shaped(spark, sf_dir):
+    """Pair counting runs over the distinct-word aggregate (vocab-
+    shaped), and the final top-k is TakeOrderedAndProject — no
+    single-partition global sort."""
+    plan = _plan(spark, sf_dir, "bpe_top_merges")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange hashpartitioning") == 2  # word agg + pair agg
+    assert "Join" not in plan
+
+
+def test_dedup_keep_best_no_quadratic_join(spark, sf_dir):
+    """Canonical selection reuses the LSH candidate path: no cartesian
+    product / BNLJ anywhere, and the argmax is a per-component window
+    (SortMergeJoin/shuffle on bounded component partitions is fine)."""
+    plan = _plan(spark, sf_dir, "dedup_keep_best")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
