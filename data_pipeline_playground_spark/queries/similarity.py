@@ -623,3 +623,266 @@ def embedding_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nt), "label")
         .join(F.broadcast(ne), "label")
     )
+
+
+# ---- kNN majority-vote label classification --------------------------------
+
+KNN_K = 7  # neighbors per query for the vote
+
+_KNN_VOTE_SQL = f"""
+WITH e AS (SELECT vec_id, label, {_SQL_V} AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < {N_QUERY_VECTORS}),
+nb AS (
+  SELECT q.q_id, e.vec_id AS n_id, e.label,
+         round({_SQL_DOT.format(a="q.qv", b="e.v")}
+               / greatest({_SQL_NORM.format(a="q.qv")}
+                          * {_SQL_NORM.format(a="e.v")}, 1e-12), 6) AS cosine
+  FROM q, e WHERE e.vec_id >= {N_QUERY_VECTORS}
+),
+top AS (
+  SELECT q_id, label FROM nb
+  QUALIFY row_number() OVER (
+    PARTITION BY q_id ORDER BY cosine DESC, n_id) <= {KNN_K}
+),
+votes AS (SELECT q_id, label, count(*) AS votes FROM top GROUP BY q_id, label)
+SELECT q_id, label AS pred_label, votes FROM votes
+QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, label) = 1
+"""
+
+
+@query("knn_label_vote", oracle=_KNN_VOTE_SQL)
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-join classifier: predict each query vector's label by
+    majority vote of its 7 nearest labeled neighbors (cosine; the
+    labeled pool is every non-query vector). The weak-supervision /
+    auto-labeling primitive of a training-data pipeline. Same plan
+    shape as `embedding_cosine_topk` — the query set broadcasts into
+    one linear corpus scan — plus two bounded per-query aggregates
+    (≤k rows each). Cosines are rounded before ranking and both
+    rankings tie-break deterministically (n_id; then label)."""
+    e = _embed_double(spark, sf_dir).withColumn("nv", norm(F.col("v"), DIM))
+    q = e.filter(F.col("vec_id") < N_QUERY_VECTORS).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
+    )
+    nb = (
+        e.filter(F.col("vec_id") >= N_QUERY_VECTORS)
+        .join(F.broadcast(q))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            "label",
+            F.round(
+                dot(F.col("qv"), F.col("v"), DIM)
+                / F.greatest(F.col("nq") * F.col("nv"), F.lit(1e-12)),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w_top = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    top = (
+        nb.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= KNN_K)
+        .select("q_id", "label")
+    )
+    votes = top.groupBy("q_id", "label").agg(F.count(F.lit(1)).alias("votes"))
+    w_vote = Window.partitionBy("q_id").orderBy(F.desc("votes"), F.asc("label"))
+    return (
+        votes.withColumn("rn", F.row_number().over(w_vote))
+        .filter(F.col("rn") == 1)
+        .select("q_id", F.col("label").alias("pred_label"), "votes")
+    )
+
+
+# ---- product quantization (PQ) ANN -----------------------------------------
+#
+# Full PQ (Jégou et al. 2011, "Product Quantization for Nearest
+# Neighbor Search"): split each 64-d vector into 8 sub-vectors of 8
+# dims, quantize each subspace against a 16-centroid codebook, answer
+# queries via asymmetric distance computation (ADC) over the 8-byte
+# codes. The codebook is deterministic — seeded from 16 fixed corpus
+# vectors and refined by ONE Lloyd step — which keeps the whole
+# operator SQL-expressible, so unlike the KMeans-trained IVF variant
+# this ANN index is fully ORACLE-CHECKED, not rows-only.
+#
+# Float discipline: all distance folds are sequential (identical
+# rounding both engines); refined centroid components round to 5
+# decimals after the mean so partial-aggregation summation order can
+# never flip an argmin; assignment and ADC rankings order by ROUNDED
+# distance with cid / n_id tie-breaks.
+
+PQ_M = 8  # subspaces
+PQ_SUB_DIM = DIM // PQ_M  # dims per subspace
+PQ_SEED_LO = N_QUERY_VECTORS  # codebook seed ids: [10, 26)
+PQ_SEED_HI = N_QUERY_VECTORS + 16
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Sequential-fold squared L2 distance (same order as the oracle)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _sql_l2sq(a: str, b: str, n: int) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, {n} + 1), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+_PQ_CTES = f"""
+WITH e AS (SELECT vec_id, {_SQL_V} AS v FROM embeddings),
+sub AS (
+  SELECT e.vec_id, m.m,
+         list_slice(e.v, m.m * {PQ_SUB_DIM} + 1,
+                    m.m * {PQ_SUB_DIM} + {PQ_SUB_DIM}) AS sub
+  FROM e, (SELECT unnest(range(0, {PQ_M})) AS m) m
+),
+c0 AS (
+  SELECT m, vec_id - {PQ_SEED_LO} AS cid, sub AS c
+  FROM sub WHERE vec_id >= {PQ_SEED_LO} AND vec_id < {PQ_SEED_HI}
+),
+a0 AS (
+  SELECT s.vec_id, s.m, c0.cid, s.sub
+  FROM sub s JOIN c0 ON c0.m = s.m
+  QUALIFY row_number() OVER (
+    PARTITION BY s.vec_id, s.m
+    ORDER BY round({_sql_l2sq("s.sub", "c0.c", PQ_SUB_DIM)}, 6), c0.cid) = 1
+),
+cd AS (
+  SELECT a0.m, a0.cid, i.i, round(avg(a0.sub[i.i]), 5) AS val
+  FROM a0, (SELECT unnest(range(1, {PQ_SUB_DIM} + 1)) AS i) i
+  GROUP BY a0.m, a0.cid, i.i
+),
+c1 AS (SELECT m, cid, list(val ORDER BY i) AS c FROM cd GROUP BY m, cid),
+codes AS (
+  SELECT s.vec_id, s.m, c1.cid
+  FROM sub s JOIN c1 ON c1.m = s.m
+  QUALIFY row_number() OVER (
+    PARTITION BY s.vec_id, s.m
+    ORDER BY round({_sql_l2sq("s.sub", "c1.c", PQ_SUB_DIM)}, 6), c1.cid) = 1
+)
+"""
+
+_PQ_CODES_SQL = _PQ_CTES + """
+SELECT vec_id, m, cid AS code FROM codes
+"""
+
+_PQ_TOPK_SQL = _PQ_CTES + f""",
+dt AS (
+  SELECT q.vec_id AS q_id, c1.m, c1.cid,
+         {_sql_l2sq("q.sub", "c1.c", PQ_SUB_DIM)} AS d2q
+  FROM sub q JOIN c1 ON c1.m = q.m
+  WHERE q.vec_id < {N_QUERY_VECTORS}
+),
+adc AS (
+  SELECT dt.q_id, codes.vec_id AS n_id, round(sum(dt.d2q), 6) AS approx_d2
+  FROM codes JOIN dt ON dt.m = codes.m AND dt.cid = codes.cid
+  WHERE codes.vec_id <> dt.q_id
+  GROUP BY dt.q_id, codes.vec_id
+)
+SELECT q_id, n_id, approx_d2 FROM adc
+QUALIFY row_number() OVER (
+  PARTITION BY q_id ORDER BY approx_d2, n_id) <= {TOP_K}
+"""
+
+
+def _pq_model(spark: SparkSession, sf_dir: str):
+    """Memoized (codebook c1, codes) pair — shared by the codes query,
+    the ADC query, and the recall invariant test."""
+    from data_pipeline_playground_spark.caching import memo
+
+    def build():
+        e = _embed_double(spark, sf_dir)
+        sub = e.select(
+            "vec_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {PQ_M - 1}), "
+                    f"m -> named_struct('m', m, "
+                    f"'sub', slice(v, m * {PQ_SUB_DIM} + 1, {PQ_SUB_DIM})))"
+                )
+            ).alias("s"),
+        ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sub").alias("sub"))
+        sub = sub.cache()
+        sub.count()  # eager: four consumers branch off within one action
+        c0 = sub.filter(
+            (F.col("vec_id") >= PQ_SEED_LO) & (F.col("vec_id") < PQ_SEED_HI)
+        ).select("m", (F.col("vec_id") - PQ_SEED_LO).alias("cid"),
+                 F.col("sub").alias("c"))
+
+        def assign(codebook: DataFrame) -> DataFrame:
+            w = Window.partitionBy("vec_id", "m").orderBy("d2r", "cid")
+            return (
+                sub.join(F.broadcast(codebook), "m")
+                .withColumn("d2r", F.round(_l2sq(F.col("sub"), F.col("c")), 6))
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+            )
+
+        a0 = assign(c0).select("vec_id", "m", "cid", "sub")
+        cd = (
+            a0.select("m", "cid", F.posexplode("sub").alias("i0", "x"))
+            .select("m", "cid", (F.col("i0") + 1).alias("i"), "x")
+            .groupBy("m", "cid", "i")
+            .agg(F.round(F.avg("x"), 5).alias("val"))
+        )
+        c1 = cd.groupBy("m", "cid").agg(
+            F.expr(
+                "transform(array_sort(collect_list(named_struct"
+                "('i', i, 'val', val))), s -> s.val)"
+            ).alias("c")
+        )
+        codes = assign(c1).select("vec_id", "m", "cid").cache()
+        codes.count()
+        return c1, codes, sub
+
+    return memo(spark, "pq_model", sf_dir, build)
+
+
+@query("pq_codes", oracle=_PQ_CODES_SQL)
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ code table: each vector compressed to 8 sub-space
+    centroid ids (64 bytes → 8 nibble-sized codes). One broadcast join
+    per assignment pass (codebook is 128 tiny rows) and a per-(vec, m)
+    argmin window whose partitions are exactly 16 rows — nothing in
+    the plan grows with corpus size except the narrow scan itself."""
+    _c1, codes, _sub = _pq_model(spark, sf_dir)
+    return codes.select("vec_id", "m", F.col("cid").alias("code"))
+
+
+@query("ann_pq_topk", oracle=_PQ_TOPK_SQL)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC approximate top-k: per-query distance tables to the 128
+    refined centroids (10×8×16 rows — broadcast), joined to the code
+    table on (m, cid) and summed per (query, vector). The corpus-side
+    operand is CODES (8 small ints per vector), not raw vectors — the
+    memory-bandwidth win that makes PQ the 100 TB scan strategy; at
+    cluster scale the codes table partitions by vec_id range and each
+    executor scans its shard against the broadcast distance tables.
+    Fully oracle-checked (deterministic seeded codebook + one Lloyd
+    step — see block comment above)."""
+    c1, codes, sub = _pq_model(spark, sf_dir)
+    dt = (
+        sub.filter(F.col("vec_id") < N_QUERY_VECTORS)
+        .withColumnRenamed("vec_id", "q_id")
+        .join(F.broadcast(c1), "m")
+        .select("q_id", "m", "cid", _l2sq(F.col("sub"), F.col("c")).alias("d2q"))
+    )
+    adc = (
+        codes.join(F.broadcast(dt), ["m", "cid"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", F.col("vec_id").alias("n_id"))
+        .agg(F.round(F.sum("d2q"), 6).alias("approx_d2"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("approx_d2"), F.asc("n_id"))
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", "n_id", "approx_d2")
+    )

@@ -142,3 +142,72 @@ def test_dedup_fuzzy_subset_and_pairwise(spark, sf_dir):
     assert len(ids) == survivors.count()
     # min id always survives (no j < min exists)
     assert min(all_ids) in ids
+
+
+def test_pq_shortlist_recall(spark, sf_dir):
+    """PQ-ADC shortlist quality: a 50-candidate ADC shortlist must
+    recover ≥50% of the exact L2 top-5 (measured 0.64 at sf0.001 /
+    0.72 at sf0.01 on the deterministic tables; chance is ~0.10).
+    This is the re-rank-pipeline guarantee PQ is used for — the
+    oracle already checks ADC values exactly; this guards the
+    APPROXIMATION quality against codebook regressions."""
+    from pyspark.sql import Window
+    from data_pipeline_playground_spark.queries.similarity import (
+        N_QUERY_VECTORS,
+        TOP_K,
+        _embed_double,
+        _l2sq,
+        _pq_model,
+    )
+
+    e = _embed_double(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERY_VECTORS).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    pairs = e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
+        "q_id",
+        F.col("vec_id").alias("n_id"),
+        F.round(_l2sq(F.col("qv"), F.col("v")), 6).alias("d2"),
+    )
+    w = Window.partitionBy("q_id").orderBy("d2", "n_id")
+    exact = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", "n_id")
+    )
+    c1, codes, sub = _pq_model(spark, sf_dir)
+    dt = (
+        sub.filter(F.col("vec_id") < N_QUERY_VECTORS)
+        .withColumnRenamed("vec_id", "q_id")
+        .join(F.broadcast(c1), "m")
+        .select("q_id", "m", "cid", _l2sq(F.col("sub"), F.col("c")).alias("d2q"))
+    )
+    adc = (
+        codes.join(F.broadcast(dt), ["m", "cid"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", F.col("vec_id").alias("n_id"))
+        .agg(F.round(F.sum("d2q"), 6).alias("ad2"))
+    )
+    wa = Window.partitionBy("q_id").orderBy("ad2", "n_id")
+    short = (
+        adc.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") <= 50)
+        .select("q_id", "n_id")
+    )
+    n_exact = exact.count()
+    recall = exact.join(short, ["q_id", "n_id"]).count() / n_exact
+    assert recall >= 0.5, f"PQ shortlist recall@50 degraded: {recall}"
+
+
+def test_knn_vote_majority_consistency(spark, sf_dir):
+    """Every prediction's vote count is in [ceil(k/|labels|), k] and
+    there is exactly one prediction per query vector."""
+    from data_pipeline_playground_spark.queries.similarity import (
+        KNN_K,
+        N_QUERY_VECTORS,
+    )
+
+    res = _QUERIES["knn_label_vote"](spark, sf_dir).collect()
+    assert len(res) == N_QUERY_VECTORS
+    assert len({r.q_id for r in res}) == N_QUERY_VECTORS
+    assert all(1 <= r.votes <= KNN_K for r in res)

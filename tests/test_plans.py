@@ -309,3 +309,29 @@ def test_dedup_keep_best_no_quadratic_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_keep_best")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_knn_label_vote_broadcast_scan(spark, sf_dir):
+    """The kNN join is one broadcast of the query set against a linear
+    corpus scan — no shuffle join, no cartesian product."""
+    plan = _plan(spark, sf_dir, "knn_label_vote")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # corpus side never shuffles for the join
+
+
+def test_ann_pq_topk_codes_side_no_vectors(spark, sf_dir):
+    """ADC consumes the CODES table joined to broadcast distance
+    tables: broadcast hash joins only, and the per-(q,n) sum is a
+    combinable hash aggregate."""
+    plan = _plan(spark, sf_dir, "ann_pq_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pq_codes_bounded_windows(spark, sf_dir):
+    """Code assignment's argmin windows partition by (vec, subspace) —
+    16-row partitions — and the codebook join is broadcast."""
+    plan = _plan(spark, sf_dir, "pq_codes")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
