@@ -32,7 +32,7 @@ UPD_MOD = 10   # keys with o_orderkey % 10 == 0 receive a status update
 DEL_MOD = 17   # keys with o_orderkey % 17 == 0 are deleted (tombstone)
 UPDATED_STATUS = "X"
 
-_UPSERT_SQL = f"""
+_MERGE_CTES = f"""
 WITH base AS (
   SELECT o_orderkey, o_orderstatus, 0 AS version, 'I' AS op FROM orders
 ),
@@ -50,6 +50,9 @@ merged AS (
                                ORDER BY version DESC) AS rn
   FROM (SELECT * FROM base UNION ALL SELECT * FROM changes)
 )
+"""
+
+_UPSERT_SQL = _MERGE_CTES + """
 SELECT o_orderkey, o_orderstatus, version
 FROM merged WHERE rn = 1 AND op <> 'D'
 """
@@ -199,3 +202,104 @@ def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+# --- snapshot diff (time-travel DIFF between table versions) ----------------
+
+_DIFF_SQL = _MERGE_CTES + """,
+final AS (
+  SELECT o_orderkey, o_orderstatus
+  FROM merged WHERE rn = 1 AND op <> 'D'
+),
+b AS (SELECT o_orderkey, o_orderstatus FROM orders)
+SELECT coalesce(b.o_orderkey, f.o_orderkey) AS o_orderkey,
+       CASE WHEN f.o_orderkey IS NULL THEN 'removed'
+            WHEN b.o_orderkey IS NULL THEN 'added'
+            ELSE 'changed' END AS change_type
+FROM b FULL OUTER JOIN final f ON b.o_orderkey = f.o_orderkey
+WHERE f.o_orderkey IS NULL OR b.o_orderkey IS NULL
+   OR b.o_orderstatus <> f.o_orderstatus
+"""
+
+
+@query("orders_snapshot_diff", oracle=_DIFF_SQL)
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between the base table and its post-merge version
+    (the lakehouse time-travel DIFF): full outer join on the merge key,
+    classify each divergent key added / removed / changed. Both
+    snapshots shuffle once on the key (and in a key-partitioned layout
+    the join is co-located — zero extra shuffle); unchanged rows are
+    filtered pre-output so the result is change-sized, not
+    table-sized."""
+    orders = table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("bk"), F.col("o_orderstatus").alias("bs")
+    )
+    final = orders_upsert_latest(spark, sf_dir).select(
+        F.col("o_orderkey").alias("fk"), F.col("o_orderstatus").alias("fs")
+    )
+    j = base.join(final, base.bk == final.fk, "full_outer")
+    return j.filter(
+        F.col("fk").isNull() | F.col("bk").isNull() | (F.col("bs") != F.col("fs"))
+    ).select(
+        F.coalesce("bk", "fk").alias("o_orderkey"),
+        F.when(F.col("fk").isNull(), "removed")
+        .when(F.col("bk").isNull(), "added")
+        .otherwise("changed")
+        .alias("change_type"),
+    )
+
+
+# --- SCD2 dimension history from a change log -------------------------------
+
+_SCD2_SQL = """
+WITH ev AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+),
+chg AS (
+  SELECT user_id, ts, event_id, event_type FROM ev
+  WHERE prev IS NULL OR event_type <> prev
+),
+iv AS (
+  SELECT user_id, event_type AS state, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS valid_to
+  FROM chg
+)
+SELECT user_id, state, valid_from, valid_to,
+       valid_to IS NULL AS is_current
+FROM iv
+"""
+
+
+@query("user_state_scd2", oracle=_SCD2_SQL)
+def user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from a change log: each
+    user's event stream collapses consecutive identical states, then
+    every surviving state change becomes a validity interval
+    [valid_from, valid_to) with the open interval flagged is_current —
+    the standard dimension-history table a warehouse derives from CDC.
+    Both windows partition by user_id, so the lag-collapse and the
+    lead-intervalization share ONE hash shuffle end-to-end."""
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        events.select(
+            "user_id", "ts", "event_id", "event_type",
+            F.lag("event_type").over(w).alias("prev"),
+        )
+        .filter(F.col("prev").isNull() | (F.col("event_type") != F.col("prev")))
+    )
+    iv = chg.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    return iv.select(
+        "user_id", "state", "valid_from", "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+    )

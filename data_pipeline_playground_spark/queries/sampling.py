@@ -277,3 +277,70 @@ def source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= SOURCE_CAP)
         .select("doc_id", "source")
     )
+
+
+# ---- cross-split contamination (train/eval leakage) ------------------------
+
+_LEAKAGE_SQL_SPLIT = f"""
+CASE WHEN {_SPLIT_BUCKET} < {TRAIN_PCT} THEN 'train'
+     WHEN {_SPLIT_BUCKET} < {VAL_PCT} THEN 'val'
+     ELSE 'test' END
+"""
+
+
+def _leakage_sql() -> str:
+    from data_pipeline_playground_spark.operators.minhash import SIM_THRESHOLD
+    from data_pipeline_playground_spark.queries.dedup_advanced import (
+        _MINHASH_CTES,
+    )
+
+    return (
+        _MINHASH_CTES
+        + f""",
+sp AS (SELECT doc_id, {_LEAKAGE_SQL_SPLIT} AS split FROM documents)
+SELECT e.ci, e.cj, round(e.sim, 6) AS sim,
+       sa.split AS split_i, sb.split AS split_j
+FROM est e
+JOIN sp sa ON sa.doc_id = e.ci
+JOIN sp sb ON sb.doc_id = e.cj
+WHERE e.sim >= {SIM_THRESHOLD} AND sa.split <> sb.split
+"""
+    )
+
+
+@query("split_leakage", oracle=_leakage_sql())
+def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination detector: MinHash near-dup pairs whose
+    two members land in DIFFERENT dataset splits — the leakage that
+    silently inflates eval scores when dedup runs before (or without
+    regard to) splitting. Reuses the memoized LSH candidate-pair
+    estimates (never an all-pairs join) and the zero-shuffle salted
+    split map; the split frame joins in as two broadcast-sized
+    (doc_id, split) projections. A clean pipeline gates on this being
+    empty — or reassigns the whole near-dup COMPONENT to one split."""
+    from data_pipeline_playground_spark.operators.minhash import SIM_THRESHOLD
+    from data_pipeline_playground_spark.queries.dedup_advanced import (
+        _minhash_est,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    bucket = (
+        rolling_hash(F.concat(F.lit(SPLIT_SALT), F.col("doc_id").cast("string")))
+        % 100
+    )
+    sp = docs.select(
+        "doc_id",
+        F.when(bucket < TRAIN_PCT, "train")
+        .when(bucket < VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    est = _minhash_est(spark, sf_dir).filter(F.col("sim") >= SIM_THRESHOLD)
+    sa = sp.select(F.col("doc_id").alias("ci"), F.col("split").alias("split_i"))
+    sb = sp.select(F.col("doc_id").alias("cj"), F.col("split").alias("split_j"))
+    return (
+        est.join(F.broadcast(sa), "ci")
+        .join(F.broadcast(sb), "cj")
+        .filter(F.col("split_i") != F.col("split_j"))
+        .select("ci", "cj", F.round("sim", 6).alias("sim"), "split_i", "split_j")
+    )

@@ -335,3 +335,30 @@ def test_pq_codes_bounded_windows(spark, sf_dir):
     plan = _plan(spark, sf_dir, "pq_codes")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_orders_snapshot_diff_key_join(spark, sf_dir):
+    """Snapshot diff is a keyed full-outer join — no cartesian, no
+    BNLJ; the change classification is a narrow projection."""
+    plan = _plan(spark, sf_dir, "orders_snapshot_diff")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FullOuter" in plan
+
+
+def test_user_state_scd2_single_shuffle(spark, sf_dir):
+    """Both SCD2 windows partition by user_id: the lag-collapse and
+    the lead-intervalization share one hash exchange."""
+    plan = _plan(spark, sf_dir, "user_state_scd2")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_split_leakage_broadcast_split_map(spark, sf_dir):
+    """The (doc_id, split) maps broadcast into the memoized candidate
+    pairs — no extra shuffle beyond the signature pipeline, and no
+    quadratic join anywhere."""
+    plan = _plan(spark, sf_dir, "split_leakage")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
