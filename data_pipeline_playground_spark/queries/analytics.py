@@ -574,3 +574,55 @@ def nation_revenue_pctrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+# ---- funnel latency: signup → first purchase -------------------------------
+
+_SIGNUP_LATENCY_SQL = """
+WITH su AS (
+  SELECT user_id, min(ts) AS first_signup
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+pu AS (
+  SELECT e.user_id, min(e.ts) AS first_purchase
+  FROM events e JOIN su ON su.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > su.first_signup
+  GROUP BY e.user_id
+)
+SELECT su.user_id, su.first_signup, pu.first_purchase,
+       epoch_us(pu.first_purchase) - epoch_us(su.first_signup) AS latency_us
+FROM su JOIN pu ON pu.user_id = su.user_id
+"""
+
+
+@query("signup_purchase_latency", oracle=_SIGNUP_LATENCY_SQL)
+def signup_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel step latency: per user, microseconds from first signup to
+    the first purchase AFTER it (the conversion-time metric
+    `funnel_users` counts but does not time). Two filtered min-
+    aggregates and one keyed join — all three shuffles share the
+    user_id key, so AQE/exchange-reuse keeps it one physical
+    partitioning end-to-end; the 'purchase after signup' predicate is
+    evaluated in the join, never a per-row window over full history."""
+    events = table(spark, sf_dir, "events")
+    su = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_signup"))
+    )
+    pu = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .filter(F.col("ts") > F.col("first_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    return (
+        su.join(pu, "user_id")
+        .select(
+            "user_id", "first_signup", "first_purchase",
+            F.expr(
+                "timestampdiff(MICROSECOND, first_signup, first_purchase)"
+            ).alias("latency_us"),
+        )
+    )

@@ -371,6 +371,43 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JACCARD_THRESHOLD = 0.4
 
+
+def _shingle_hash_ex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, xxhash64(shingle)) table — memoized: shared by
+    the Jaccard and containment tiers, cached because every consumer's
+    plan references it 3+ times (gdf, prefix, verify).
+
+    Shingles build via posexplode + lead windows (whole-stage codegen,
+    ~5× the interpreted array-lambda form)."""
+    from data_pipeline_playground_spark.caching import memo
+
+    def build():
+        docs = table(spark, sf_dir, "documents")
+        toks = docs.select(
+            "doc_id", F.posexplode(tokenize(F.col("text"))).alias("pos", "tok")
+        )
+        w_lead = Window.partitionBy("doc_id").orderBy("pos")
+        lead2 = F.lead("tok", SHINGLE_N - 1).over(w_lead)
+        gram = F.concat_ws(
+            " ",
+            *(["tok"] + [F.lead("tok", i).over(w_lead)
+                         for i in range(1, SHINGLE_N)]),
+        )
+        ex = (
+            toks.select("doc_id", F.when(lead2.isNotNull(), gram).alias("g"))
+            .filter(F.col("g").isNotNull())
+            .select("doc_id", F.xxhash64("g").alias("sh"))
+            .distinct()
+            .cache()
+        )
+        # materialize eagerly: consumers branch off ex inside one action
+        # and would otherwise race the lazy cache, re-running the
+        # shingle build per branch
+        ex.count()
+        return ex
+
+    return memo(spark, "shingle_hash_ex", sf_dir, build)
+
 _JACCARD_SQL = f"""
 WITH s AS (
   SELECT doc_id, {_sql_shingles(SHINGLE_N)} AS shs FROM documents
@@ -403,29 +440,7 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     full sorted hash sets. Join keys are xxhash64(shingle): 8-byte
     codegen'd keys; a 64-bit collision among ~10⁵ shingles (p≈10⁻¹¹)
     is the only divergence source vs the oracle's string-equality join."""
-    docs = table(spark, sf_dir, "documents")
-    # shingle build via posexplode + lead windows (whole-stage codegen,
-    # ~5× the interpreted array-lambda form) — and cached, because the
-    # plan references the shingle set three times (gdf, prefix, verify).
-    toks = docs.select(
-        "doc_id", F.posexplode(tokenize(F.col("text"))).alias("pos", "tok")
-    )
-    w_lead = Window.partitionBy("doc_id").orderBy("pos")
-    lead2 = F.lead("tok", SHINGLE_N - 1).over(w_lead)
-    gram = F.concat_ws(
-        " ", *(["tok"] + [F.lead("tok", i).over(w_lead) for i in range(1, SHINGLE_N)])
-    )
-    ex = (
-        toks.select("doc_id", F.when(lead2.isNotNull(), gram).alias("g"))
-        .filter(F.col("g").isNotNull())
-        .select("doc_id", F.xxhash64("g").alias("sh"))
-        .distinct()
-        .cache()
-    )
-    # materialize eagerly: gdf/ranked/sets all branch off ex inside one
-    # action and would otherwise race the lazy cache, re-running the
-    # shingle build per branch
-    ex.count()
+    ex = _shingle_hash_ex(spark, sf_dir)
     # global rarity order: document frequency asc, hash as tie-break
     gdf = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("gdf"))
     w_doc = Window.partitionBy("doc_id").orderBy(F.asc("gdf"), F.asc("sh"))
@@ -474,4 +489,84 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         verified.filter(jac >= JACCARD_THRESHOLD)
         .select("ci", "cj", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---- asymmetric shingle containment ----------------------------------------
+
+CONTAIN_THRESHOLD = 0.8  # |S(A) ∩ S(B)| / |S(A)|
+CONTAIN_MIN_SHINGLES = 5  # ignore near-empty contained sets
+
+_CONTAINMENT_SQL = f"""
+WITH s AS (
+  SELECT doc_id, {_sql_shingles(SHINGLE_N)} AS shs FROM documents
+),
+ex AS (SELECT doc_id, unnest(shs) AS sh FROM s),
+sizes AS (SELECT doc_id, len(shs) AS n FROM s),
+inter AS (
+  SELECT a.doc_id AS ci, b.doc_id AS cj, count(*) AS ninter
+  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.ci, i.cj, round(i.ninter * 1.0 / sa.n, 6) AS containment
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.ci
+WHERE sa.n >= {CONTAIN_MIN_SHINGLES}
+  AND i.ninter * 1.0 / sa.n >= {CONTAIN_THRESHOLD}
+"""
+
+
+@query("dedup_containment_pairs", oracle=_CONTAINMENT_SQL)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment C(A,B) = |S(A)∩S(B)| / |S(A)| ≥
+    0.8 — Broder's CONTAINMENT measure: catches a short doc embedded
+    verbatim inside a longer one (quotes, syndicated excerpts), which
+    symmetric Jaccard misses because the union is dominated by the
+    long side. Candidates come from the PPJoin-style prefix of the
+    CONTAINED side only: if C(A,B) ≥ t, then B must hit one of A's
+    first |A|-⌈t·|A|⌉+1 rarest shingles (pigeonhole — any fixed order
+    works; rarity order minimizes fan-out). Note there is NO length
+    filter here — asymmetry is the point — so the prefix side joins
+    against the FULL shingle table, and the rarest-first order is
+    what keeps the candidate fan-out df-of-rare-shingles-shaped.
+    Verified exactly with array_intersect on the full sorted sets."""
+    ex = _shingle_hash_ex(spark, sf_dir)
+    gdf = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("gdf"))
+    w_doc = Window.partitionBy("doc_id").orderBy(F.asc("gdf"), F.asc("sh"))
+    ranked = (
+        ex.join(gdf, "sh")
+        .withColumn("pos", F.row_number().over(w_doc))
+        .withColumn("nd", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    )
+    prefix = ranked.filter(
+        F.col("pos")
+        <= F.col("nd") - F.ceil(F.lit(CONTAIN_THRESHOLD) * F.col("nd")) + 1
+    )
+    a = prefix.select(F.col("doc_id").alias("ci"), F.col("sh").alias("sha"))
+    b = ex.select(F.col("doc_id").alias("cj"), F.col("sh").alias("shb"))
+    cand = (
+        a.join(b, (F.col("sha") == F.col("shb")) & (F.col("ci") != F.col("cj")))
+        .select("ci", "cj")
+        .distinct()
+    )
+    sets = ex.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("sh")).alias("arr"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("ci"), F.col("arr").alias("arr_a"),
+        F.col("n").alias("na"),
+    )
+    sb = sets.select(F.col("doc_id").alias("cj"), F.col("arr").alias("arr_b"))
+    verified = (
+        cand.join(sa, "ci")
+        .join(sb, "cj")
+        .withColumn("ninter", F.size(F.array_intersect("arr_a", "arr_b")))
+    )
+    cont = F.col("ninter") * 1.0 / F.col("na")
+    return (
+        verified.filter(
+            (F.col("na") >= CONTAIN_MIN_SHINGLES) & (cont >= CONTAIN_THRESHOLD)
+        )
+        .select("ci", "cj", F.round(cont, 6).alias("containment"))
     )

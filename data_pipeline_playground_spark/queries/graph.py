@@ -132,3 +132,94 @@ def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("r"),
         )
     return ranks.select("node", F.round("r", 6).alias("pagerank"))
+
+
+# ---- triangle counting over the trade graph --------------------------------
+
+TRI_TOP_EDGES = 100  # sparsify: strongest trade pairs by exact volume
+
+_TRIANGLES_SQL = f"""
+WITH edges0 AS (
+  SELECT ns.n_name AS src, nc.n_name AS dst,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS w_dec
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+  WHERE ns.n_name <> nc.n_name
+  GROUP BY ns.n_name, nc.n_name
+),
+tope AS (
+  SELECT src, dst FROM edges0
+  QUALIFY row_number() OVER (ORDER BY w_dec DESC, src, dst) <= {TRI_TOP_EDGES}
+),
+und AS (
+  SELECT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM tope GROUP BY 1, 2
+)
+SELECT a.u AS na, a.v AS nb, c.v AS nc
+FROM und a
+JOIN und b ON b.u = a.v
+JOIN und c ON c.u = a.u AND c.v = b.v
+"""
+
+
+@query("trade_triangles", oracle=_TRIANGLES_SQL)
+def trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration over the sparsified trade graph: keep the
+    100 strongest nation-pair edges (DECIMAL-exact volume rank with
+    name tie-breaks, so the edge set is engine-portable), symmetrize
+    to undirected u<v edges, then the canonical ordered 3-join — each
+    triangle (a<b<c) is produced exactly once. The node-ordering trick
+    is what makes distributed triangle counting feasible: every join
+    key is the shared vertex and no triangle is counted 6×. At web
+    scale the same plan runs degree-ordered (orient edges low→high
+    degree) so the join fan-out is bounded by max degree, and the edge
+    list is the only shuffled table. Here edges are dimension-sized →
+    both joins broadcast."""
+    lineitem = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    supplier = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    ns = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("src")
+    )
+    nc = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("dst")
+    )
+    edges0 = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nc), customer.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              lineitem.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("w_dec")
+        )
+    )
+    tope = edges0.orderBy(
+        F.desc("w_dec"), F.asc("src"), F.asc("dst")
+    ).limit(TRI_TOP_EDGES)
+    und = tope.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    ).distinct()
+    a = und.select(F.col("u").alias("au"), F.col("v").alias("av"))
+    b = und.select(F.col("u").alias("bu"), F.col("v").alias("bv"))
+    c = und.select(F.col("u").alias("cu"), F.col("v").alias("cv"))
+    return (
+        a.join(F.broadcast(b), F.col("bu") == F.col("av"))
+        .join(
+            F.broadcast(c),
+            (F.col("cu") == F.col("au")) & (F.col("cv") == F.col("bv")),
+        )
+        .select(
+            F.col("au").alias("na"), F.col("av").alias("nb"),
+            F.col("cv").alias("nc"),
+        )
+    )

@@ -886,3 +886,94 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("q_id", "n_id", "approx_d2")
     )
+
+
+# ---- dimension-truncation fidelity audit -----------------------------------
+
+TRUNC_DIM = 16  # Matryoshka-style prefix truncation
+
+_TRUNC_RANK = """
+SELECT q_id, n_id FROM (
+  SELECT q.q_id, e.vec_id AS n_id,
+         row_number() OVER (
+           PARTITION BY q.q_id
+           ORDER BY round({dot} / greatest({nq} * {ne}, 1e-12), 6) DESC,
+                    e.vec_id) AS rn
+  FROM q, e WHERE e.vec_id <> q.q_id
+) WHERE rn <= {k}
+"""
+
+_TRUNC_SQL = f"""
+WITH ef AS (SELECT vec_id, {_SQL_V} AS v FROM embeddings),
+e AS (SELECT vec_id, v, list_slice(v, 1, {TRUNC_DIM}) AS vt FROM ef),
+q AS (
+  SELECT vec_id AS q_id, v AS qv, list_slice(v, 1, {TRUNC_DIM}) AS qvt
+  FROM ef WHERE vec_id < {N_QUERY_VECTORS}
+),
+full_k AS ({_TRUNC_RANK.format(
+    dot=_SQL_DOT.format(a="q.qv", b="e.v"),
+    nq=_SQL_NORM.format(a="q.qv"), ne=_SQL_NORM.format(a="e.v"),
+    k=TOP_K)}),
+trunc_k AS ({_TRUNC_RANK.format(
+    dot=_SQL_DOT.format(a="q.qvt", b="e.vt"),
+    nq=_SQL_NORM.format(a="q.qvt"), ne=_SQL_NORM.format(a="e.vt"),
+    k=TOP_K)})
+SELECT f.q_id, count(t.n_id) AS n_overlap,
+       round(count(t.n_id) * 1.0 / {TOP_K}, 6) AS overlap_frac
+FROM full_k f
+LEFT JOIN trunc_k t ON t.q_id = f.q_id AND t.n_id = f.n_id
+GROUP BY f.q_id
+"""
+
+
+def _topk_ids(e: DataFrame, q: DataFrame, vcol: str, qcol: str) -> DataFrame:
+    pairs = e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
+        "q_id",
+        F.col("vec_id").alias("n_id"),
+        F.round(
+            dot(F.col(qcol), F.col(vcol))
+            / F.greatest(
+                norm(F.col(qcol)) * norm(F.col(vcol)), F.lit(1e-12)
+            ),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", "n_id")
+    )
+
+
+@query("embedding_truncation_fidelity", oracle=_TRUNC_SQL)
+def embedding_truncation_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation audit: per query, how much of the
+    full-64-dim cosine top-k survives when vectors are truncated to
+    their first 16 dims — the measurement that decides whether a
+    cheaper prefix index (4× less memory bandwidth) is good enough
+    for first-stage retrieval. Two broadcast-scan rankings (full and
+    truncated) + a per-query overlap count; nothing beyond the
+    brute-force plan shape, and the count aggregate is k-bounded per
+    query. At scale the truncated ranking is the one you'd serve from
+    a PQ/IVF index — this query is the offline fidelity gate."""
+    ef = _embed_double(spark, sf_dir)
+    e = ef.select(
+        "vec_id", "v", F.slice("v", 1, TRUNC_DIM).alias("vt")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERY_VECTORS).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("vt").alias("qvt"),
+    )
+    full_k = _topk_ids(e, q, "v", "qv")
+    trunc_k = _topk_ids(e, q, "vt", "qvt").withColumnRenamed("n_id", "t_id")
+    j = full_k.join(
+        trunc_k,
+        (full_k.q_id == trunc_k.q_id) & (full_k.n_id == trunc_k.t_id),
+        "left",
+    ).select(full_k.q_id.alias("qq"), "t_id")
+    return j.groupBy(F.col("qq").alias("q_id")).agg(
+        F.count("t_id").alias("n_overlap"),
+        F.round(F.count("t_id") * 1.0 / TOP_K, 6).alias("overlap_frac"),
+    )

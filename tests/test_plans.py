@@ -362,3 +362,35 @@ def test_split_leakage_broadcast_split_map(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_containment_prefix_filter(spark, sf_dir):
+    """Containment candidates come from the prefix×full equi-join on
+    shingle hash — no cartesian product / BNLJ anywhere."""
+    plan = _plan(spark, sf_dir, "dedup_containment_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_trade_triangles_broadcast_joins(spark, sf_dir):
+    """The sparsified edge list is dimension-sized: both triangle
+    joins broadcast, dims broadcast into the Q7-shape aggregation."""
+    plan = _plan(spark, sf_dir, "trade_triangles")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 5
+
+
+def test_signup_latency_shares_user_key(spark, sf_dir):
+    """Both min-aggregates and the final join key on user_id; the
+    event-type filters must reach the parquet scan."""
+    plan = _plan(spark, sf_dir, "signup_purchase_latency")
+    assert "CartesianProduct" not in plan
+    assert "PushedFilters" in plan and "event_type" in plan
+
+
+def test_truncation_fidelity_two_scans_no_shuffle_join(spark, sf_dir):
+    """Both rankings are broadcast-scan windows; the overlap join is
+    on (q_id, n_id) over 2×k·|q| rows — no SortMergeJoin of corpus-
+    sized inputs."""
+    plan = _plan(spark, sf_dir, "embedding_truncation_fidelity")
+    assert "CartesianProduct" not in plan
