@@ -18,5 +18,6 @@ from data_pipeline_playground_spark.queries import (  # noqa: F401
     sketches,
     temporal,
     text,
+    tpch_extra,
     windows,
 )

@@ -1,0 +1,585 @@
+"""Extra TPC-H-shaped relational queries (SURVEY §2 J/A/T widening).
+
+The reference's relational surface (join-enrich → aggregate → rank,
+reference newsapi.py:55-79 / cluster.py:61-65) maps onto the classic
+TPC-H decision-support shapes; this module adds the shapes round 2 did
+not yet cover: conditional-share aggregates (Q8/Q14), counts-of-counts
+(Q13), correlated-average filters (Q17), group-HAVING semi-joins back
+to the fact (Q18), equals-scalar-max selection (Q15), anti-join with a
+scalar broadcast threshold (Q22), and argmax-per-group over a fact
+join (Q2-ish). The driver schema has no partsupp/shipmode/commitdate,
+so Q9/Q12/Q21 are adapted where noted (cost proxy = discounted retail
+price); each docstring records the deviation.
+
+Scale notes (SCALE.md §Relational): every query keeps `lineitem` as
+the probe side with dims broadcast, so the only wide shuffles are the
+declared groupBys on fact keys; scalar thresholds travel as one-row
+broadcast joins, never `.collect()` round-trips.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_playground_spark.registry import query
+from data_pipeline_playground_spark.tables import table
+
+
+def _dec(col, prec: int = 18, scale: int = 2):
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({prec},{scale})")
+
+
+def _revenue():
+    """Exact-decimal l_extendedprice * (1 - l_discount)."""
+    return _dec("l_extendedprice") * (1 - _dec("l_discount", 4, 2))
+
+
+# --- Q14: conditional-share aggregate ---------------------------------------
+
+_PROMO_REVENUE_SQL = """
+SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+       CAST(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                 ELSE 0 END) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+         AS promo_pct,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY 1
+"""
+
+
+@query("promo_revenue_monthly", oracle=_PROMO_REVENUE_SQL)
+def promo_revenue_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share per ship month of 1996.
+
+    Plan: part is broadcast (dim ≪ fact at every SF), the date filter
+    is pushed to the lineitem scan, and the conditional share is one
+    map-side-combinable aggregate — a single shuffle on ship_month.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    rev = _revenue()
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,2)"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        )
+        .join(F.broadcast(part.select("p_partkey", "p_type")), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.to_date(F.date_trunc("month", "l_shipdate")).alias("ship_month"))
+        .agg(
+            (
+                # multiply in DECIMAL (as the oracle's literal 100.0 does)
+                # and only then go to double, so both engines round once
+                (F.sum(promo) * F.lit("100.0").cast("decimal(4,1)")).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --- Q13: counts-of-counts distribution -------------------------------------
+
+_CUSTOMER_DISTRIBUTION_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+"""
+
+
+@query("customer_distribution", oracle=_CUSTOMER_DISTRIBUTION_SQL)
+def customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of non-urgent order counts per
+    customer, including zero-order customers via the left join.
+
+    Plan: one shuffle on c_custkey (join + first groupBy share the
+    key, so Catalyst reuses the exchange), then a near-trivial second
+    aggregate over at most a few hundred distinct counts.
+    """
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        cust.select("c_custkey")
+        .join(orders.select("o_custkey", "o_orderkey"), F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+# --- Q17: correlated per-group average filter -------------------------------
+
+_SMALL_QTY_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       count(*) AS n_lines
+FROM lineitem l
+JOIN (SELECT l_partkey AS a_partkey,
+             0.5 * avg(l_quantity) AS half_avg_qty
+      FROM lineitem GROUP BY l_partkey) a
+  ON l.l_partkey = a.a_partkey
+WHERE l.l_quantity < a.half_avg_qty
+"""
+
+
+@query("small_qty_part_revenue", oracle=_SMALL_QTY_SQL)
+def small_qty_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lines whose quantity is below
+    half the part's average quantity (correlated-average filter).
+
+    Plan: the per-part average is a partial-aggregated groupBy on
+    l_partkey; the self-join re-shuffles lineitem on the same key, so
+    the exchange is reused. No decorrelation UDF — the correlated
+    subquery is expressed as aggregate + equi-join, which is exactly
+    how Catalyst decorrelates it anyway; at 100 TB the per-part
+    aggregate is tiny relative to the fact and could be broadcast.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    avg_qty = (
+        li.groupBy(F.col("l_partkey").alias("a_partkey"))
+        .agg((F.lit(0.5) * F.avg("l_quantity")).alias("half_avg_qty"))
+    )
+    return (
+        li.join(avg_qty, F.col("l_partkey") == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(
+            F.sum(_dec("l_extendedprice")).cast("double").alias("total_price"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --- Q18: group-HAVING semi-join back to the fact ---------------------------
+
+_LARGE_VOLUME_SQL = """
+SELECT c.c_name, o.o_orderkey,
+       CAST(o.o_orderdate AS DATE) AS order_day,
+       CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+       t.total_qty
+FROM orders o
+JOIN (SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300) t
+  ON o.o_orderkey = t.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+@query("large_volume_orders", oracle=_LARGE_VOLUME_SQL)
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds 300,
+    enriched with the ordering customer.
+
+    Plan: HAVING runs map-side-combined on l_orderkey before any join,
+    so the survivors joined to orders are a tiny filtered set; customer
+    is broadcast. The qty aggregate output is orders-sized at worst but
+    post-HAVING it is a sliver — AQE converts the orders join to
+    broadcast at runtime when it fits.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("_qty"))
+        .filter(F.col("_qty") > 300)
+        .select("l_orderkey", F.col("_qty").cast("double").alias("total_qty"))
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust.select("c_custkey", "c_name")), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("order_day"),
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+
+
+# --- Q8: market-share conditional aggregate over a dim chain ----------------
+
+_MARKET_SHARE_SQL = """
+SELECT CAST(date_trunc('year', o.o_orderdate) AS DATE) AS order_year,
+       CAST(SUM(CASE WHEN sn.n_name = 'NATION_0'
+                 THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(4,2))) ELSE 0 END) AS DOUBLE)
+       / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+         AS mkt_share
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+JOIN region r   ON cn.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+GROUP BY 1
+"""
+
+
+@query("market_share", oracle=_MARKET_SHARE_SQL)
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_0 suppliers' share of revenue sold into
+    the ASIA customer region, per order year.
+
+    Plan: the entire dim chain (customer→nation→region, supplier→
+    nation) broadcasts, so lineitem⋈orders is the only wide shuffle;
+    the region filter prunes customers before broadcast. The share is
+    a single conditional aggregate — no second pass.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    supp = table(spark, sf_dir, "supplier")
+
+    asia_cust = (
+        cust.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select("n_nationkey")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        ).select("c_custkey")
+    )
+    supp_nation = supp.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+
+    rev = _revenue()
+    nat0 = F.when(F.col("supp_nation") == "NATION_0", rev).otherwise(F.lit(0).cast("decimal(18,2)"))
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(asia_cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.to_date(F.date_trunc("year", "o_orderdate")).alias("order_year"))
+        .agg((F.sum(nat0).cast("double") / F.sum(rev).cast("double")).alias("mkt_share"))
+    )
+
+
+# --- Q9 adapted: profit by supplier nation × year ---------------------------
+
+_NATION_PROFIT_SQL = """
+SELECT sn.n_name AS supp_nation,
+       CAST(date_trunc('year', o.o_orderdate) AS DATE) AS order_year,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+                - CAST(p.p_retailprice AS DECIMAL(18,2))
+                  * CAST(l.l_quantity AS DECIMAL(18,2))
+                  * CAST(0.6 AS DECIMAL(4,2))) AS DOUBLE) AS profit
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN part p     ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+GROUP BY 1, 2
+"""
+
+
+@query("nation_profit", oracle=_NATION_PROFIT_SQL)
+def nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape, adapted: profit per supplier nation × order
+    year. The driver schema has no partsupp, so unit cost is proxied
+    as 0.6 × p_retailprice (documented deviation; the join/agg shape —
+    fact × 4 dims → two-level group — is what the query exercises).
+
+    Plan: part/supplier/nation broadcast; lineitem⋈orders is the one
+    wide shuffle; decimal-exact arithmetic end-to-end.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    part = table(spark, sf_dir, "part")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    profit = _revenue() - _dec("p_retailprice") * _dec("l_quantity") * _dec(F.lit(0.6), 4, 2)
+    return (
+        li.join(orders.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(part.select("p_partkey", "p_retailprice")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("supp_nation"),
+            F.to_date(F.date_trunc("year", "o_orderdate")).alias("order_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("profit"))
+    )
+
+
+# --- Q22 adapted: anti-join with a broadcast scalar threshold ---------------
+
+_IDLE_CUSTOMERS_SQL = """
+WITH thresh AS (
+  SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0
+), recent AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= (SELECT max(o_orderdate) FROM orders) - INTERVAL 180 DAY
+)
+SELECT c.c_mktsegment,
+       count(*) AS n_custs,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM customer c, thresh
+WHERE c.c_acctbal > thresh.avg_bal
+  AND c.c_custkey NOT IN (SELECT o_custkey FROM recent)
+GROUP BY c.c_mktsegment
+"""
+
+
+@query("idle_customers", oracle=_IDLE_CUSTOMERS_SQL)
+def idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape, adapted to the schema (no phone codes):
+    above-average-balance customers with no order in the last 180
+    days, rolled up by market segment.
+
+    Plan: the scalar average travels as a one-row broadcast cross
+    join (never a driver collect); the NOT-IN is a left_anti join
+    against the distinct recent-order keys, which AQE broadcasts.
+    """
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("avg_bal"))
+    mx = orders.agg(F.max("o_orderdate").alias("_mx"))
+    recent = (
+        orders.join(F.broadcast(mx))
+        .filter(F.col("o_orderdate") >= F.col("_mx") - F.expr("INTERVAL 180 DAYS"))
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_bal"),
+        )
+    )
+
+
+# --- Q15: equals-scalar-max selection ---------------------------------------
+
+_TOP_SUPPLIER_SQL = """
+WITH srev AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, srev.total_revenue
+FROM supplier s JOIN srev ON s.s_suppkey = srev.l_suppkey
+WHERE srev.total_revenue = (SELECT max(total_revenue) FROM srev)
+"""
+
+
+@query("top_supplier_quarter", oracle=_TOP_SUPPLIER_SQL)
+def top_supplier_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) whose Q1-1996 revenue equals the
+    maximum — ties kept, unlike a LIMIT 1 top-k.
+
+    Plan: one groupBy on l_suppkey with the date filter pushed to the
+    scan; the max travels back as a one-row broadcast join (the
+    classic equals-max decorrelation), supplier dim broadcast.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    srev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_revenue()).cast("double").alias("total_revenue"))
+    )
+    mx = srev.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        srev.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# --- Q10: returned-item revenue report --------------------------------------
+
+_RETURNED_ITEM_SQL = """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+@query("returned_item_report", oracle=_RETURNED_ITEM_SQL)
+def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by lost revenue on returned
+    items in 1996-Q4, with nation enrichment.
+
+    Plan: returnflag + date filters push to the scans; customer and
+    nation broadcast; one shuffle for the groupBy; the top-20 is a
+    TakeOrderedAndProject (no global sort materialization), tie-broken
+    by c_custkey for determinism.
+    """
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust.select("c_custkey", "c_name", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# --- Q2-ish: argmax supplier per part over the fact -------------------------
+
+_PART_TOP_SUPPLIER_SQL = """
+SELECT p_partkey, s_suppkey, s_name, total_qty
+FROM (
+  SELECT l.l_partkey AS p_partkey, s.s_suppkey, s.s_name,
+         CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+         row_number() OVER (PARTITION BY l.l_partkey
+                            ORDER BY SUM(CAST(l.l_quantity AS DECIMAL(18,2))) DESC,
+                                     s.s_suppkey) AS rn
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY l.l_partkey, s.s_suppkey, s.s_name
+)
+WHERE rn = 1
+"""
+
+
+@query("part_top_supplier", oracle=_PART_TOP_SUPPLIER_SQL)
+def part_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (argmin/argmax per group): for every part, the
+    supplier that shipped the largest total quantity, suppkey
+    tie-break. The inverse grouping of `top_part_per_supplier` —
+    partition count is parts-sized, so the rank window runs on the
+    already-aggregated (part, supplier) rollup, never on raw lines.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    per = (
+        li.join(F.broadcast(supp.select("s_suppkey", "s_name")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("p_partkey"), "s_suppkey", "s_name")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("total_qty"))
+    )
+    w = Window.partitionBy("p_partkey").orderBy(F.desc("total_qty"), F.asc("s_suppkey"))
+    return (
+        per.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_partkey", "s_suppkey", "s_name", "total_qty")
+    )
+
+
+# --- Q4-ish: EXISTS semi-join on priority classes ---------------------------
+
+_PRIORITY_EXISTS_SQL = """
+SELECT o.o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o.o_orderdate <  TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o.o_orderpriority
+"""
+
+
+@query("priority_order_count", oracle=_PRIORITY_EXISTS_SQL)
+def priority_order_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders in 1996-Q3 with at least one returned
+    line, counted per priority — EXISTS as a left_semi join.
+
+    Plan: date filter prunes orders before the semi-join; the
+    returnflag filter prunes lineitem at the scan; semi-join keeps
+    one shuffle on orderkey and never widens rows.
+    """
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp_ntz"))
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        orders.join(li.select("l_orderkey"), F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# --- Q19-ish: disjunctive bracket predicate ---------------------------------
+
+_BRACKET_REVENUE_SQL = """
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+       count(*) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity BETWEEN 10 AND 35)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+       AND l.l_quantity BETWEEN 25 AND 50)
+"""
+
+
+@query("bracket_revenue", oracle=_BRACKET_REVENUE_SQL)
+def bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of brand/size/quantity brackets —
+    the predicate Catalyst must split into join-side pushdowns.
+
+    Plan: the p_brand IN (...) and l_quantity range hulls push below
+    the join; part broadcasts; the OR-of-ANDs evaluates post-join in
+    one codegen stage. (Brand names follow the generator's Brand#n vocabulary.)
+    """
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+                     F.col("l_partkey") == F.col("p_partkey"))
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    pred = (
+        ((F.col("p_brand") == "Brand#1") & sz.between(1, 15) & q.between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & sz.between(10, 30) & q.between(10, 35))
+        | ((F.col("p_brand") == "Brand#3") & sz.between(20, 50) & q.between(25, 50))
+    )
+    return joined.filter(pred).agg(
+        F.sum(_revenue()).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )

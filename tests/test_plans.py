@@ -394,3 +394,105 @@ def test_truncation_fidelity_two_scans_no_shuffle_join(spark, sf_dir):
     sized inputs."""
     plan = _plan(spark, sf_dir, "embedding_truncation_fidelity")
     assert "CartesianProduct" not in plan
+
+
+# --- tpch_extra plan pins ---------------------------------------------------
+
+
+def test_promo_revenue_pushes_dates_and_broadcasts_part(spark, sf_dir):
+    """Q14 shape: both 1996 date bounds reach the lineitem scan; part
+    is a broadcast dim; one hash exchange (the ship_month agg)."""
+    plan = _plan(spark, sf_dir, "promo_revenue_monthly")
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "l_shipdate" in m.group(1)
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_customer_distribution_reuses_custkey_exchange(spark, sf_dir):
+    """Q13 shape: the left join and the first groupBy share c_custkey
+    partitioning, so the first aggregate adds no exchange — only the
+    join inputs and the tiny counts-of-counts regroup shuffle."""
+    plan = _plan(spark, sf_dir, "customer_distribution")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_small_qty_shares_partkey_exchange(spark, sf_dir):
+    """Q17 shape: the per-part average and the probe re-shuffle on the
+    same l_partkey key; no broadcast of the fact, no cartesian."""
+    plan = _plan(spark, sf_dir, "small_qty_part_revenue")
+    assert "CartesianProduct" not in plan
+
+
+def test_large_volume_orders_filters_before_joins(spark, sf_dir):
+    """Q18 shape: the HAVING survivors drive the joins; customer is
+    broadcast; partial aggregation happens map-side."""
+    plan = _plan(spark, sf_dir, "large_volume_orders")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_market_share_broadcasts_dim_chain(spark, sf_dir):
+    """Q8 shape: customer-region prune and supplier-nation enrich are
+    broadcast joins; the only wide work is lineitem⋈orders + one agg."""
+    plan = _plan(spark, sf_dir, "market_share")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_nation_profit_broadcasts_all_dims(spark, sf_dir):
+    """Q9 shape: part/supplier/nation all broadcast into the fact."""
+    plan = _plan(spark, sf_dir, "nation_profit")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_idle_customers_anti_join_no_collect(spark, sf_dir):
+    """Q22 shape: NOT IN compiles to LeftAnti; the scalar threshold is
+    a broadcast nested-loop of a ONE-ROW aggregate (allowed), never a
+    driver collect."""
+    plan = _plan(spark, sf_dir, "idle_customers")
+    assert "LeftAnti" in plan
+
+
+def test_top_supplier_quarter_pushes_quarter(spark, sf_dir):
+    """Q15 shape: the quarter bounds reach the scan; equals-max is a
+    one-row broadcast join back onto the per-supplier rollup."""
+    plan = _plan(spark, sf_dir, "top_supplier_quarter")
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "l_shipdate" in m.group(1)
+
+
+def test_returned_item_report_take_ordered(spark, sf_dir):
+    """Q10 shape: the top-20 is TakeOrderedAndProject — no global sort
+    materialization; returnflag filter reaches the scan."""
+    plan = _plan(spark, sf_dir, "returned_item_report")
+    assert "TakeOrderedAndProject" in plan
+    assert "l_returnflag" in plan
+
+
+def test_part_top_supplier_windows_after_rollup(spark, sf_dir):
+    """Q2-argmax shape: the rank window consumes the (part, supplier)
+    rollup, not raw lines — one Window operator with the rank-1 limit
+    pushed down (WindowGroupLimit prunes before the final sort)."""
+    plan = _plan(spark, sf_dir, "part_top_supplier")
+    assert plan.count("Window [") == 1
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_priority_order_count_semi_join(spark, sf_dir):
+    """Q4 shape: EXISTS is a LeftSemi join; returnflag + date filters
+    reach their scans."""
+    plan = _plan(spark, sf_dir, "priority_order_count")
+    assert "LeftSemi" in plan
+    assert "l_returnflag" in plan
+
+
+def test_bracket_revenue_broadcasts_part(spark, sf_dir):
+    """Q19 shape: the OR-of-ANDs stays post-join in one codegen stage;
+    part broadcasts; no cartesian."""
+    plan = _plan(spark, sf_dir, "bracket_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
