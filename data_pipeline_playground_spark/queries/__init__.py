@@ -18,6 +18,7 @@ from data_pipeline_playground_spark.queries import (  # noqa: F401
     sketches,
     temporal,
     text,
+    timeseries,
     tpch_extra,
     windows,
 )

@@ -626,3 +626,50 @@ def signup_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("latency_us"),
         )
     )
+
+
+# --- equi-width histogram ----------------------------------------------------
+
+HIST_NBINS = 20
+
+_HISTOGRAM_SQL = f"""
+WITH b AS (SELECT min(value) AS lo, max(value) AS hi
+           FROM events WHERE value IS NOT NULL)
+SELECT LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / {HIST_NBINS})) AS BIGINT),
+             {HIST_NBINS - 1}) AS bin,
+       count(*) AS n,
+       MIN(lo + LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / {HIST_NBINS})) AS BIGINT),
+                      {HIST_NBINS - 1}) * ((hi - lo) / {HIST_NBINS})) AS bin_lo
+FROM events, b
+WHERE value IS NOT NULL
+GROUP BY 1
+"""
+
+
+@query("event_value_histogram", oracle=_HISTOGRAM_SQL)
+def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of event values: 20 bins over the observed
+    [min, max], max clamped into the last bin — the profiling
+    primitive behind every distribution dashboard.
+
+    The bounds are a one-row aggregate broadcast-cross-joined to the
+    fact (never collected to the driver), the bin id is pure double
+    arithmetic on identical inputs (no libm, no rounding needed), and
+    the count is a single map-side-combinable groupBy over at most
+    NBINS groups.
+    """
+    events = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    b = events.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / F.lit(HIST_NBINS)
+    bin_id = F.least(
+        F.floor((F.col("value") - F.col("lo")) / width).cast("long"),
+        F.lit(HIST_NBINS - 1),
+    )
+    return (
+        events.join(F.broadcast(b))
+        .groupBy(bin_id.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.col("lo") + bin_id * width).alias("bin_lo"),
+        )
+    )

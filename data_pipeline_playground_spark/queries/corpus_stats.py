@@ -292,3 +292,143 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_members")
     )
     return best.join(cnt, "component_id")
+
+
+# ---- split divergence gate (train vs val/test unigram drift) ----------------
+
+DIV_ALPHA = 0.5  # add-alpha smoothing over the joint vocabulary
+
+def _div_sql() -> str:
+    from data_pipeline_playground_spark.functions.text import sql_rolling_hash
+    from data_pipeline_playground_spark.queries.sampling import (
+        SPLIT_SALT,
+        TRAIN_PCT,
+        VAL_PCT,
+    )
+
+    key = f"'{SPLIT_SALT}' || CAST(d.doc_id AS VARCHAR)"
+    bucket = f"{sql_rolling_hash(key)} % 100"
+    a = DIV_ALPHA
+
+    def branch(name: str, c: str, n: str) -> str:
+        p_t = f"((p.c_train + {a}) / (s.n_train + {a} * s.v))"
+        p_s = f"((p.{c} + {a}) / (s.{n} + {a} * s.v))"
+        return f"""
+  SELECT '{name}' AS split,
+         CAST(ABS({p_t} - {p_s}) / 2 AS DECIMAL(38,12)) AS tv_term,
+         CAST(({p_s} - {p_t}) * ({p_s} - {p_t}) / {p_t}
+              AS DECIMAL(38,12)) AS chi2_term
+  FROM per_term p CROSS JOIN scal s"""
+
+    return f"""
+WITH tok AS (
+  SELECT CASE WHEN {bucket} < {TRAIN_PCT} THEN 'train'
+              WHEN {bucket} < {VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split,
+         unnest({_SQL_TOKENS}) AS term
+  FROM documents d
+),
+per_term AS (
+  SELECT term,
+         SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS c_train,
+         SUM(CASE WHEN split = 'val'   THEN 1 ELSE 0 END) AS c_val,
+         SUM(CASE WHEN split = 'test'  THEN 1 ELSE 0 END) AS c_test
+  FROM tok GROUP BY term
+),
+scal AS (
+  SELECT SUM(c_train) AS n_train, SUM(c_val) AS n_val,
+         SUM(c_test) AS n_test, COUNT(*) AS v
+  FROM per_term
+),
+contrib AS ({branch('val', 'c_val', 'n_val')}
+UNION ALL{branch('test', 'c_test', 'n_test')}
+)
+SELECT split,
+       CAST(SUM(tv_term) AS DOUBLE) AS tv_distance,
+       CAST(SUM(chi2_term) AS DOUBLE) AS chi2_divergence,
+       count(*) AS n_terms
+FROM contrib GROUP BY split
+"""
+
+
+@query("split_unigram_divergence", oracle=_div_sql())
+def split_unigram_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shift gate between the training split and each
+    eval split: total-variation distance and χ² divergence of their
+    add-α-smoothed unigram distributions over the joint vocabulary —
+    run before shipping a data mix, alongside embedding_split_drift
+    (which sees semantic drift; this sees lexical drift) and
+    split_leakage (which sees contamination).
+
+    TV and χ² are chosen over KL deliberately: they need no
+    transcendental functions, so every per-term contribution is pure
+    IEEE arithmetic on identical integer counts — bit-identical across
+    engines — and the per-term values are cast to scale-12 decimals
+    before summing, so partition order cannot perturb the total (the
+    same determinism-by-construction discipline as user_value_trend).
+    Scale 12, not deeper: Spark casts double→decimal through the
+    shortest round-trip string while DuckDB expands the exact binary
+    value, so the two only round identically at scales safely inside
+    the 17-significant-digit repr.
+
+    Plan: one token explode → a (term) groupBy with three conditional
+    partial-aggregated counts; scalars (split totals + vocab size) are
+    a one-row broadcast; contributions are a narrow map over the
+    vocab-sized frame, summed map-side. The corpus is touched once.
+    """
+    from data_pipeline_playground_spark.functions.text import rolling_hash
+    from data_pipeline_playground_spark.queries.sampling import (
+        SPLIT_SALT,
+        TRAIN_PCT,
+        VAL_PCT,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    bucket = (
+        rolling_hash(F.concat(F.lit(SPLIT_SALT), F.col("doc_id").cast("string")))
+        % 100
+    )
+    split = (
+        F.when(bucket < TRAIN_PCT, "train")
+        .when(bucket < VAL_PCT, "val")
+        .otherwise("test")
+    )
+    tok = docs.select(split.alias("split"), F.explode(tokenize(F.col("text"))).alias("term"))
+    per_term = tok.groupBy("term").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("c_train"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0)).alias("c_val"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).alias("c_test"),
+    )
+    scal = per_term.agg(
+        F.sum("c_train").alias("n_train"),
+        F.sum("c_val").alias("n_val"),
+        F.sum("c_test").alias("n_test"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    grid = per_term.join(F.broadcast(scal))
+
+    a = F.lit(DIV_ALPHA)
+
+    def branch(name: str, c: str, n: str) -> F.Column:
+        p_t = (F.col("c_train") + a) / (F.col("n_train") + a * F.col("v"))
+        p_s = (F.col(c) + a) / (F.col(n) + a * F.col("v"))
+        return F.struct(
+            F.lit(name).alias("split"),
+            (F.abs(p_t - p_s) / F.lit(2)).cast("decimal(38,12)").alias("tv_term"),
+            ((p_s - p_t) * (p_s - p_t) / p_t).cast("decimal(38,12)").alias("chi2_term"),
+        )
+
+    # both eval branches come out of ONE pass over the vocab grid (an
+    # array explode), instead of a UNION that would re-run the token
+    # explode + per-term aggregate per branch
+    contrib = grid.select(
+        F.explode(
+            F.array(branch("val", "c_val", "n_val"),
+                    branch("test", "c_test", "n_test"))
+        ).alias("b")
+    ).select("b.split", "b.tv_term", "b.chi2_term")
+    return contrib.groupBy("split").agg(
+        F.sum("tv_term").cast("double").alias("tv_distance"),
+        F.sum("chi2_term").cast("double").alias("chi2_divergence"),
+        F.count(F.lit(1)).alias("n_terms"),
+    )

@@ -1,0 +1,261 @@
+"""Time-series query shapes: range-interval rolling windows, date-spine
+gap filling, and the SQL:2003 linear-regression aggregate family.
+
+The reference's time handling is a single `published_since(hours)`
+filter (reference realtimeapi.py:60-66); these are the shapes a
+warehouse adds on top of it. All three are pure Catalyst — no UDFs —
+and each keeps exactly one hash shuffle on its natural key.
+
+Scale notes (SCALE.md §Warehouse analytics):
+- rolling: RANGE frames partition by customer — per-partition state is
+  one sorted pass; no global sort anywhere.
+- gapfill: the date spine is generated from a ONE-ROW min/max
+  aggregate (broadcast), so the spine explode is |days| × |types| —
+  dimension-sized regardless of fact size.
+- trend: the regression's five sufficient statistics are exact
+  decimal sums (order-free, single-pass combinable — same wire
+  profile as sum/count), combined to slope/intercept/R² in one shared
+  double expression tree, so results are bit-identical under any
+  summation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_playground_spark.registry import query
+from data_pipeline_playground_spark.tables import table
+
+# --- range-interval rolling window ------------------------------------------
+
+_ROLLING_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE) AS order_day,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate
+            RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS rolling_90d_revenue
+FROM orders
+"""
+
+
+@query("customer_rolling_90d_revenue", oracle=_ROLLING_SQL)
+def customer_rolling_90d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per order: the customer's trailing-90-day revenue — a RANGE
+    frame over event time, not a ROWS frame (ties and gaps handled by
+    value, so the answer is insensitive to row order within a day).
+
+    Spark expresses time-RANGE frames as rangeBetween over epoch
+    seconds (timestamps order identically to their epoch values;
+    TIMESTAMP_NTZ has no direct long cast in ANSI mode, so the key is
+    an explicit timestampdiff from the NTZ epoch — same idiom as
+    tables._events); decimal-exact sums inside the frame, one shuffle
+    on o_custkey.
+    """
+    orders = table(spark, sf_dir, "orders")
+    epoch_s = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate)"
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(epoch_s)
+        .rangeBetween(-90 * 86400, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("order_day"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("rolling_90d_revenue"),
+    )
+
+
+# --- date-spine gap filling --------------------------------------------------
+
+_GAPFILL_SQL = """
+WITH bounds AS (
+  SELECT CAST(min(date_trunc('day', ts)) AS DATE) AS d0,
+         CAST(max(date_trunc('day', ts)) AS DATE) AS d1
+  FROM events
+),
+spine AS (
+  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM events),
+daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT s.day, t.event_type, COALESCE(d.n_events, 0) AS n_events,
+       d.n_events IS NULL AS was_gap
+FROM spine s CROSS JOIN types t
+LEFT JOIN daily d ON d.day = s.day AND d.event_type = t.event_type
+"""
+
+
+@query("events_daily_gapfill", oracle=_GAPFILL_SQL)
+def events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily series per event type: a generated date spine ×
+    distinct types, left-joined to the observed daily counts with
+    zero-fill — the gap-free input a downstream forecaster or
+    anomaly detector needs (days with no events must appear as 0,
+    not be silently absent).
+
+    Plan: min/max bounds are a one-row aggregate; sequence() explodes
+    the spine driver-free; spine × types is dimension-sized, so the
+    left join broadcasts it against the daily rollup.
+    """
+    events = table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.to_date(F.min(F.date_trunc("day", "ts"))).alias("d0"),
+        F.to_date(F.max(F.date_trunc("day", "ts"))).alias("d1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    types = events.select("event_type").distinct()
+    daily = (
+        events.groupBy(
+            F.to_date(F.date_trunc("day", "ts")).alias("day"),
+            "event_type",
+        ).agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return (
+        F.broadcast(spine.crossJoin(types))
+        .join(daily, ["day", "event_type"], "left")
+        .select(
+            "day",
+            "event_type",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.col("n_events").isNull().alias("was_gap"),
+        )
+    )
+
+
+# --- linear-regression aggregates -------------------------------------------
+
+_TREND_SQL = """
+WITH s AS (
+  SELECT user_id,
+         count(*) AS n_obs,
+         CAST(SUM(CAST(epoch(date_trunc('second', ts)) - 1704067200 AS DECIMAL(28,0))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(value AS DECIMAL(15,3))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(epoch(date_trunc('second', ts)) - 1704067200 AS DECIMAL(28,0))
+                  * CAST(value AS DECIMAL(15,3))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(epoch(date_trunc('second', ts)) - 1704067200 AS DECIMAL(28,0))
+                  * CAST(epoch(date_trunc('second', ts)) - 1704067200 AS DECIMAL(28,0))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(value AS DECIMAL(15,3))
+                  * CAST(value AS DECIMAL(15,3))) AS DOUBLE) AS syy
+  FROM events
+  WHERE value IS NOT NULL
+  GROUP BY user_id
+)
+SELECT user_id, n_obs,
+       ((n_obs * sxy) - (sx * sy)) / ((n_obs * sxx) - (sx * sx)) AS slope,
+       (sy - (((n_obs * sxy) - (sx * sy)) / ((n_obs * sxx) - (sx * sx))) * sx)
+         / n_obs AS intercept,
+       (((n_obs * sxy) - (sx * sy)) / ((n_obs * sxx) - (sx * sx)))
+         * ((n_obs * sxy) - (sx * sy)) / ((n_obs * syy) - (sy * sy)) AS r2
+FROM s
+"""
+
+
+@query("user_value_trend", oracle=_TREND_SQL)
+def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user linear trend of event value over time (slope per
+    second, intercept, R²) — algebraically the SQL:2003
+    regr_slope/regr_intercept/regr_r2 family, the drift screen a
+    metrics pipeline runs per entity.
+
+    Determinism by construction instead of by rounding: the built-in
+    regr_* aggregates accumulate doubles, so distributed summation
+    order perturbs low-order bits and the epoch-extrapolated intercept
+    amplifies them past any sane rounding. Here the five sufficient
+    statistics (Σx, Σy, Σxy, Σx², Σy²) are EXACT decimal sums
+    (order-free), cast once to double, and combined in an identical
+    scalar expression tree in both engines — bit-identical results
+    with zero rounding. x is rebased to seconds since 2024-01-01 (the
+    corpus epoch) and y quantized to 3 dp, which (a) keeps every
+    statistic below 2^63 — above that DuckDB's int128-decimal→double
+    cast is off by one ulp vs the JVM's correctly-rounded BigDecimal
+    path — and (b) keeps every decimal product within exact Spark
+    result types (no scale adjustment). One single-pass combinable
+    shuffle on user_id, same wire profile as regr_*.
+    """
+    events = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    xd = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '2024-01-01 00:00:00', "
+        "date_trunc('second', ts))"
+    ).cast("decimal(28,0)")
+    yd = F.col("value").cast("decimal(15,3)")
+    s = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum(xd * yd).cast("double").alias("sxy"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+        F.sum(yd * yd).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n_obs"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    cov = (n * sxy) - (sx * sy)
+    slope = cov / ((n * sxx) - (sx * sx))
+    return s.select(
+        "user_id",
+        "n_obs",
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+        (slope * cov / ((n * syy) - (sy * sy))).alias("r2"),
+    )
+
+
+# --- period-over-period deltas ----------------------------------------------
+
+_WOW_SQL = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT day, revenue,
+       lag(revenue, 7) OVER (ORDER BY day) AS revenue_prev_week,
+       (revenue - lag(revenue, 7) OVER (ORDER BY day))
+         / lag(revenue, 7) OVER (ORDER BY day) AS wow_change
+FROM daily
+"""
+
+
+@query("daily_revenue_wow", oracle=_WOW_SQL)
+def daily_revenue_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue deltas: daily decimal-exact revenue,
+    then a lag-7 window and the relative change — the
+    period-over-period report every dashboard carries.
+
+    The lag window is unpartitioned but runs over the POST-AGGREGATE
+    daily frame (|days|, a few thousand rows at any corpus size) — the
+    same bounded-single-partition-window argument as
+    nation_revenue_pctrank; the corpus-sized work is the one
+    map-side-combinable groupBy on day. The division happens on
+    identical doubles in both engines, so no rounding is needed.
+    """
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date(F.date_trunc("day", "o_orderdate")).alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    w = Window.orderBy("day")
+    prev = F.lag("revenue", 7).over(w)
+    return daily.select(
+        "day",
+        "revenue",
+        prev.alias("revenue_prev_week"),
+        ((F.col("revenue") - prev) / prev).alias("wow_change"),
+    )

@@ -496,3 +496,56 @@ def test_bracket_revenue_broadcasts_part(spark, sf_dir):
     plan = _plan(spark, sf_dir, "bracket_revenue")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+# --- timeseries plan pins ---------------------------------------------------
+
+
+def test_rolling_revenue_single_shuffle(spark, sf_dir):
+    """RANGE-frame rolling window: one hash shuffle on o_custkey, no
+    join, no global sort."""
+    plan = _plan(spark, sf_dir, "customer_rolling_90d_revenue")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_gapfill_broadcasts_spine(spark, sf_dir):
+    """The generated spine × types is dimension-sized and broadcasts
+    against the daily rollup — the fact table is scanned, aggregated,
+    and joined without a wide spine shuffle."""
+    plan = _plan(spark, sf_dir, "events_daily_gapfill")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_value_trend_single_combinable_shuffle(spark, sf_dir):
+    """The five sufficient statistics partial-aggregate map-side: one
+    hash shuffle on user_id, no window, no join."""
+    plan = _plan(spark, sf_dir, "user_value_trend")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert "partial_" in plan  # map-side combine actually present
+
+
+def test_daily_wow_bounded_window(spark, sf_dir):
+    """The lag-7 window runs over the post-aggregate daily frame; the
+    corpus-sized work is one combinable groupBy on day."""
+    plan = _plan(spark, sf_dir, "daily_revenue_wow")
+    assert "partial_" in plan
+    assert "Join" not in plan
+
+
+def test_histogram_broadcasts_bounds(spark, sf_dir):
+    """Global min/max is a one-row broadcast (never a collect); the
+    bin count partial-aggregates map-side to ≤ NBINS groups."""
+    plan = _plan(spark, sf_dir, "event_value_histogram")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "partial_" in plan
+
+
+def test_split_divergence_one_corpus_pass(spark, sf_dir):
+    """Tokens explode once into a vocab-shaped groupBy; scalars
+    broadcast; contributions stay JVM-side (no Python eval)."""
+    plan = _plan(spark, sf_dir, "split_unigram_divergence")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert plan.count("FileScan parquet") <= 2  # documents read, not re-read per branch
