@@ -36,6 +36,13 @@ SHOWCASE = [
     ("salted_user_totals", "two-stage skew-safe aggregate: the salted "
      "pre-aggregate's exchange carries (user_id, salt), the final "
      "merge exchange carries user_id — hot keys split 16 ways."),
+    ("market_share", "Q8 shape: the customer-region prune and the "
+     "supplier-nation enrich are BroadcastHashJoins; the only wide "
+     "shuffle is lineitem⋈orders + the single conditional aggregate."),
+    ("user_value_trend", "the five regression sufficient statistics "
+     "partial-aggregate map-side (partial_sum of exact decimals below "
+     "one user_id exchange); the slope/intercept/R² math is a final "
+     "narrow Project — no window, no join."),
 ]
 
 
