@@ -977,3 +977,135 @@ def embedding_truncation_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count("t_id").alias("n_overlap"),
         F.round(F.count("t_id") * 1.0 / TOP_K, 6).alias("overlap_frac"),
     )
+
+
+# ---- contrastive-training negative selection --------------------------------
+
+HARD_NEG_K = 5
+RAND_NEG_K = 5
+NEG_SALT = "neg:"
+
+_HARD_NEG_SQL = f"""
+WITH e AS (SELECT vec_id, label, {_SQL_V} AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv
+      FROM e WHERE vec_id < {N_QUERY_VECTORS}),
+pairs AS (
+  SELECT q.q_id, e.vec_id AS n_id, e.label AS n_label,
+         round({_SQL_DOT.format(a="q.qv", b="e.v")}
+               / greatest({_SQL_NORM.format(a="q.qv")}
+                          * {_SQL_NORM.format(a="e.v")}, 1e-12), 6) AS cosine
+  FROM q, e
+  WHERE e.vec_id >= {N_QUERY_VECTORS} AND e.label <> q.q_label
+)
+SELECT q_id, n_id, n_label, cosine FROM (
+  SELECT q_id, n_id, n_label, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rn
+  FROM pairs
+) WHERE rn <= {HARD_NEG_K}
+"""
+
+
+@query("hard_negatives_topk", oracle=_HARD_NEG_SQL)
+def hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query vector,
+    the HARD_NEG_K most-similar pool vectors carrying a DIFFERENT
+    label — the highest-loss negatives a contrastive batch wants.
+
+    Same plan as `embedding_cosine_topk` (query set broadcast into one
+    linear pool scan, bounded per-query window) with the label
+    inequality folded into the join predicate, so mismatched labels
+    prune before any cosine is computed. Cosines round to 6 dp before
+    ranking (ulp-proof), n_id tie-break.
+    """
+    e = _embed_double(spark, sf_dir).withColumn("nv", norm(F.col("v"), DIM))
+    q = e.filter(F.col("vec_id") < N_QUERY_VECTORS).select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("q_label"),
+        F.col("v").alias("qv"), F.col("nv").alias("nq"),
+    )
+    pairs = (
+        e.filter(F.col("vec_id") >= N_QUERY_VECTORS)
+        .join(F.broadcast(q), F.col("label") != F.col("q_label"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            F.col("label").alias("n_label"),
+            F.round(
+                dot(F.col("qv"), F.col("v"), DIM)
+                / F.greatest(F.col("nq") * F.col("nv"), F.lit(1e-12)),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= HARD_NEG_K)
+        .select("q_id", "n_id", "n_label", "cosine")
+    )
+
+
+def _rand_neg_sql() -> str:
+    from data_pipeline_playground_spark.functions.text import sql_rolling_hash
+
+    key = (f"'{NEG_SALT}' || CAST(q.q_id AS VARCHAR) || ':' "
+           f"|| CAST(e.vec_id AS VARCHAR)")
+    return f"""
+WITH e AS (SELECT vec_id, label FROM embeddings),
+q AS (SELECT vec_id AS q_id, label AS q_label
+      FROM e WHERE vec_id < {N_QUERY_VECTORS}),
+cand AS (
+  SELECT q.q_id, e.vec_id AS n_id, e.label AS n_label,
+         {sql_rolling_hash(key)} AS hk
+  FROM q, e
+  WHERE e.vec_id >= {N_QUERY_VECTORS} AND e.label <> q.q_label
+)
+SELECT q_id, n_id, n_label FROM (
+  SELECT q_id, n_id, n_label,
+         row_number() OVER (PARTITION BY q_id ORDER BY hk, n_id) AS rn
+  FROM cand
+) WHERE rn <= {RAND_NEG_K}
+"""
+
+
+@query("contrastive_negatives", oracle=_rand_neg_sql())
+def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform (easy) negative sampling for contrastive training: per
+    query, RAND_NEG_K different-label pool vectors drawn by salted-hash
+    order — a deterministic, engine-portable uniform draw (never RNG,
+    same discipline as sample_stratified), reproducible across runs
+    and partitionings.
+
+    The per-anchor hash ranking is a bounded window over the broadcast
+    join; at 100 TB the equivalent plan samples by hash threshold
+    first (hk % M < m ≈ K·M/|pool|) and tops up, so the window sees a
+    sliver of the pool rather than all of it.
+    """
+    from data_pipeline_playground_spark.functions.text import rolling_hash
+
+    e = _embed_double(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERY_VECTORS).select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("q_label"),
+    )
+    cand = (
+        e.filter(F.col("vec_id") >= N_QUERY_VECTORS)
+        .join(F.broadcast(q), F.col("label") != F.col("q_label"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            F.col("label").alias("n_label"),
+            rolling_hash(
+                F.concat(
+                    F.lit(NEG_SALT),
+                    F.col("q_id").cast("string"),
+                    F.lit(":"),
+                    F.col("vec_id").cast("string"),
+                )
+            ).alias("hk"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("hk"), F.asc("n_id"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= RAND_NEG_K)
+        .select("q_id", "n_id", "n_label")
+    )

@@ -549,3 +549,20 @@ def test_split_divergence_one_corpus_pass(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert plan.count("FileScan parquet") <= 2  # documents read, not re-read per branch
+
+
+def test_hard_negatives_broadcast_no_shuffle_pairs(spark, sf_dir):
+    """Hard-negative mining is the cosine-topk plan: the query set
+    broadcasts into a single linear pool scan; the only hash exchange
+    is the per-query window partitioning."""
+    plan = _plan(spark, sf_dir, "hard_negatives_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_contrastive_negatives_deterministic_no_rng(spark, sf_dir):
+    """Uniform negatives come from the salted hash, not rand(): the
+    plan must contain no Rand expression and no Python eval."""
+    plan = _plan(spark, sf_dir, "contrastive_negatives")
+    assert "rand(" not in plan
+    assert "BatchEvalPython" not in plan
