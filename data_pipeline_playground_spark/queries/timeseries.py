@@ -259,3 +259,99 @@ def daily_revenue_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev.alias("revenue_prev_week"),
         ((F.col("revenue") - prev) / prev).alias("wow_change"),
     )
+
+
+# --- last-observation-carried-forward imputation -----------------------------
+
+_LOCF_SQL = """
+WITH m AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_type = 'error' THEN NULL ELSE value END AS observed
+  FROM events
+)
+SELECT event_id, user_id, observed,
+       last_value(observed IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS filled,
+       observed IS NULL AS was_imputed
+FROM m
+"""
+
+
+@query("user_value_locf", oracle=_LOCF_SQL)
+def user_value_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward imputation: error events are
+    treated as dropped readings (their value masked to NULL) and
+    filled with the user's most recent non-null observation — the
+    standard sensor/metrics gap-repair pass. Rows before a user's
+    first observation stay NULL (nothing to carry).
+
+    The IGNORE NULLS running `last` is the one window feature the
+    repo's other windows don't exercise; one hash shuffle on user_id,
+    total (ts, event_id) order inside the partition, no arithmetic —
+    values move verbatim, so engine parity is structural.
+    """
+    events = table(spark, sf_dir, "events")
+    observed = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+        F.col("value")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = events.select("event_id", "user_id", "ts", observed.alias("observed"))
+    return m.select(
+        "event_id",
+        "user_id",
+        "observed",
+        F.last("observed", ignorenulls=True).over(w).alias("filled"),
+        F.col("observed").isNull().alias("was_imputed"),
+    )
+
+
+# --- inter-event gap statistics ----------------------------------------------
+
+_ORDER_GAP_SQL = """
+WITH g AS (
+  SELECT o_custkey,
+         date_diff('day',
+                   lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey),
+                   o_orderdate) AS gap_days
+  FROM orders
+)
+SELECT o_custkey,
+       count(*) AS n_gaps,
+       quantile_cont(gap_days, 0.5) AS median_gap_days,
+       max(gap_days) AS max_gap_days
+FROM g
+WHERE gap_days IS NOT NULL
+GROUP BY o_custkey
+"""
+
+
+@query("customer_order_gaps", oracle=_ORDER_GAP_SQL)
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer inter-order cadence: median and max days between
+    consecutive orders — the churn-risk / reorder-cycle signal.
+
+    lag + grouped exact median share the o_custkey partitioning, so
+    the window and the aggregate are ONE physical shuffle (Spark's
+    `percentile` interpolates identically to DuckDB's quantile_cont;
+    gaps are integer days, so the median is exactly representable).
+    """
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = orders.select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias(
+            "gap_days"
+        ),
+    ).filter(F.col("gap_days").isNotNull())
+    return g.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.expr("percentile(gap_days, 0.5)").alias("median_gap_days"),
+        F.max("gap_days").alias("max_gap_days"),
+    )

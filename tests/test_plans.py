@@ -566,3 +566,18 @@ def test_contrastive_negatives_deterministic_no_rng(spark, sf_dir):
     plan = _plan(spark, sf_dir, "contrastive_negatives")
     assert "rand(" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_locf_single_shuffle_no_arithmetic(spark, sf_dir):
+    """LOCF is one user_id window over the scan: one hash exchange,
+    no join, no Python eval."""
+    plan = _plan(spark, sf_dir, "user_value_locf")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_order_gaps_window_and_agg_share_key(spark, sf_dir):
+    """The lag window and the median aggregate both key on o_custkey:
+    one physical shuffle end-to-end."""
+    plan = _plan(spark, sf_dir, "customer_order_gaps")
+    assert plan.count("Exchange hashpartitioning") == 1
