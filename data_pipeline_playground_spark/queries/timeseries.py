@@ -1,10 +1,12 @@
 """Time-series query shapes: range-interval rolling windows, date-spine
-gap filling, and the SQL:2003 linear-regression aggregate family.
+gap filling, the SQL:2003 linear-regression aggregate family,
+period-over-period deltas, LOCF imputation, and inter-event cadence.
 
 The reference's time handling is a single `published_since(hours)`
 filter (reference realtimeapi.py:60-66); these are the shapes a
-warehouse adds on top of it. All three are pure Catalyst — no UDFs —
-and each keeps exactly one hash shuffle on its natural key.
+warehouse adds on top of it. All are pure Catalyst — no UDFs — and
+each keeps exactly one hash shuffle on its natural key (the WoW lag
+runs over a bounded post-aggregate frame).
 
 Scale notes (SCALE.md §Warehouse analytics):
 - rolling: RANGE frames partition by customer — per-partition state is
