@@ -357,3 +357,48 @@ def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(gap_days, 0.5)").alias("median_gap_days"),
         F.max("gap_days").alias("max_gap_days"),
     )
+
+
+# --- cumulative distinct (first-occurrence transform) -------------------------
+
+_CUM_USERS_SQL = """
+WITH first_day AS (
+  SELECT user_id, CAST(min(date_trunc('day', ts)) AS DATE) AS day
+  FROM events GROUP BY user_id
+),
+new_per_day AS (
+  SELECT day, count(*) AS new_users FROM first_day GROUP BY day
+)
+SELECT day, new_users,
+       SUM(new_users) OVER (ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS cumulative_users
+FROM new_per_day
+"""
+
+
+@query("cumulative_unique_users", oracle=_CUM_USERS_SQL)
+def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day — the growth-curve metric.
+
+    NOT a per-day COUNT(DISTINCT) over an expanding window (which
+    re-scans every prefix: O(days × corpus)). The first-occurrence
+    transform does it in one linear pass: distinct-by-min collapses
+    each user to their first active day, the per-day counts of those
+    firsts ARE the marginal new users, and a running sum over the
+    bounded daily frame yields the cumulative curve. One shuffle on
+    user_id + a |days|-row window — the shape that survives 100 TB.
+    """
+    events = table(spark, sf_dir, "events")
+    first_day = events.groupBy("user_id").agg(
+        F.to_date(F.min(F.date_trunc("day", "ts"))).alias("day")
+    )
+    new_per_day = first_day.groupBy("day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return new_per_day.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    )

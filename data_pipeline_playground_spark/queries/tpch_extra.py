@@ -583,3 +583,65 @@ def bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_revenue()).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+# --- per-group exact correlation ---------------------------------------------
+
+_DISCOUNT_CORR_SQL = """
+WITH s AS (
+  SELECT p.p_brand,
+         count(*) AS n_lines,
+         CAST(SUM(CAST(l.l_discount AS DECIMAL(8,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l.l_discount AS DECIMAL(8,2))
+                  * CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(l.l_discount AS DECIMAL(8,2))
+                  * CAST(l.l_discount AS DECIMAL(8,2))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))
+                  * CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS syy
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand
+)
+SELECT p_brand, n_lines,
+       ((n_lines * sxy) - (sx * sy))
+         / (sqrt((n_lines * sxx) - (sx * sx))
+            * sqrt((n_lines * syy) - (sy * sy))) AS discount_qty_corr
+FROM s
+"""
+
+
+@query("discount_quantity_corr", oracle=_DISCOUNT_CORR_SQL)
+def discount_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand Pearson correlation between discount and quantity —
+    does discounting move volume? The pricing-elasticity screen.
+
+    Same determinism-by-construction discipline as user_value_trend:
+    the five sufficient statistics are exact decimal sums (order-free,
+    map-side combinable), combined in one shared double expression
+    tree. sqrt is an IEEE 754 correctly-rounded required operation, so
+    unlike ln/exp it is safe across engines — no rounding anywhere.
+    Part broadcasts; one shuffle on p_brand.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    xd = F.col("l_discount").cast("decimal(8,2)")
+    yd = F.col("l_quantity").cast("decimal(18,2)")
+    s = (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(xd).cast("double").alias("sx"),
+            F.sum(yd).cast("double").alias("sy"),
+            F.sum(xd * yd).cast("double").alias("sxy"),
+            F.sum(xd * xd).cast("double").alias("sxx"),
+            F.sum(yd * yd).cast("double").alias("syy"),
+        )
+    )
+    n, sx, sy = F.col("n_lines"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    corr = ((n * sxy) - (sx * sy)) / (
+        F.sqrt((n * sxx) - (sx * sx)) * F.sqrt((n * syy) - (sy * sy))
+    )
+    return s.select("p_brand", "n_lines", corr.alias("discount_qty_corr"))

@@ -581,3 +581,21 @@ def test_order_gaps_window_and_agg_share_key(spark, sf_dir):
     one physical shuffle end-to-end."""
     plan = _plan(spark, sf_dir, "customer_order_gaps")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_cumulative_users_linear_not_expanding(spark, sf_dir):
+    """Cumulative distinct via first-occurrence: one user_id shuffle +
+    a bounded daily window — never an expanding COUNT(DISTINCT)
+    re-scan. No join anywhere."""
+    plan = _plan(spark, sf_dir, "cumulative_unique_users")
+    assert "Join" not in plan
+    assert "partial_" in plan
+
+
+def test_discount_corr_broadcast_and_partials(spark, sf_dir):
+    """Per-brand correlation: part broadcasts; the five sufficient
+    statistics partial-aggregate map-side under one p_brand shuffle."""
+    plan = _plan(spark, sf_dir, "discount_quantity_corr")
+    assert "BroadcastHashJoin" in plan
+    assert "partial_" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
