@@ -197,7 +197,7 @@ pairs AS (
          c
   FROM wc
 )
-SELECT pair, sum(c) AS freq FROM pairs GROUP BY pair
+SELECT pair, CAST(sum(c) AS BIGINT) AS freq FROM pairs GROUP BY pair
 QUALIFY row_number() OVER (ORDER BY sum(c) DESC, pair) <= {BPE_TOPK}
 """
 

@@ -776,8 +776,8 @@ WITH x AS (
 SELECT event_type,
        min(k) AS k_min,
        max(k) AS k_max,
-       sum(k) AS k_sum,
-       sum(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS n_k_gt50
+       CAST(sum(k) AS BIGINT) AS k_sum,
+       CAST(sum(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_k_gt50
 FROM x GROUP BY event_type
 """
 

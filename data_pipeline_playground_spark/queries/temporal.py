@@ -265,8 +265,10 @@ def clicks_purchases_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 _UNPIVOT_SQL = """
 WITH wide AS (
   SELECT CAST(date_trunc('day', ts) AS DATE) AS event_day,
-         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS click,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS view
   FROM events GROUP BY 1
 )
 SELECT event_day, kind, n FROM (

@@ -370,8 +370,9 @@ new_per_day AS (
   SELECT day, count(*) AS new_users FROM first_day GROUP BY day
 )
 SELECT day, new_users,
-       SUM(new_users) OVER (ORDER BY day
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       CAST(SUM(new_users) OVER (ORDER BY day
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT)
          AS cumulative_users
 FROM new_per_day
 """

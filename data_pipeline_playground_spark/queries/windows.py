@@ -102,9 +102,10 @@ WITH gaps AS (
 ),
 sess AS (
   SELECT user_id, ts, event_id,
-         SUM(is_new) OVER (PARTITION BY user_id
-                           ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id
   FROM gaps
 )
 SELECT user_id, session_id, min(ts) AS session_start,
@@ -146,7 +147,7 @@ _EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
 
 _PIVOT_SQL = f"""
 SELECT CAST(date_trunc('day', ts) AS DATE) AS event_day,
-       {', '.join(f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS {t}" for t in _EVENT_TYPES)}
+       {', '.join(f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}" for t in _EVENT_TYPES)}
 FROM events GROUP BY 1
 """
 
