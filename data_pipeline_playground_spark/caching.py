@@ -8,11 +8,13 @@ therefore include the Spark application id + session hash.
 
 from __future__ import annotations
 
+import logging
 from typing import Any
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 _STORE: dict[tuple, Any] = {}
+_LOG = logging.getLogger(__name__)
 
 
 def _session_key(spark: SparkSession) -> tuple:
@@ -28,30 +30,65 @@ def memo(spark: SparkSession, name: str, sf_dir: str, build) -> Any:
     with ``build()`` on first use.
 
     DataFrames that the builder `.cache()`d are defensively
-    re-materialized on retrieval if something (the bench's
-    `spark.catalog.clearCache()` between queries, an executor
-    eviction) unpersisted them since: a multi-reference consumer plan
-    over a memoized-but-evicted frame would otherwise silently re-run
-    the expensive build subtree once PER reference — the failure mode
-    that turned a 3 s query into minutes under memory pressure.
-    Frames the builder deliberately left uncached are untouched.
+    re-materialized on retrieval if something explicitly unpersisted
+    them since — the bench's ``spark.catalog.clearCache()`` between
+    queries, or a stray ``unpersist()``: a multi-reference consumer
+    plan over a memoized-but-uncached frame would otherwise silently
+    re-run the expensive build subtree once PER reference — the
+    failure mode that turned a 3 s query into minutes. (Scope note:
+    ``df.is_cached`` reflects the catalog/CacheManager entry, which
+    survives executor *block eviction* under memory pressure — blocks
+    evicted that way recompute-and-recache lazily on next access via
+    Spark's own lineage machinery, so only the explicit-unpersist case
+    needs this guard.) Memo values that are tuples/lists of DataFrames
+    (model bundles like ``(features, vocab, n)``) get the same
+    per-element treatment. Frames the builder deliberately left
+    uncached are untouched.
     """
     key = (_session_key(spark), name, sf_dir)
     if key not in _STORE:
         value = build()
-        _STORE[key] = (value, _was_cached(value))
-    value, was_cached = _STORE[key]
-    if was_cached and not _was_cached(value):
-        try:
-            value.cache()
-            value.count()  # eager re-materialization, once
-        except Exception:
-            pass  # session gone / non-DF — caller surfaces real errors
+        _STORE[key] = (value, _cached_flags(value))
+    value, flags = _STORE[key]
+    for elem, was_cached in zip(_elements(value), flags):
+        if was_cached and not _is_cached(elem):
+            try:
+                elem.cache()
+                elem.count()  # eager re-materialization, once
+            except Exception as exc:  # noqa: BLE001 — re-cache is best-effort
+                # A failed re-cache reverts to recompute-per-reference
+                # (correct, just slower); a real analysis error in the
+                # frame will surface at the consumer. Log so a genuine
+                # build error is visible at the memo site, not deferred
+                # silently to an arbitrary later consumer.
+                _LOG.warning(
+                    "memo(%s): re-materialization failed (%s: %s)",
+                    name,
+                    type(exc).__name__,
+                    exc,
+                )
     return value
 
 
-def _was_cached(value: Any) -> bool:
+def _elements(value: Any) -> tuple:
+    """The DataFrames governed by the re-materialization guard."""
+    if isinstance(value, (tuple, list)):
+        return tuple(v for v in value if isinstance(v, DataFrame))
+    return (value,) if isinstance(value, DataFrame) else ()
+
+
+def _cached_flags(value: Any) -> tuple:
+    return tuple(_is_cached(v) for v in _elements(value))
+
+
+def _is_cached(value: Any) -> bool:
+    # NOT ``df.is_cached``: that is a client-side Python attribute only
+    # ever flipped by the same object's cache()/unpersist() calls, so
+    # ``spark.catalog.clearCache()`` leaves it True and the guard would
+    # never fire (the round-3 implementation had exactly this bug).
+    # ``df.storageLevel`` queries the JVM CacheManager for the plan.
     try:
-        return bool(value.is_cached)
+        lvl = value.storageLevel
+        return bool(lvl.useMemory or lvl.useDisk)
     except Exception:
         return False

@@ -1,0 +1,79 @@
+"""Unit tests for the session-aware memo cache (caching.py).
+
+Pins the round-3 verdict item: the re-materialization guard must cover
+DataFrames nested inside tuple memo values (the TF-IDF ``(feats,
+vocab, n)`` and PQ model bundles), not just bare-DataFrame values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipeline_playground_spark import caching
+
+
+def _build_counter(spark):
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        df = spark.range(10).select(F.col("id"), (F.col("id") * 2).alias("v"))
+        df.cache()
+        df.count()
+        return df
+
+    return build, calls
+
+
+def test_memo_returns_same_value_and_builds_once(spark, sf_dir):
+    build, calls = _build_counter(spark)
+    a = caching.memo(spark, "t_memo_once", sf_dir, build)
+    b = caching.memo(spark, "t_memo_once", sf_dir, build)
+    assert a is b
+    assert calls["n"] == 1
+
+
+def test_memo_rematerializes_bare_frame_after_clearcache(spark, sf_dir):
+    build, _ = _build_counter(spark)
+    df = caching.memo(spark, "t_memo_bare", sf_dir, build)
+    assert caching._is_cached(df)
+    spark.catalog.clearCache()
+    assert not caching._is_cached(df)  # is_cached would still lie True here
+    df2 = caching.memo(spark, "t_memo_bare", sf_dir, build)
+    assert df2 is df
+    assert caching._is_cached(df2)  # guard re-cached it
+
+
+def test_memo_rematerializes_frames_inside_tuple_values(spark, sf_dir):
+    def build():
+        feats = spark.range(5).select("id", (F.col("id") + 1).alias("f"))
+        feats.cache()
+        feats.count()
+        vocab = spark.range(3).select("id")
+        vocab.cache()
+        vocab.count()
+        return (feats, vocab, 3)
+
+    feats, vocab, n = caching.memo(spark, "t_memo_tuple", sf_dir, build)
+    assert n == 3 and caching._is_cached(feats) and caching._is_cached(vocab)
+    spark.catalog.clearCache()
+    assert not caching._is_cached(feats) and not caching._is_cached(vocab)
+    feats2, vocab2, _ = caching.memo(spark, "t_memo_tuple", sf_dir, build)
+    assert feats2 is feats and vocab2 is vocab
+    assert caching._is_cached(feats2), "tuple frame must be re-materialized"
+    assert caching._is_cached(vocab2), "every frame must be re-materialized"
+
+
+def test_memo_leaves_deliberately_uncached_frames_alone(spark, sf_dir):
+    def build():
+        return spark.range(7)  # builder chose not to cache
+
+    df = caching.memo(spark, "t_memo_uncached", sf_dir, build)
+    caching.memo(spark, "t_memo_uncached", sf_dir, build)
+    assert not caching._is_cached(df)
+
+
+def test_memo_nondataframe_values_pass_through(spark, sf_dir):
+    value = caching.memo(spark, "t_memo_scalar", sf_dir, lambda: {"k": 1})
+    assert value == {"k": 1}
+    assert caching.memo(spark, "t_memo_scalar", sf_dir, lambda: None) == {"k": 1}
