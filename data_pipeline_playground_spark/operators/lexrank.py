@@ -285,7 +285,9 @@ def sentence_rows(docs: DataFrame, text_col: str = "text",
 
 def lexrank_sentence_summaries(docs: DataFrame, groups: DataFrame,
                                k: int = 3,
-                               group_type: str = "string") -> DataFrame:
+                               group_type: str = "string",
+                               sents: DataFrame | None = None,
+                               weights: DataFrame | None = None) -> DataFrame:
     """Sentence-granularity LexRank (reference N10, summarize.py:17-26:
     rank the cluster's *sentences*, return the top-k sentence texts —
     reddit_api.py:148-149 joins top-3 with ' ').
@@ -298,15 +300,22 @@ def lexrank_sentence_summaries(docs: DataFrame, groups: DataFrame,
     ``groups``: (doc_id, group) — every doc's sentences inherit its
     group; a group's sentence set must fit one executor (clusters are
     bounded, reference shape). Output: (group, summary, n_sentences).
+
+    ``sents``/``weights``: optional prebuilt sentence rows (from
+    ``sentence_rows``) and sid-keyed TF-IDF weights — pass both to
+    share one cached fit across several summary queries (the memoized
+    artifacts in queries/ml.py); omitted, they are built here.
     """
-    sents = sentence_rows(docs).cache()
+    if sents is None:
+        sents = sentence_rows(docs).cache()
     sent_groups = (
         sents.join(groups, "doc_id")
         .select(F.col("sid").alias("doc_id"), "group")
     )
-    weights = tfidf_term_weights(
-        sents.select(F.col("sid").alias("doc_id"), F.col("sentence").alias("text"))
-    )
+    if weights is None:
+        weights = tfidf_term_weights(
+            sents.select(F.col("sid").alias("doc_id"), F.col("sentence").alias("text"))
+        )
     scores = lexrank_scores_grouped(
         weights, sent_groups, group_type=group_type, id_type="string"
     )

@@ -223,3 +223,199 @@ def trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cv").alias("nc"),
         )
     )
+
+
+# ---- value-checked LexRank power iteration ---------------------------------
+#
+# The DataFrame damped power iteration in operators/lexrank.py is
+# rows-only (float summation order differs between engines). This twin
+# pins the ALGORITHM's values with parity-safe arithmetic so the driver
+# can value-check the iteration machinery itself (the pagerank_nations
+# trick, per VERDICT r3 #7):
+#   * edge weights: integer-tf cosine — dot/(sqrt(n2a)*sqrt(n2b)) of
+#     exact BIGINT sums; +,×,÷,sqrt are IEEE-correctly-rounded in both
+#     engines, so sim is bit-identical (no transcendentals: smooth-idf's
+#     ln() differs by ulps between JVM and libm, so the checked twin
+#     uses tf-only cosine; the operator keeps smooth-idf).
+#   * order-independence: sim is snapped to DECIMAL(10,9); degree and
+#     the per-iteration neighbor sums Σ p·s run in EXACT decimal
+#     arithmetic (scale 9 × scale 9 = scale 18; values ≤ 1 keep the
+#     scaled int128 under 2^63, where DuckDB's decimal→double cast is
+#     correctly rounded), then ONE shared double expression per
+#     iteration re-snaps to DECIMAL(11,9). Zero rounding slack needed —
+#     both engines compute identical bits by construction.
+
+LEXC_ITERS = 8          # matches operators/lexrank.N_ITER
+LEXC_DAMPING = 0.15     # matches operators/lexrank.DAMPING
+LEXC_THRESHOLD = "0.100000000"  # sim ≥ 0.1, compared in DECIMAL(10,9)
+LEXC_MOD = 3            # bounded sample: doc_id % 3 = 0 (~167 of the 500-doc gate corpus)
+
+_LEXC_TOKENS = (
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+)
+
+
+def _build_lexrank_checked_sql() -> str:
+    head = f"""
+docs AS (
+  SELECT doc_id, source, text FROM documents WHERE doc_id % {LEXC_MOD} = 0
+),
+tf AS (
+  SELECT doc_id, source, term, count(*) AS c
+  FROM (SELECT doc_id, source, unnest({_LEXC_TOKENS}) AS term FROM docs)
+  GROUP BY doc_id, source, term
+),
+n2 AS (
+  SELECT doc_id, CAST(SUM(c * c) AS BIGINT) AS n2 FROM tf GROUP BY doc_id
+),
+dots AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst, a.source AS grp,
+         CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+  FROM tf a JOIN tf b
+    ON a.term = b.term AND a.source = b.source AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.source
+),
+sims AS (
+  SELECT d.src, d.dst, d.grp,
+         CAST(CAST(d.dot AS DOUBLE)
+              / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+              AS DECIMAL(10,9)) AS sim
+  FROM dots d
+  JOIN n2 na ON na.doc_id = d.src
+  JOIN n2 nb ON nb.doc_id = d.dst
+),
+edges0 AS (
+  SELECT src, dst, grp, sim FROM sims
+  WHERE sim >= CAST({LEXC_THRESHOLD} AS DECIMAL(10,9))
+),
+deg AS (
+  SELECT src, SUM(sim) AS deg FROM edges0 GROUP BY src
+),
+edges AS (
+  SELECT e.src, e.dst, e.grp,
+         CAST(CAST(e.sim AS DOUBLE) / CAST(d.deg AS DOUBLE)
+              AS DECIMAL(10,9)) AS p
+  FROM edges0 e JOIN deg d ON d.src = e.src
+),
+nodes AS (
+  SELECT d.doc_id, d.source AS grp, g.n_g
+  FROM docs d JOIN (SELECT source, count(*) AS n_g FROM docs GROUP BY source) g
+    ON g.source = d.source
+),
+r0 AS (
+  SELECT doc_id, grp, n_g,
+         CAST(CAST(1 AS DOUBLE) / CAST(n_g AS DOUBLE) AS DECIMAL(11,9)) AS s
+  FROM nodes
+)"""
+    iters = []
+    for i in range(1, LEXC_ITERS + 1):
+        iters.append(f"""
+r{i} AS (
+  SELECT n.doc_id, n.grp, n.n_g,
+         CAST(CAST({LEXC_DAMPING} AS DOUBLE) / CAST(n.n_g AS DOUBLE)
+              + CAST({1 - LEXC_DAMPING} AS DOUBLE)
+                * COALESCE(CAST(SUM(e.p * r{i-1}.s) AS DOUBLE),
+                           CAST(0 AS DOUBLE))
+              AS DECIMAL(11,9)) AS s
+  FROM nodes n
+  LEFT JOIN edges e ON e.dst = n.doc_id
+  LEFT JOIN r{i-1} ON r{i-1}.doc_id = e.src
+  GROUP BY n.doc_id, n.grp, n.n_g
+)""")
+    return (
+        "WITH " + head + "," + ",".join(iters)
+        + f"\nSELECT doc_id, grp, CAST(s AS DOUBLE) AS score FROM r{LEXC_ITERS}"
+    )
+
+
+@query("lexrank_scores_checked", oracle=_build_lexrank_checked_sql())
+def lexrank_scores_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-checked LexRank damped power iteration (see block comment
+    above): score_i = d/N_g + (1-d)·Σ_j (sim_ji/deg_j)·score_j over the
+    thresholded within-group tf-cosine graph, 8 iterations, on a
+    bounded doc sample (doc_id % 17 = 0). Same shuffle shape as
+    pagerank_nations: edge build is one inverted-index join, each
+    iteration is one broadcast join + aggregate; edges cached once."""
+    from data_pipeline_playground_spark.functions.text import tokenize
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % LEXC_MOD == 0)
+        .select("doc_id", "source", "text")
+    )
+    tf = (
+        docs.select("doc_id", "source", F.explode(tokenize(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n2 = tf.groupBy(F.col("doc_id").alias("ndoc")).agg(
+        F.sum(F.col("c") * F.col("c")).alias("n2")
+    )
+    a = tf.select(F.col("doc_id").alias("src"), F.col("source").alias("grp"),
+                  F.col("term").alias("t"), F.col("c").alias("ca"))
+    b = tf.select(F.col("doc_id").alias("dst"), F.col("source").alias("g2"),
+                  F.col("term").alias("t2"), F.col("c").alias("cb"))
+    dots = (
+        a.join(b, (F.col("t") == F.col("t2")) & (F.col("grp") == F.col("g2"))
+               & (F.col("src") != F.col("dst")))
+        .groupBy("src", "dst", "grp")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    sims = (
+        dots.join(n2.select(F.col("ndoc").alias("sa"), F.col("n2").alias("na")),
+                  F.col("src") == F.col("sa"))
+        .join(n2.select(F.col("ndoc").alias("sb"), F.col("n2").alias("nb")),
+              F.col("dst") == F.col("sb"))
+        .select(
+            "src", "dst", "grp",
+            (
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("na").cast("double"))
+                   * F.sqrt(F.col("nb").cast("double")))
+            ).cast("decimal(10,9)").alias("sim"),
+        )
+        .filter(F.col("sim") >= F.lit(LEXC_THRESHOLD).cast("decimal(10,9)"))
+    )
+    deg = sims.groupBy(F.col("src").alias("dsrc")).agg(F.sum("sim").alias("deg"))
+    edges = (
+        sims.join(deg, F.col("src") == F.col("dsrc"))
+        .select(
+            "src", "dst", "grp",
+            (F.col("sim").cast("double") / F.col("deg").cast("double"))
+            .cast("decimal(10,9)").alias("p"),
+        )
+        .cache()
+    )
+    edges.count()  # materialize once: every iteration references edges
+    nodes = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_g")).join(
+        docs.select("doc_id", "source"), "source"
+    ).select("doc_id", F.col("source").alias("grp"), "n_g")
+    ranks = nodes.select(
+        "doc_id", "grp", "n_g",
+        (F.lit(1).cast("double") / F.col("n_g").cast("double"))
+        .cast("decimal(11,9)").alias("s"),
+    )
+    for i in range(LEXC_ITERS):
+        prev = ranks.select(F.col("doc_id").alias("sdoc"), F.col("s").alias("sval"))
+        contrib = (
+            edges.join(F.broadcast(prev), F.col("src") == F.col("sdoc"))
+            .groupBy(F.col("dst").alias("cdoc"))
+            .agg(F.sum(F.col("p") * F.col("sval")).alias("csum"))
+        )
+        ranks = (
+            nodes.join(F.broadcast(contrib), nodes.doc_id == F.col("cdoc"), "left")
+            .select(
+                "doc_id", "grp", "n_g",
+                (
+                    F.lit(LEXC_DAMPING) / F.col("n_g").cast("double")
+                    + F.lit(1 - LEXC_DAMPING)
+                    * F.coalesce(F.col("csum").cast("double"),
+                                 F.lit(0).cast("double"))
+                ).cast("decimal(11,9)").alias("s"),
+            )
+        )
+        if (i + 1) % 4 == 0 and i + 1 < LEXC_ITERS:
+            # truncate lineage: 8 nested join plans make Catalyst
+            # re-optimization super-linear (same as operators/lexrank.py)
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("doc_id", "grp", F.col("s").cast("double").alias("score"))

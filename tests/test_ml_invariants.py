@@ -211,3 +211,41 @@ def test_knn_vote_majority_consistency(spark, sf_dir):
     assert len(res) == N_QUERY_VECTORS
     assert len({r.q_id for r in res}) == N_QUERY_VECTORS
     assert all(1 <= r.votes <= KNN_K for r in res)
+
+
+def test_news_summaries_paired_tiers(spark, sf_dir):
+    """The paired title+text summary shape (reference summarize.py:
+    20-23 returns {title: [...], text: [...]}): the title tier must be
+    1-3 verbatim member FIRST sentences (the corpus' headline proxy)
+    joined with ' ', and the text tier must equal lexrank_summaries'
+    output for the same group (both tiers share one fit)."""
+    import re
+
+    res = _QUERIES["news_summaries"](spark, sf_dir).collect()
+    text_tier = {
+        r.group: r.summary
+        for r in _QUERIES["lexrank_summaries"](spark, sf_dir).collect()
+    }
+    docs = table(spark, sf_dir, "documents").select("source", "text").collect()
+    sent_re = re.compile(r"[.!?]+")
+    first_sents: dict[str, set[str]] = {}
+    for r in docs:
+        sents = [s.strip() for s in sent_re.split(r.text) if s.strip()]
+        if sents:
+            first_sents.setdefault(r.source, set()).add(sents[0])
+    assert res and len(res) == len({r.group for r in res})
+    for r in res:
+        assert r.text_summary == text_tier.get(r.group)
+        assert r.title_summary
+        remaining = r.title_summary
+        matched = 0
+        while remaining:
+            cands = [
+                s for s in first_sents[r.group]
+                if remaining == s or remaining.startswith(s + " ")
+            ]
+            assert cands, f"unmatched title prefix: {remaining[:80]!r}"
+            hit = max(cands, key=len)
+            matched += 1
+            remaining = remaining[len(hit):].lstrip()
+        assert 1 <= matched <= 3
