@@ -63,6 +63,24 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    # Contention sentinel: these queries are known-subsecond on an idle
+    # box at sf0.1; if one measures far above that, the host was CPU
+    # burst-credit throttled (or co-loaded) mid-run and the run's
+    # timings are not comparable across rounds — label the run so a
+    # throttled bench self-identifies instead of reading as a 10×
+    # plan regression.
+    _SENTINELS = {"section_rank_topk": 2.0, "project_clean": 2.0}
+    tripped = {
+        q: timings[q]
+        for q, lim in _SENTINELS.items()
+        if timings.get(q, 0.0) > lim
+    }
+    if tripped:
+        out["contention_warning"] = (
+            "sentinel queries exceeded idle-box bounds "
+            f"({', '.join(f'{q}={v}s' for q, v in sorted(tripped.items()))}); "
+            "host was likely CPU-throttled — timings unreliable"
+        )
     # one compact line (no spaces): the line is consumed by automated
     # JSON-line parsers whose capture may be length-bounded
     print(json.dumps(out, separators=(",", ":")))

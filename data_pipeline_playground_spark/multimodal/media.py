@@ -79,6 +79,68 @@ def _stub_decode(payload: bytes) -> list[float]:
     return [math.floor(c * 1e6 / total + 0.5) / 1e6 for c in buckets]
 
 
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def pil_decode(payload: bytes) -> list[float]:
+    """Real image decode (used when PIL is importable): grayscale
+    8-bin luminance histogram — the same 8-float output contract as
+    ``_stub_decode`` so downstream schema/consumers are identical.
+    Raises like any decoder would on non-image bytes."""
+    if payload is None:
+        raise NotImplementedError("payload is null")
+    import io
+    import math
+
+    import numpy as np
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(bytes(payload))).convert("L")
+    arr = np.asarray(img, dtype=np.float64)
+    hist, _ = np.histogram(arr, bins=8, range=(0.0, 256.0))
+    total = max(int(arr.size), 1)
+    return [math.floor(int(c) * 1e6 / total + 0.5) / 1e6 for c in hist]
+
+
+def pil_resize(payload: bytes, src_w: int, src_h: int,
+               dst_w: int, dst_h: int) -> bytes:
+    """Real image resize via PIL (used when importable); same
+    bytes→bytes contract as ``_stub_resize``."""
+    if payload is None:
+        raise NotImplementedError("payload is null")
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(bytes(payload)))
+    fmt = img.format or "PNG"
+    buf = io.BytesIO()
+    img.resize((dst_w, dst_h)).save(buf, format=fmt)
+    return buf.getvalue()
+
+
+def default_decoder() -> Decoder:
+    """PIL-backed decode when the environment has PIL, else the
+    deterministic stub (this container ships no image libs). The
+    REGISTERED multimodal queries always pass ``_stub_decode``
+    explicitly — their payloads are synthetic UTF-8 bytes with a
+    DuckDB oracle pinned to the stub histogram — so environment
+    differences can never flip a correctness gate; this default is
+    for real-media users of the operator API."""
+    return pil_decode if _pil_available() else _stub_decode
+
+
+def default_resizer() -> Resizer:
+    """PIL-backed resize when available, else the stub (see
+    ``default_decoder`` for the query-pinning rationale)."""
+    return pil_resize if _pil_available() else _stub_resize
+
+
 def decode_features(media: DataFrame, decoder: Decoder | None = None,
                     batch_limit: int = 1024) -> DataFrame:
     """mapInPandas decode: binary payload → array<float> features.
@@ -89,7 +151,7 @@ def decode_features(media: DataFrame, decoder: Decoder | None = None,
     """
     import pandas as pd
 
-    decode = decoder or _stub_decode
+    decode = decoder or default_decoder()
 
     def _run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -132,7 +194,7 @@ def resize_images(media: DataFrame, dst_w: int, dst_h: int,
     touches the driver; partition count bounds per-task bytes."""
     import pandas as pd
 
-    resize = resizer or _stub_resize
+    resize = resizer or default_resizer()
 
     def _run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:

@@ -248,7 +248,12 @@ def trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 LEXC_ITERS = 8          # matches operators/lexrank.N_ITER
 LEXC_DAMPING = 0.15     # matches operators/lexrank.DAMPING
 LEXC_THRESHOLD = "0.100000000"  # sim ≥ 0.1, compared in DECIMAL(10,9)
-LEXC_MOD = 3            # bounded sample: doc_id % 3 = 0 (~167 of the 500-doc gate corpus)
+LEXC_MOD = 3            # bounded sample: doc_id % 3 = 0 ...
+LEXC_CAP = 500          # ... AND doc_id < 500: the graph is FIXED-size
+                        # (167 nodes) at every SF, like pagerank's 25
+                        # nations — a value-check twin pins the
+                        # iteration algorithm, it must not become a
+                        # scan-scale benchmark query
 
 _LEXC_TOKENS = (
     "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
@@ -258,7 +263,8 @@ _LEXC_TOKENS = (
 def _build_lexrank_checked_sql() -> str:
     head = f"""
 docs AS (
-  SELECT doc_id, source, text FROM documents WHERE doc_id % {LEXC_MOD} = 0
+  SELECT doc_id, source, text FROM documents
+  WHERE doc_id % {LEXC_MOD} = 0 AND doc_id < {LEXC_CAP}
 ),
 tf AS (
   SELECT doc_id, source, term, count(*) AS c
@@ -340,7 +346,7 @@ def lexrank_scores_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = (
         table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % LEXC_MOD == 0)
+        .filter((F.col("doc_id") % LEXC_MOD == 0) & (F.col("doc_id") < LEXC_CAP))
         .select("doc_id", "source", "text")
     )
     tf = (

@@ -51,12 +51,16 @@ def multimodal_decode_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     factorize list cells, and both engines hold the identical double
     (same half-away rounding), so fixed-point formatting is stable."""
     from data_pipeline_playground_spark.multimodal.media import (
+        _stub_decode,
         attach_payload_from_text,
         decode_features,
     )
 
     docs = table(spark, sf_dir, "documents")
-    decoded = decode_features(attach_payload_from_text(docs))
+    # stub decoder PINNED (not default_decoder): the payloads are
+    # synthetic UTF-8 bytes and the oracle reproduces the stub's byte
+    # histogram — a PIL-bearing environment must not flip this gate
+    decoded = decode_features(attach_payload_from_text(docs), decoder=_stub_decode)
     return decoded.select(
         "media_id",
         F.array_join(

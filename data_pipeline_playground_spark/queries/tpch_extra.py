@@ -128,10 +128,10 @@ SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_pric
        count(*) AS n_lines
 FROM lineitem l
 JOIN (SELECT l_partkey AS a_partkey,
-             0.5 * avg(l_quantity) AS half_avg_qty
+             SUM(l_quantity) AS qty_sum, count(*) AS qty_cnt
       FROM lineitem GROUP BY l_partkey) a
   ON l.l_partkey = a.a_partkey
-WHERE l.l_quantity < a.half_avg_qty
+WHERE 2 * l.l_quantity * a.qty_cnt < a.qty_sum
 """
 
 
@@ -148,13 +148,20 @@ def small_qty_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate is tiny relative to the fact and could be broadcast.
     """
     li = table(spark, sf_dir, "lineitem")
+    # threshold as the shared multiply tree 2·qty·cnt < Σqty, NOT
+    # qty < 0.5·avg: quantities are whole numbers, so both sides of
+    # the product compare are exact in double on both engines at ANY
+    # group size — avg's divide would re-introduce a rounding whose
+    # boundary behavior depends on the engine's summation order once
+    # sums stop being exactly representable (ADVICE r3)
     avg_qty = (
         li.groupBy(F.col("l_partkey").alias("a_partkey"))
-        .agg((F.lit(0.5) * F.avg("l_quantity")).alias("half_avg_qty"))
+        .agg(F.sum("l_quantity").alias("qty_sum"),
+             F.count(F.lit(1)).alias("qty_cnt"))
     )
     return (
         li.join(avg_qty, F.col("l_partkey") == F.col("a_partkey"))
-        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .filter(F.lit(2) * F.col("l_quantity") * F.col("qty_cnt") < F.col("qty_sum"))
         .agg(
             F.sum(_dec("l_extendedprice")).cast("double").alias("total_price"),
             F.count(F.lit(1)).alias("n_lines"),
@@ -328,7 +335,8 @@ def nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IDLE_CUSTOMERS_SQL = """
 WITH thresh AS (
-  SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0
+  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS bal_sum, count(*) AS bal_cnt
+  FROM customer WHERE c_acctbal > 0
 ), recent AS (
   SELECT DISTINCT o_custkey FROM orders
   WHERE o_orderdate >= (SELECT max(o_orderdate) FROM orders) - INTERVAL 180 DAY
@@ -337,7 +345,7 @@ SELECT c.c_mktsegment,
        count(*) AS n_custs,
        CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
 FROM customer c, thresh
-WHERE c.c_acctbal > thresh.avg_bal
+WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) * thresh.bal_cnt > thresh.bal_sum
   AND c.c_custkey NOT IN (SELECT o_custkey FROM recent)
 GROUP BY c.c_mktsegment
 """
@@ -355,7 +363,15 @@ def idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cust = table(spark, sf_dir, "customer")
     orders = table(spark, sf_dir, "orders")
-    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("avg_bal"))
+    # above-average filter in EXACT decimal (bal·cnt > Σbal): acctbal
+    # doubles are not all exact cents, so avg(double) depends on each
+    # engine's summation order; the cents-snapped decimal sum is exact
+    # and order-free, making the threshold compare bit-identical by
+    # construction (ADVICE r3, the user_value_trend discipline)
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(_dec("c_acctbal")).alias("bal_sum"),
+        F.count(F.lit(1)).alias("bal_cnt"),
+    )
     mx = orders.agg(F.max("o_orderdate").alias("_mx"))
     recent = (
         orders.join(F.broadcast(mx))
@@ -365,7 +381,7 @@ def idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cust.join(F.broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .filter(_dec("c_acctbal") * F.col("bal_cnt") > F.col("bal_sum"))
         .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .groupBy("c_mktsegment")
         .agg(

@@ -132,3 +132,31 @@ def test_audio_window_rms_shape_and_determinism(spark, sf_dir):
     }
     first = {(r.media_id, r.window_idx): r.rms for r in out.collect()}
     assert again == first
+
+
+def test_default_decoder_selection_and_real_path():
+    """The decoder/resizer defaults are PIL-backed exactly when PIL is
+    importable; with PIL present, the real path must keep the stub's
+    output contract (8 floats in [0,1] summing to ~1; bytes→bytes)."""
+    from data_pipeline_playground_spark.multimodal import media as M
+
+    if not M._pil_available():
+        assert M.default_decoder() is M._stub_decode
+        assert M.default_resizer() is M._stub_resize
+        return
+    assert M.default_decoder() is M.pil_decode
+    assert M.default_resizer() is M.pil_resize
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("L", (16, 16), color=77).save(buf, format="PNG")
+    png = buf.getvalue()
+    feats = M.pil_decode(png)
+    assert len(feats) == len(M._stub_decode(b"xyz")) == 8
+    assert all(0.0 <= f <= 1.0 for f in feats)
+    assert abs(sum(feats) - 1.0) < 1e-3
+    out = M.pil_resize(png, 16, 16, 8, 8)
+    assert isinstance(out, bytes)
+    assert Image.open(io.BytesIO(out)).size == (8, 8)
