@@ -1,0 +1,214 @@
+"""Temporal join operators, second tier: as-of join with carried
+payload, BUCKETED range join, native grouping-sets time rollup.
+
+Complements queries/temporal.py (round 2), which holds the sibling
+formulations — strict-earlier as-of checked against a correlated
+subquery, keyed range join as a residual predicate inside the
+sort-merge join, and the hour→day re-aggregation rollup. This module
+covers the formulations that file defers to: the as-of here carries
+the matched row's VALUE (not just its timestamp), is inclusive, and is
+checked against DuckDB's NATIVE ASOF JOIN operator; the range join
+here uses floor-epoch time BUCKETS (the shape needed when the equi-key
+alone can't bound a partition — keyless or hot-key ranges); the rollup
+here produces hour/day/month/grand-total from ONE pass of native
+ROLLUP grouping sets.
+
+Spark has no native ASOF/range join, so each query is the canonical
+distributed re-expression:
+
+* as-of     → union-merge + last_value window (ONE shuffle on the key;
+              no join blowup — the shape kdb/QuestDB asof joins compile
+              to when distributed)
+* range     → time-bucket equi-join + exact interval residual filter
+              (bounded 2× fanout replaces an unbounded theta-join)
+* rollup    → native ROLLUP grouping sets (one pass, partial-agg
+              combinable — the hypertable continuous-aggregate shape)
+
+DuckDB oracles use the native forms (ASOF LEFT JOIN, inequality join,
+GROUP BY ROLLUP), so the distributed re-expressions are value-checked
+against the reference semantics, not against themselves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_playground_spark.registry import query
+from data_pipeline_playground_spark.tables import table
+
+# --- as-of join -------------------------------------------------------------
+
+_ASOF_SQL = """
+WITH c AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                             ORDER BY event_id DESC) = 1
+),
+p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+       c.ts AS click_ts, c.value AS click_value
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+@query("purchases_asof_click", oracle=_ASOF_SQL)
+def purchases_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: each purchase picks the same user's latest click at
+    or before the purchase timestamp (last-touch attribution).
+
+    Distributed shape: clicks and purchases are unioned with a side
+    tag and sorted once per user; ``last(click_value, ignorenulls)``
+    over (ts, tag) rows-unbounded-preceding carries the most recent
+    click forward — ONE shuffle on user_id, linear in |events|,
+    regardless of how many purchases follow each click (a join-based
+    as-of is quadratic per key in the worst case). Ties at equal ts:
+    clicks sort before purchases (tag 0 < 1), matching ASOF's
+    inclusive `>=`; duplicate click timestamps are pre-collapsed to
+    the max-event_id row on BOTH sides so the pick is deterministic.
+
+    Oracle: DuckDB's native ASOF LEFT JOIN — the re-expression is
+    checked against the reference semantics, not itself.
+    """
+    ev = table(spark, sf_dir, "events")
+    dw = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .withColumn("rn", F.row_number().over(dw))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "ts",
+            F.lit(None).cast("bigint").alias("event_id"),
+            F.col("value").alias("click_value"),
+            F.col("ts").alias("click_ts"),
+            F.lit(0).alias("tag"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast("double").alias("click_value"),
+        F.lit(None).cast("timestamp_ntz").alias("click_ts"),
+        F.lit(1).alias("tag"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = clicks.unionByName(purchases).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "tag",
+        F.last("click_value", ignorenulls=True).over(w).alias("last_click_value"),
+        F.last("click_ts", ignorenulls=True).over(w).alias("last_click_ts"),
+    )
+    return merged.filter(F.col("tag") == 1).select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("last_click_ts").alias("click_ts"),
+        F.col("last_click_value").alias("click_value"),
+    )
+
+
+# --- range (interval) join --------------------------------------------------
+
+RANGE_WINDOW_S = 600  # 10 minutes
+
+_RANGE_SQL = f"""
+WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, count(c.ts) AS n_recent_clicks
+FROM p LEFT JOIN c
+  ON c.user_id = p.user_id
+ AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL {RANGE_WINDOW_S} SECOND
+GROUP BY p.event_id, p.user_id
+"""
+
+
+@query("purchases_range_clicks", oracle=_RANGE_SQL)
+def purchases_range_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE join: per purchase, how many clicks the same user made in
+    the preceding 10 minutes (inclusive of the purchase instant).
+
+    Distributed shape: both sides get a floor-epoch time bucket of the
+    window width; each purchase probes its own bucket and the previous
+    one (a candidate click's bucket is always one of the two), so the
+    unbounded theta-join becomes an equi-join on (user, bucket) with a
+    bounded 2× build fanout, and the exact microsecond interval
+    predicate runs as a residual filter. Purchases with no candidate
+    clicks survive via the left join + conditional count.
+
+    Oracle: DuckDB's native inequality join.
+    """
+    ev = table(spark, sf_dir, "events")
+    epoch_s = "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    bucket = (F.expr(epoch_s) / RANGE_WINDOW_S).cast("bigint")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        bucket.alias("c_bucket"),
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", bucket.alias("p_bucket"))
+        .withColumn("probe", F.explode(F.array(F.col("p_bucket"), F.col("p_bucket") - 1)))
+    )
+    hit = (
+        (F.col("c_ts") <= F.col("ts"))
+        & (F.col("c_ts") > F.col("ts") - F.expr(f"INTERVAL {RANGE_WINDOW_S} SECONDS"))
+    )
+    return (
+        purchases.join(
+            clicks,
+            (F.col("user_id") == F.col("c_user")) & (F.col("probe") == F.col("c_bucket")),
+            "left",
+        )
+        .groupBy("event_id", "user_id")
+        .agg(F.count(F.when(hit, F.lit(1))).alias("n_recent_clicks"))
+    )
+
+
+# --- hierarchical time rollup (hypertable continuous aggregate) -------------
+
+_ROLLUP_SQL = """
+SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+       CAST(date_trunc('day', ts) AS DATE) AS day,
+       date_trunc('hour', ts) AS hour,
+       count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+WHERE ts IS NOT NULL
+GROUP BY ROLLUP (date_trunc('month', ts),
+                 date_trunc('day', ts),
+                 date_trunc('hour', ts))
+"""
+
+
+@query("events_time_rollup", oracle=_ROLLUP_SQL)
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical time rollup — the hypertable continuous-aggregate
+    shape: hour, day, month and grand-total rows from ONE pass via
+    native ROLLUP grouping sets. Counts and exact-decimal value sums
+    are partial-agg combinable, so at 100 TB this is a single
+    map-side-combined shuffle (and the coarser levels re-aggregate the
+    finest level's partials, not the fact table). The NOT NULL guard
+    keeps rollup nulls unambiguous as level markers."""
+    ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    return (
+        ev.rollup(
+            F.to_date(F.date_trunc("month", "ts")).alias("month"),
+            F.to_date(F.date_trunc("day", "ts")).alias("day"),
+            F.date_trunc("hour", "ts").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+    )

@@ -599,3 +599,34 @@ def test_discount_corr_broadcast_and_partials(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "partial_" in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_purchases_asof_click_window_shape(spark, sf_dir):
+    """The inclusive as-of join must stay a union+window plan: no join
+    operator at all (the whole point vs a theta self-join), and at most
+    two hash exchanges (click de-dup + the user_id merge window)."""
+    plan = _plan(spark, sf_dir, "purchases_asof_click")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "PushedFilters" in plan and "purchase" in plan
+
+
+def test_purchases_range_clicks_bucketed_join(spark, sf_dir):
+    """Bucketed range join: the type filters reach the scans and the
+    bounded bucket fanout must never degrade to a cartesian/broadcast
+    nested-loop theta join."""
+    plan = _plan(spark, sf_dir, "purchases_range_clicks")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EqualTo(event_type,click)" in plan
+    assert "EqualTo(event_type,purchase)" in plan
+
+
+def test_events_time_rollup_single_pass(spark, sf_dir):
+    """Native ROLLUP: one Expand over one pass of events (no
+    union-of-grains rescans), partial aggregation before the single
+    hash exchange."""
+    plan = _plan(spark, sf_dir, "events_time_rollup")
+    assert plan.count("Expand") == 1
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
