@@ -41,9 +41,11 @@ def main() -> None:
     errors: dict[str, str] = {}
     for name in sorted(queries):
         # Drop any cached data left by the previous query so each
-        # timing is independent of run order (query-internal caches are
-        # created and used within one call; Python-side model memos are
-        # unaffected).
+        # timing is independent of run order. Memoized frames
+        # (caching.py) that a later query retrieves are re-materialized
+        # at that retrieval — so every query pays its own build cost
+        # even for session-shared artifacts; run order never subsidizes
+        # a timing.
         spark.catalog.clearCache()
         start = time.perf_counter()
         try:

@@ -212,3 +212,141 @@ def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
         )
     )
+
+
+# --- strict-sequence funnel (MATCH_RECOGNIZE-lite) --------------------------
+
+_FUNNEL_CHAIN_SQL = """
+WITH s AS (
+  SELECT user_id, min(ts) AS s_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS c_ts FROM events e
+  JOIN s ON s.user_id = e.user_id AND e.ts > s.s_ts
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+  JOIN c ON c.user_id = e.user_id AND e.ts > c.c_ts
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT s.user_id, s.s_ts, c.c_ts, p.p_ts
+FROM s JOIN c ON c.user_id = s.user_id
+       JOIN p ON p.user_id = s.user_id
+"""
+
+
+@query("funnel_first_chain", oracle=_FUNNEL_CHAIN_SQL)
+def funnel_first_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order sequence match (MATCH_RECOGNIZE-lite): per user,
+    the earliest signup → first click strictly after it → first
+    purchase strictly after that — the greedy leftmost funnel chain.
+
+    Distributed shape: three chained window projections over ONE
+    user_id partitioning (each `min(when(...))` may reference the
+    previous stage's result because the partitioning is identical, so
+    Catalyst plans one exchange and three in-partition Window passes),
+    then a same-key groupBy that reuses the exchange. No self-joins:
+    the oracle's three-join phrasing would re-shuffle events three
+    times at 100 TB; this runs it in one.
+    """
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "click", "purchase")
+    )
+    w = Window.partitionBy("user_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    s = F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+    staged = ev.withColumn("s_ts", s)
+    c = F.min(
+        F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("s_ts")), F.col("ts"))
+    ).over(w)
+    staged = staged.withColumn("c_ts", c)
+    p = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("c_ts")),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("p_ts", p)
+    return (
+        staged.filter(
+            F.col("s_ts").isNotNull()
+            & F.col("c_ts").isNotNull()
+            & F.col("p_ts").isNotNull()
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("s_ts").alias("s_ts"),
+            F.min("c_ts").alias("c_ts"),
+            F.min("p_ts").alias("p_ts"),
+        )
+    )
+
+
+# --- rate-limit throttle dedup (sequential per-key semantics) ---------------
+
+THROTTLE_S = 3600  # suppress events within 1h of the last KEPT event
+
+_THROTTLE_SQL = f"""
+WITH RECURSIVE kept AS (
+  SELECT user_id, event_type, min(ts) AS ts FROM events
+  GROUP BY user_id, event_type
+  UNION ALL
+  SELECT k.user_id, k.event_type, nxt.ts
+  FROM kept k
+  JOIN LATERAL (
+    SELECT min(e.ts) AS ts FROM events e
+    WHERE e.user_id = k.user_id AND e.event_type = k.event_type
+      AND e.ts >= k.ts + INTERVAL {THROTTLE_S} SECOND
+  ) nxt ON nxt.ts IS NOT NULL
+)
+SELECT user_id, event_type, ts FROM kept
+"""
+
+
+@query("events_throttle_1h", oracle=_THROTTLE_SQL)
+def events_throttle_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-limit throttle dedup: per (user, event_type), keep the
+    first event, then suppress everything within 1 h of the last KEPT
+    event; the next event ≥ 1 h later is kept, and so on.
+
+    This is NOT a lag/gaps-and-islands window — which event is kept
+    depends on which earlier events were kept, so the scan is
+    inherently sequential per key (the batch twin of streaming
+    rate-limiting / alert-dedup state). The irreducible-state shape
+    runs as a greedy pass inside Arrow-batched applyInPandas, one
+    shuffle on the composite key; per-key cost is linear in that key's
+    events, which is the best any engine can do for these semantics.
+    The oracle expresses the same fixpoint as a DuckDB recursive CTE
+    with a LATERAL next-kept probe — native recursion, so the Python
+    pass is checked against an independent formulation.
+
+    Timestamps are unique per (user, type) in this corpus (asserted by
+    the oracle's determinism); ties would need an event_id tiebreak.
+    """
+    import pandas as pd
+
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    gap = pd.Timedelta(seconds=THROTTLE_S)
+
+    def run(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("ts")
+        kept = []
+        last = None
+        for ts in pdf["ts"]:
+            if last is None or ts >= last + gap:
+                kept.append(ts)
+                last = ts
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]] * len(kept),
+                "event_type": [pdf["event_type"].iloc[0]] * len(kept),
+                "ts": kept,
+            }
+        )
+
+    return ev.groupBy("user_id", "event_type").applyInPandas(
+        run, schema="user_id bigint, event_type string, ts timestamp_ntz"
+    )

@@ -630,3 +630,24 @@ def test_events_time_rollup_single_pass(spark, sf_dir):
     assert plan.count("Expand") == 1
     assert plan.count("Scan parquet") == 1
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_funnel_first_chain_single_shuffle(spark, sf_dir):
+    """Three chained window stages + the final groupBy all share one
+    user_id partitioning — exactly ONE hash exchange, zero joins (the
+    oracle's three-join phrasing would shuffle events three times)."""
+    plan = _plan(spark, sf_dir, "funnel_first_chain")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_events_throttle_single_shuffle_arrow(spark, sf_dir):
+    """Sequential per-key throttle: one composite-key shuffle into an
+    Arrow-batched grouped-map pass; the scan reads only the 3 columns."""
+    plan = _plan(spark, sf_dir, "events_throttle_1h")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "FlatMapGroupsInPandas" in plan
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) == 3
