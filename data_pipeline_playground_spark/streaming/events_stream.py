@@ -250,6 +250,62 @@ _FUZZY_STATE_SCHEMA = T.StructType(
 _FUZZY_OUT_SCHEMA = "block_key string, doc_id bigint, title string"
 
 
+THROTTLE_GAP_NS = 3600 * 1_000_000_000  # 1h, matches queries/temporal_joins
+
+
+def streaming_throttle(events: DataFrame) -> DataFrame:
+    """Streaming twin of queries/temporal_joins.events_throttle_1h:
+    per (user, event_type), emit the first event, then suppress
+    everything within 1 h of the last EMITTED one — the always-on
+    rate-limiter / alert-dedup operator. State per key is a single
+    long (last kept event-time, ns); which event is kept depends on
+    which earlier ones were kept, so this is irreducibly stateful —
+    exactly what applyInPandasWithState exists for.
+
+    Event-time semantics assume per-key in-order arrival (rows are
+    sorted within each micro-batch; cross-batch reordering would need
+    a watermark buffer stage first, the standard caveat for any
+    event-time rate limiter). Batch equivalence on ordered replays is
+    pinned in tests/test_streaming.py.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        last = state.get[0] if state.exists else None
+        rows = pd.concat(list(pdf_iter)).sort_values("ts")
+        kept = []
+        for ts in rows["ts"]:
+            ns = ts.value
+            if last is None or ns >= last + THROTTLE_GAP_NS:
+                kept.append(ts)
+                last = ns
+        if last is not None:
+            state.update((int(last),))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(kept),
+                "event_type": [key[1]] * len(kept),
+                "ts": kept,
+            }
+        )
+
+    return events.groupBy("user_id", "event_type").applyInPandasWithState(
+        update,
+        outputStructType=T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("ts", T.TimestampType()),
+            ]
+        ),
+        stateStructType=T.StructType([T.StructField("last_ns", T.LongType())]),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_fuzzy_dedup(titles: DataFrame, threshold: int = 80) -> DataFrame:
     """R3 fuzzy tier as a custom stateful streaming operator: the
     reference's grow-forever ``seen_titles`` list (realtimeapi.py:143-156)

@@ -544,3 +544,60 @@ def test_streaming_cdc_apply_matches_batch_upsert(spark, sf_dir, tmp_path):
         (r.o_orderkey, r.o_orderstatus, r.version) for r in expected.collect()
     }
     assert got == want
+
+
+def test_streaming_throttle_matches_batch(spark, sf_dir, tmp_path):
+    """The stateful rate limiter must reproduce the batch
+    events_throttle_1h result exactly when events are replayed in
+    event-time order across micro-batches (3 ts-sorted tercile files,
+    one per trigger — state carries the last kept ts between them)."""
+    import time
+
+    from data_pipeline_playground_spark.registry import all_queries
+    from data_pipeline_playground_spark.streaming.events_stream import (
+        read_events_stream,
+        run_stream_to_memory,
+        streaming_throttle,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    rows = ev.orderBy("ts", "event_id").collect()
+    n = len(rows)
+    d = tmp_path / "ordered"
+    d.mkdir()
+    cuts = [0, n // 3, 2 * n // 3, n]
+    import json as _json
+
+    for i in range(3):
+        with open(d / f"part-{i:03d}.json", "w") as f:
+            for r in rows[cuts[i]:cuts[i + 1]]:
+                f.write(
+                    _json.dumps(
+                        {
+                            "event_id": r.event_id,
+                            "ts": r.ts.strftime("%Y-%m-%dT%H:%M:%S.%f"),
+                            "user_id": r.user_id,
+                            "event_type": r.event_type,
+                            "value": r.value,
+                            "props": r.props,
+                        }
+                    )
+                    + "\n"
+                )
+        time.sleep(1.1)  # distinct mtimes → deterministic file order
+
+    stream = read_events_stream(spark, str(d), max_files_per_trigger=1)
+    run_stream_to_memory(
+        streaming_throttle(stream), "throttle_sink", output_mode="append"
+    )
+    got = {
+        (r.user_id, r.event_type, r.ts)
+        for r in spark.sql("SELECT * FROM throttle_sink").collect()
+    }
+    want = {
+        (r.user_id, r.event_type, r.ts)
+        for r in all_queries()["events_throttle_1h"](spark, sf_dir).collect()
+    }
+    assert got == want
