@@ -110,6 +110,74 @@ def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("customer_spend_quartiles_ranked", oracle=_NTILE_SQL)
+def customer_spend_quartiles_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ntile(4) without the global-order window — the scale-safe
+    exact tier (SAME oracle as customer_spend_quartiles, so equivalence
+    is certified per run; `_approx` remains the sketch tier).
+
+    Distributed ranking, the classic two-level scheme: range-partition
+    the per-customer aggregate on the total order key (range bounds
+    from Spark's sampler — ranks are exact wherever the bounds land,
+    because the key (spend, custkey) is a total order), row_number
+    WITHIN each range bucket, then add each bucket's broadcast
+    cumulative offset to get the global rank. Every stage is parallel:
+    the only single-partition work is the ≤ P-row offsets frame.
+    Exact ntile bucket from the global rank in integer arithmetic
+    (first n mod 4 buckets take ceil(n/4) rows — the SQL ntile rule).
+    """
+    o = table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(_dec2("o_totalprice")).alias("total_spend")
+    )
+    ranged = (
+        spend.repartitionByRange(32, "total_spend", "o_custkey")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    wb = Window.partitionBy("pid").orderBy("total_spend", "o_custkey")
+    # materialize ONCE: the offsets branch and the main branch must see
+    # the SAME range-bucket assignment — re-executing the range
+    # exchange in two subtrees would both double the work and bet on
+    # the range sampler placing identical bounds twice
+    local = ranged.withColumn("local_rn", F.row_number().over(wb)).cache()
+    local.count()
+    counts = local.groupBy("pid").agg(F.count(F.lit(1)).alias("n_pid"))
+    wo = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        F.col("pid").alias("opid"),
+        F.coalesce(F.sum("n_pid").over(wo), F.lit(0)).alias("offset"),
+        F.sum("n_pid").over(
+            Window.orderBy("pid").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n_total"),
+    )
+    # pure integer bucket math (ceil(a/b) = (a+b-1) div b): exact at
+    # any n, no double division anywhere near a bucket boundary
+    base = F.expr("n_total div 4")
+    rem = F.col("n_total") % 4
+    rank = F.col("offset") + F.col("local_rn")
+    big_span = rem * (base + 1)  # rows covered by the (base+1)-sized buckets
+    ceil_big = F.expr(
+        "(offset + local_rn + (n_total div 4)) div ((n_total div 4) + 1)"
+    )
+    ceil_small = F.expr(
+        "n_total % 4 + ((offset + local_rn - (n_total % 4) * ((n_total div 4) + 1))"
+        " + (n_total div 4) - 1) div (n_total div 4)"
+    )
+    quartile = F.when(rank <= big_span, ceil_big).otherwise(ceil_small).cast("int")
+    return (
+        local.join(F.broadcast(offsets), F.col("pid") == F.col("opid"))
+        .withColumn("quartile", quartile)
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("total_spend").cast("double").alias("min_spend"),
+            F.max("total_spend").cast("double").alias("max_spend"),
+        )
+    )
+
+
 # --- ratio-to-report --------------------------------------------------------
 
 _SHARE_SQL = """

@@ -43,6 +43,19 @@ SHOWCASE = [
      "partial-aggregate map-side (partial_sum of exact decimals below "
      "one user_id exchange); the slope/intercept/R² math is a final "
      "narrow Project — no window, no join."),
+    ("purchases_asof_click", "as-of join with NO join operator: union "
+     "of both event kinds into one user_id Window pass "
+     "(last ignorenulls carry-forward); at most two hash exchanges."),
+    ("funnel_first_chain", "three chained Window stages + the final "
+     "aggregate all share ONE user_id exchange; zero joins for a "
+     "three-step sequence match."),
+    ("customer_spend_quartiles_ranked", "exact ntile without a "
+     "global-order window: RangePartitioning exchange, per-bucket "
+     "row_number, broadcast offsets join — no single-partition sort "
+     "of the customer frame."),
+    ("events_time_rollup", "native ROLLUP: one parquet scan into one "
+     "Expand, partial aggregation below a single hash exchange — "
+     "grains cost row copies, not rescans."),
 ]
 
 

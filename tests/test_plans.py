@@ -651,3 +651,13 @@ def test_events_throttle_single_shuffle_arrow(spark, sf_dir):
 
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m and len(m.group(1).split(",")) == 3
+
+
+def test_quartiles_ranked_no_global_sort(spark, sf_dir):
+    """Exact distributed ntile: range partitioning + per-bucket window;
+    the only SinglePartition exchange may be the <=P-row offsets frame
+    (below the broadcast), never the customer frame's ranking path."""
+    plan = _plan(spark, sf_dir, "customer_spend_quartiles_ranked")
+    assert "rangepartitioning" in plan
+    main = plan.split("BroadcastExchange")[0]
+    assert "SinglePartition" not in main

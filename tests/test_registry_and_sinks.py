@@ -33,6 +33,7 @@ def test_rows_only_queries_are_the_ml_set():
         "stem_profile",
         "pos_noun_profile",
         "lexrank_summaries",
+        "news_summaries",
     }
 
 
