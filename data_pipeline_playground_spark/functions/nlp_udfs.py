@@ -130,3 +130,32 @@ import sys as _sys
 from pyspark.cloudpickle import register_pickle_by_value as _by_value
 
 _by_value(_sys.modules[__name__])
+
+
+# --- grouped-aggregate pandas UDF (the one Arrow UDF variety the rest
+# of the package doesn't already exercise: scalar pandas_udf above,
+# grouped-map applyInPandas in operators/lexrank.py, mapInPandas in
+# multimodal/media.py, UDTF in functions/udtfs.py) -----------------------
+
+@pandas_udf("double")
+def median_udaf(v: pd.Series) -> float:
+    """Exact median as a GROUPED_AGG pandas UDF (whole group's column
+    arrives as one Arrow batch). numpy's median = mean of the two
+    middle order statistics — identical to SQL quantile_cont(0.5)
+    (selection + one halving, no accumulation), so the result is
+    bitwise deterministic and DuckDB-oracle-checkable despite being a
+    Python aggregate."""
+    import numpy as np
+
+    a = v.dropna().to_numpy(dtype=np.float64)
+    if not len(a):
+        return None
+    return float(np.median(a))
+
+
+@pandas_udf("long")
+def count_udaf(v: pd.Series) -> int:
+    """Non-null count companion: Spark disallows mixing GROUPED_AGG
+    pandas UDFs with JVM aggregates in one agg(), so the count rides a
+    second pandas UDAF in the same Arrow exchange."""
+    return int(v.notna().sum())

@@ -337,3 +337,38 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey", "o_custkey", F.col("price").cast("double").alias("o_totalprice")
         )
     )
+
+
+# --- grouped-aggregate pandas UDF surface -----------------------------------
+
+_MEDIAN_UDAF_SQL = """
+SELECT event_type,
+       count(*) AS n,
+       quantile_cont(value, 0.5) AS median_value
+FROM events GROUP BY event_type
+"""
+
+
+@query("event_value_median_udaf", oracle=_MEDIAN_UDAF_SQL)
+def event_value_median_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type median through a GROUPED_AGG pandas UDF — the
+    Arrow aggregate-UDF surface (each group's column ships to Python
+    as one Arrow batch; built-in `percentile` stays the production
+    path, this pins the extension point). Median is selection + one
+    halving, no accumulation, so the Python aggregate is bitwise
+    deterministic and value-checked against quantile_cont. At scale a
+    Python UDAF has no partial aggregation — the whole group shuffles
+    to one task — so the pattern fits bounded groups (the 5 event
+    types here), not high-cardinality keys."""
+    from data_pipeline_playground_spark.functions.nlp_udfs import (
+        count_udaf,
+        median_udaf,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    # both aggregates are pandas UDAFs: Spark disallows mixing
+    # GROUPED_AGG pandas UDFs with JVM aggregates in one agg()
+    return ev.groupBy("event_type").agg(
+        count_udaf("event_id").alias("n"),
+        median_udaf("value").alias("median_value"),
+    )
