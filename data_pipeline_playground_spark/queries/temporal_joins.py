@@ -329,24 +329,110 @@ def events_throttle_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    gap = pd.Timedelta(seconds=THROTTLE_S)
+    gap_ns = THROTTLE_S * 1_000_000_000
 
     def run(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
         pdf = pdf.sort_values("ts")
-        kept = []
-        last = None
-        for ts in pdf["ts"]:
-            if last is None or ts >= last + gap:
-                kept.append(ts)
-                last = ts
+        arr = pdf["ts"].to_numpy(dtype="datetime64[ns]").astype(np.int64)
+        # greedy fixpoint, one searchsorted JUMP per KEPT event (not a
+        # per-row Python loop): iterations = |kept| ≪ |events|
+        kept_idx = []
+        i, n = 0, len(arr)
+        while i < n:
+            kept_idx.append(i)
+            i = int(np.searchsorted(arr, arr[i] + gap_ns, side="left"))
+        out = pdf.iloc[kept_idx]
         return pd.DataFrame(
             {
-                "user_id": [pdf["user_id"].iloc[0]] * len(kept),
-                "event_type": [pdf["event_type"].iloc[0]] * len(kept),
-                "ts": kept,
+                "user_id": out["user_id"].to_numpy(),
+                "event_type": out["event_type"].to_numpy(),
+                "ts": out["ts"].to_numpy(),
             }
         )
 
     return ev.groupBy("user_id", "event_type").applyInPandas(
         run, schema="user_id bigint, event_type string, ts timestamp_ntz"
+    )
+
+
+@query("purchases_asof_click_cogroup", oracle=_ASOF_SQL)
+def purchases_asof_click_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME as-of semantics as purchases_asof_click, implemented on
+    the cogrouped-map Arrow surface: purchases and clicks cogroup per
+    user and pandas ``merge_asof`` (backward, inclusive) runs per
+    block — the two-sided Python escape hatch for per-key logic no
+    window can express. Sharing the native-ASOF oracle certifies the
+    cogroup path bit-for-bit against the window formulation's
+    reference semantics. Scale shape: one co-shuffle of both sides on
+    user_id; per-key cost is the sort — use the union+window tier when
+    the logic IS expressible, this surface when it isn't.
+
+    KNOWN OPTIMIZER HAZARD (observed on Spark 4.1, pinned in
+    tests/test_plans.py): a REORDERING projection placed above
+    FlatMapCoGroupsInPandas mis-prunes the right cogroup child (the
+    plan shows the clicks side collapsing to [user_id, user_id,
+    value], silently dropping ts/event_id before the Python worker).
+    The output schema is therefore declared in ALPHABETICAL column
+    order so a consumer's sort-columns-by-name projection is a no-op;
+    the defensive empty-right guard below turns any residual
+    mis-pruning into an immediately visible all-null tier rather than
+    a crash.
+    """
+    import pandas as pd
+
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts", "value"
+    )
+
+    def merge(p_pdf: "pd.DataFrame", c_pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(p_pdf):
+            return pd.DataFrame(
+                columns=["click_ts", "click_value", "event_id", "purchase_ts", "user_id"]
+            )
+        p = p_pdf.sort_values("ts")
+        if len(c_pdf) and "ts" in c_pdf.columns:
+            c = (
+                c_pdf.sort_values(["ts", "event_id"])
+                .drop_duplicates("ts", keep="last")  # max event_id per ts
+                .rename(columns={"ts": "click_ts", "value": "click_value"})
+            )[["click_ts", "click_value"]]
+        else:
+            # a key with purchases but no clicks arrives as an EMPTY
+            # (column-less) right block — synthesize the empty frame
+            c = pd.DataFrame(
+                {
+                    "click_ts": pd.Series(dtype=p["ts"].dtype),
+                    "click_value": pd.Series(dtype="float64"),
+                }
+            )
+        merged = pd.merge_asof(
+            p, c, left_on="ts", right_on="click_ts", direction="backward"
+        )
+        return pd.DataFrame(
+            {
+                "click_ts": merged["click_ts"],
+                # nullable Float64: merge_asof marks no-match as NaN,
+                # which Arrow would ship as a NaN VALUE; the window twin
+                # (and the oracle) emit genuine NULLs there
+                "click_value": merged["click_value"].astype("Float64"),
+                "event_id": merged["event_id"],
+                "purchase_ts": merged["ts"],
+                "user_id": merged["user_id"],
+            }
+        )
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            schema="click_ts timestamp_ntz, click_value double, event_id bigint, "
+            "purchase_ts timestamp_ntz, user_id bigint",
+        )
     )

@@ -271,16 +271,23 @@ def streaming_throttle(events: DataFrame) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdf_iter, state: GroupState):
+        import numpy as np
         import pandas as pd
 
         last = state.get[0] if state.exists else None
         rows = pd.concat(list(pdf_iter)).sort_values("ts")
-        kept = []
-        for ts in rows["ts"]:
-            ns = ts.value
-            if last is None or ns >= last + THROTTLE_GAP_NS:
-                kept.append(ts)
-                last = ns
+        arr = rows["ts"].to_numpy(dtype="datetime64[ns]").astype(np.int64)
+        n = len(arr)
+        # searchsorted jump per KEPT event (see queries/temporal_joins)
+        i = 0 if last is None else int(
+            np.searchsorted(arr, last + THROTTLE_GAP_NS, side="left")
+        )
+        kept_idx = []
+        while i < n:
+            kept_idx.append(i)
+            last = int(arr[i])
+            i = int(np.searchsorted(arr, arr[i] + THROTTLE_GAP_NS, side="left"))
+        kept = list(rows["ts"].iloc[kept_idx])
         if last is not None:
             state.update((int(last),))
         yield pd.DataFrame(

@@ -661,3 +661,21 @@ def test_quartiles_ranked_no_global_sort(spark, sf_dir):
     assert "rangepartitioning" in plan
     main = plan.split("BroadcastExchange")[0]
     assert "SinglePartition" not in main
+
+
+def test_cogroup_survives_sorted_projection(spark, sf_dir):
+    """Regression for the Spark 4.1 cogroup mis-pruning hazard: a
+    reordering projection above FlatMapCoGroupsInPandas used to prune
+    the right child to [user_id, user_id, value], silently dropping
+    ts/event_id — every as-of match came back null. With the
+    alphabetical output schema the driver's sort-columns projection is
+    a no-op; this pins that both fetch shapes agree."""
+    df = _QUERIES["purchases_asof_click_cogroup"](spark, sf_dir)
+    plain = {(r.event_id, r.click_ts) for r in df.collect()}
+    reordered = {
+        (r.event_id, r.click_ts)
+        for r in df.select(*sorted(df.columns)).collect()
+    }
+    assert plain == reordered
+    n_null = sum(1 for _, c in plain if c is None)
+    assert n_null < len(plain)  # matches must survive the projection
