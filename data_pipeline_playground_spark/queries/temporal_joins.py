@@ -331,29 +331,59 @@ def events_throttle_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     gap_ns = THROTTLE_S * 1_000_000_000
 
-    def run(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    # NOT groupBy().applyInPandas(): that pays a pandas-frame
+    # construction PER KEY, which at 100 TB (billions of keys) is the
+    # dominant cost. Instead: hash-repartition on the key, sort each
+    # partition by (key, ts), and run ONE sequential mapInPandas scan
+    # per partition — runs are contiguous, the greedy fixpoint jumps
+    # via searchsorted (one step per KEPT event), and carry-state
+    # bridges a key's run across Arrow batch boundaries. Python-call
+    # count = Arrow batches, not keys.
+    def scan(batches):
         import numpy as np
 
-        pdf = pdf.sort_values("ts")
-        arr = pdf["ts"].to_numpy(dtype="datetime64[ns]").astype(np.int64)
-        # greedy fixpoint, one searchsorted JUMP per KEPT event (not a
-        # per-row Python loop): iterations = |kept| ≪ |events|
-        kept_idx = []
-        i, n = 0, len(arr)
-        while i < n:
-            kept_idx.append(i)
-            i = int(np.searchsorted(arr, arr[i] + gap_ns, side="left"))
-        out = pdf.iloc[kept_idx]
-        return pd.DataFrame(
-            {
-                "user_id": out["user_id"].to_numpy(),
-                "event_type": out["event_type"].to_numpy(),
-                "ts": out["ts"].to_numpy(),
-            }
-        )
+        carry_key = None  # (user_id, event_type) continuing from prev batch
+        carry_last = None  # last kept ts (ns) for carry_key
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            uid = pdf["user_id"].to_numpy()
+            et = pdf["event_type"].to_numpy(object)
+            arr = pdf["ts"].to_numpy(dtype="datetime64[ns]").astype(np.int64)
+            change = np.nonzero((uid[1:] != uid[:-1]) | (et[1:] != et[:-1]))[0] + 1
+            starts = np.concatenate(([0], change, [n]))
+            kept_idx = []
+            for a, b in zip(starts[:-1], starts[1:]):
+                a, b = int(a), int(b)
+                key = (uid[a], et[a])
+                if key == carry_key and carry_last is not None:
+                    i = a + int(
+                        np.searchsorted(arr[a:b], carry_last + gap_ns, side="left")
+                    )
+                else:
+                    i = a
+                last = carry_last if key == carry_key else None
+                while i < b:
+                    kept_idx.append(i)
+                    last = int(arr[i])
+                    i = a + int(
+                        np.searchsorted(arr[a:b], arr[i] + gap_ns, side="left")
+                    )
+                carry_key, carry_last = key, last
+            out = pdf.iloc[kept_idx]
+            yield pd.DataFrame(
+                {
+                    "user_id": out["user_id"].to_numpy(),
+                    "event_type": out["event_type"].to_numpy(),
+                    "ts": out["ts"].to_numpy(),
+                }
+            )
 
-    return ev.groupBy("user_id", "event_type").applyInPandas(
-        run, schema="user_id bigint, event_type string, ts timestamp_ntz"
+    return (
+        ev.repartition("user_id", "event_type")
+        .sortWithinPartitions("user_id", "event_type", "ts")
+        .mapInPandas(scan, schema="user_id bigint, event_type string, ts timestamp_ntz")
     )
 
 

@@ -46,6 +46,20 @@ def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def streaming_dedup_within_watermark(events: DataFrame,
+                                     watermark: str = "1 hour") -> DataFrame:
+    """R3 bounded-state variant: ``dropDuplicatesWithinWatermark``
+    keeps a key's state only for the watermark delay, where plain
+    ``dropDuplicates`` remembers every key forever — the difference
+    between O(duplicate-window) and O(stream-lifetime) state on an
+    always-on 100 TB/day feed. Semantics: duplicates are dropped when
+    they arrive within the watermark of the first-seen event (the
+    at-least-once-transport dedup contract)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def streaming_tumbling_counts(events: DataFrame, watermark: str | None = "1 hour",
                               window: str = "1 hour") -> DataFrame:
     """R4: watermarked tumbling counts per event_type — the streaming

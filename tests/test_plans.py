@@ -642,11 +642,14 @@ def test_funnel_first_chain_single_shuffle(spark, sf_dir):
 
 
 def test_events_throttle_single_shuffle_arrow(spark, sf_dir):
-    """Sequential per-key throttle: one composite-key shuffle into an
-    Arrow-batched grouped-map pass; the scan reads only the 3 columns."""
+    """Sequential per-key throttle: one composite-key shuffle, sorted
+    partitions, ONE MapInPandas scan per partition (per-batch Python
+    calls — NOT per-key FlatMapGroupsInPandas, whose per-key pandas
+    construction dominates at billions of keys); 3-column scan."""
     plan = _plan(spark, sf_dir, "events_throttle_1h")
     assert plan.count("Exchange hashpartitioning") == 1
-    assert "FlatMapGroupsInPandas" in plan
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" not in plan
     import re
 
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)

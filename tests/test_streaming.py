@@ -601,3 +601,24 @@ def test_streaming_throttle_matches_batch(spark, sf_dir, tmp_path):
         for r in all_queries()["events_throttle_1h"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_streaming_dedup_within_watermark_matches_plain(spark, sf_dir, events_stream_dir):
+    """The bounded-state dedup must drop the fixture's injected
+    duplicates exactly like unbounded dropDuplicates (they arrive
+    within the watermark), while keeping per-key state bounded."""
+    from data_pipeline_playground_spark.streaming.events_stream import (
+        read_events_stream,
+        run_stream_to_memory,
+        streaming_dedup_within_watermark,
+    )
+
+    stream = read_events_stream(spark, events_stream_dir, max_files_per_trigger=1)
+    run_stream_to_memory(
+        streaming_dedup_within_watermark(stream), "dedup_wm_sink",
+        output_mode="append",
+    )
+    got = spark.sql("SELECT event_id FROM dedup_wm_sink").collect()
+    ids = [r.event_id for r in got]
+    n_distinct_src = table(spark, sf_dir, "events").select("event_id").distinct().count()
+    assert len(ids) == len(set(ids)) == n_distinct_src
