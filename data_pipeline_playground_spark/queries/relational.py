@@ -805,3 +805,34 @@ def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("k") > 50).alias("n_k_gt50"),
         )
     )
+
+
+# --- LATERAL correlated subquery (top-n per outer row) ----------------------
+
+_LATERAL_TOPN_SQL = """
+SELECT r.r_name AS region, t.n_name AS nation, t.n_custs
+FROM region r,
+LATERAL (
+  SELECT n.n_name, count(c.c_custkey) AS n_custs
+  FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+  WHERE n.n_regionkey = r.r_regionkey
+  GROUP BY n.n_name
+  ORDER BY n_custs DESC, n.n_name
+  LIMIT 2
+) t
+"""
+
+
+@query("region_top_nations_lateral", oracle=_LATERAL_TOPN_SQL)
+def region_top_nations_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery surface: top-2 nations by customer
+    count per region, written as SQL LATERAL on BOTH engines (the
+    per-outer-row table subquery SQL:2016 defines; Spark supports it
+    since 3.2). Catalyst decorrelates the lateral into a join +
+    windowed rank under the hood — same physical family as the
+    explicit window form used elsewhere (top_part_per_supplier), so
+    the declarative phrasing costs nothing at scale while exercising
+    the decorrelation machinery end-to-end."""
+    for t in ("region", "nation", "customer"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_LATERAL_TOPN_SQL)
