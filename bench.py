@@ -39,7 +39,30 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in sorted(queries):
+    # Interleaved contention probes: a known-subsecond sentinel query
+    # re-measured every PROBE_EVERY queries. A single end-of-run
+    # sentinel can miss MID-RUN burst-credit throttling (observed:
+    # the b..p alphabetical block at 4-14× with clean s..z timings) —
+    # probing throughout localizes which stretch of the run is
+    # trustworthy.
+    _PROBE_Q = "section_rank_topk"
+    _PROBE_EVERY = 25
+    probes: dict[str, float] = {}
+
+    def probe(position: int) -> None:
+        if _PROBE_Q not in queries:
+            return
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        try:
+            queries[_PROBE_Q](spark, sf_dir).count()
+            probes[str(position)] = round(time.perf_counter() - t0, 3)
+        except Exception:
+            pass
+
+    for q_idx, name in enumerate(sorted(queries)):
+        if q_idx % _PROBE_EVERY == 0:
+            probe(q_idx)
         # Drop any cached data left by the previous query so each
         # timing is independent of run order. Memoized frames
         # (caching.py) that a later query retrieves are re-materialized
@@ -55,6 +78,7 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
             print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
 
+    probe(len(queries))  # final checkpoint
     total = round(sum(timings.values()), 4)
     out = {
         "metric": "total_query_wall_seconds",
@@ -77,10 +101,14 @@ def main() -> None:
         for q, lim in _SENTINELS.items()
         if timings.get(q, 0.0) > lim
     }
-    if tripped:
+    out["sentinel_probes"] = probes
+    hot = {pos: v for pos, v in probes.items() if v > 2.0}
+    if tripped or hot:
+        parts = [f"{q}={v}s" for q, v in sorted(tripped.items())]
+        parts += [f"probe@{pos}={v}s" for pos, v in sorted(hot.items(), key=lambda kv: int(kv[0]))]
         out["contention_warning"] = (
             "sentinel queries exceeded idle-box bounds "
-            f"({', '.join(f'{q}={v}s' for q, v in sorted(tripped.items()))}); "
+            f"({', '.join(parts)}); "
             "host was likely CPU-throttled — timings unreliable"
         )
     # one compact line (no spaces): the line is consumed by automated

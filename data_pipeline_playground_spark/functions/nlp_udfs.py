@@ -4,14 +4,24 @@
 These are the ONLY Python-side functions in the engine's hot paths, and
 they are vectorized: one Arrow batch per invocation, token arrays in
 and out. The reference used NLTK's PorterStemmer (cluster.py:13,17) and
-nltk.pos_tag (lda.py:21-29); NLTK is not in this container, so:
+nltk.pos_tag (lda.py:21-29); like the PIL gate in multimodal/media.py,
+each UDF is IMPORT-GATED: when NLTK (and, for tagging, its
+averaged-perceptron model data) is importable, the real NLTK stemmer /
+tagger runs inside the same Arrow-batched UDF; otherwise the
+self-contained fallbacks do:
 
 - stemming: a self-contained implementation of the classic Porter
   suffix-stripping steps (public algorithm, Porter 1980) — covers the
   common suffix classes; documented as an approximation of NLTK's.
 - POS noun filter: a deterministic suffix/shape heuristic standing in
   for a tagger (keeps NNP-like capitalized tokens and NNS-like plural
-  nouns); a real tagger plugs into the same UDF shape.
+  nouns, the reference's accepted_pos = ['NNP','NNS'], lda.py:21-29).
+
+The gate is decided DRIVER-SIDE at module import (the flags are
+plain bools pickled by value into the UDF closure, so executors never
+re-probe); this container ships no NLTK, so CI exercises the
+fallbacks — tests/test_nlp_udfs.py pins the gate selection and, when
+NLTK is present, the contract equality of both paths.
 """
 
 from __future__ import annotations
@@ -19,6 +29,41 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, StringType
+
+
+def _nltk_stemmer_available() -> bool:
+    try:
+        from nltk.stem import PorterStemmer  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def _nltk_tagger_available() -> bool:
+    """Importable AND the perceptron model data is on disk (nltk
+    downloads it separately; the resource name moved in nltk 3.9)."""
+    try:
+        import nltk
+        from nltk import pos_tag  # noqa: F401
+    except Exception:
+        return False
+    for res in (
+        "taggers/averaged_perceptron_tagger_eng",
+        "taggers/averaged_perceptron_tagger",
+    ):
+        try:
+            nltk.data.find(res)
+            return True
+        except LookupError:
+            continue
+        except Exception:
+            return False
+    return False
+
+
+_HAS_NLTK_STEM = _nltk_stemmer_available()
+_HAS_NLTK_POS = _nltk_tagger_available()
 
 # NB: return types are DataType objects, not DDL strings — a DDL string
 # is parsed lazily via the active session, which blows up when the UDF
@@ -93,9 +138,18 @@ def _post_1b(w: str) -> str:
 
 @pandas_udf(_ARR_STR)
 def stem_tokens_udf(tokens: pd.Series) -> pd.Series:
-    """N3 porter_stem over array<string> columns, Arrow-vectorized."""
+    """N3 porter_stem over array<string> columns, Arrow-vectorized.
+    Real NLTK PorterStemmer when importable (reference cluster.py:13),
+    else the self-contained Porter fallback — same array<string>
+    contract either way."""
+    if _HAS_NLTK_STEM:
+        from nltk.stem import PorterStemmer
+
+        stem = PorterStemmer().stem
+    else:
+        stem = porter_stem
     return tokens.map(
-        lambda toks: [porter_stem(t) for t in toks] if toks is not None else None
+        lambda toks: [stem(t) for t in toks] if toks is not None else None
     )
 
 
@@ -114,9 +168,22 @@ def _noun_like(token: str) -> bool:
 
 @pandas_udf(_ARR_STR)
 def pos_filter_nouns_udf(tokens: pd.Series) -> pd.Series:
-    """N4 pos_filter (reference keeps only NNP/NNS tags, lda.py:21-29)."""
+    """N4 pos_filter (reference keeps only NNP/NNS tags, lda.py:21-29).
+    Real nltk.pos_tag when importable with its model data, else the
+    deterministic noun-shape heuristic — same contract either way."""
+    if _HAS_NLTK_POS:
+        from nltk import pos_tag
+
+        def keep(toks):
+            return [t for t, tag in pos_tag(list(toks)) if tag in ("NNP", "NNS")]
+
+    else:
+
+        def keep(toks):
+            return [t for t in toks if _noun_like(t)]
+
     return tokens.map(
-        lambda toks: [t for t in toks if _noun_like(t)] if toks is not None else None
+        lambda toks: keep(toks) if toks is not None else None
     )
 
 

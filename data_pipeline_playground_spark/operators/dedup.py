@@ -115,12 +115,15 @@ def fuzzy_dedup_survivors(df: DataFrame, text_col: str = "text",
     ).select(F.col("_i").alias(id_col))
 
 
-def _fuzzy_survivors_minhash_candidates(df: DataFrame, text_col: str,
-                                        id_col: str) -> DataFrame:
-    """MinHash-candidate variant of fuzzy_dedup_survivors: LSH buckets
-    propose pairs, exact banded Levenshtein verifies them (same
-    threshold predicate as the band path, so precision is identical;
-    see fuzzy_dedup_survivors for the recall caveat)."""
+def fuzzy_similar_pairs_minhash(df: DataFrame, text_col: str = "text",
+                                id_col: str = "doc_id") -> DataFrame:
+    """Exact-verified similar pairs ``(hi, lo)`` with ``hi > lo``:
+    MinHash-LSH band buckets propose candidates (shuffle ∝ candidates,
+    not n²), the exact banded-Levenshtein threshold predicate verifies
+    each — so every emitted pair truly has fuzz_ratio > FUZZ_THRESHOLD
+    (precision exact); recall carries the LSH caveat documented on
+    fuzzy_dedup_survivors. Shared candidate generator for the
+    pairwise-survivor and greedy-chain tiers."""
     from data_pipeline_playground_spark.operators.minhash import (
         band_keys,
         candidate_pairs,
@@ -155,8 +158,87 @@ def _fuzzy_survivors_minhash_candidates(df: DataFrame, text_col: str,
                > F.lit(FUZZ_THRESHOLD))
         )
     )
-    # ci > cj by construction, so ci is the later (non-surviving) row
-    matched = verified.select(F.col("ci").alias("_dup")).distinct()
-    return titles.join(
-        matched, titles["_i"] == matched["_dup"], "left_anti"
+    return verified.select(F.col("ci").alias("hi"), F.col("cj").alias("lo"))
+
+
+def _fuzzy_survivors_minhash_candidates(df: DataFrame, text_col: str,
+                                        id_col: str) -> DataFrame:
+    """MinHash-candidate variant of fuzzy_dedup_survivors: LSH buckets
+    propose pairs, exact banded Levenshtein verifies them (same
+    threshold predicate as the band path, so precision is identical;
+    see fuzzy_dedup_survivors for the recall caveat)."""
+    pairs = fuzzy_similar_pairs_minhash(df, text_col, id_col)
+    # hi > lo by construction, so hi is the later (non-surviving) row
+    matched = pairs.select(F.col("hi").alias("_dup")).distinct()
+    ids = df.select(F.col(id_col).alias("_i"))
+    return ids.join(
+        matched, ids["_i"] == matched["_dup"], "left_anti"
     ).select(F.col("_i").alias(id_col))
+
+
+def fuzzy_dedup_greedy_survivors(df: DataFrame, text_col: str = "text",
+                                 id_col: str = "doc_id",
+                                 pairs: DataFrame | None = None) -> DataFrame:
+    """GREEDY-CHAIN fuzzy dedup — the reference's exact arrival-order
+    semantics (pipeline.py:22-42: each title is kept iff it is not
+    similar to any previously KEPT title), which differs from the
+    pairwise spec exactly on intransitive chains: if A~B and B~C but
+    not A~C, pairwise keeps only A while the greedy chain keeps A and
+    C (B is suppressed by A, so C is compared against A alone).
+
+    Kept-status of a row depends only on its similarity-graph
+    neighbors, so the global sequential chain decomposes exactly into
+    independent chains per CONNECTED COMPONENT of the similar-pairs
+    graph (induction: every dependency edge stays inside the
+    component). Distributed shape: verified pairs (LSH candidates +
+    exact predicate) → min-label connected components → ONE
+    applyInPandas greedy pass per component (components of near-dup
+    graphs are tiny — dozens of rows — so the sequential section is
+    bounded no matter the corpus size); edge-free docs survive by
+    definition and bypass the Python stage entirely via an anti-join.
+    """
+    from data_pipeline_playground_spark.operators.components import (
+        connected_components,
+    )
+
+    if pairs is None:
+        pairs = fuzzy_similar_pairs_minhash(df, text_col, id_col)
+    pairs = pairs.cache()
+    pairs.count()  # consumed by components (iterative) + edge grouping
+    nodes = (
+        pairs.select(F.col("hi").alias("n"))
+        .union(pairs.select(F.col("lo").alias("n")))
+        .distinct()
+    )
+    comp = connected_components(
+        nodes, pairs, id_col="n", src_col="hi", dst_col="lo"
+    )
+    edges = pairs.join(
+        comp.select(F.col("n").alias("hi"), F.col("component_id").alias("comp")),
+        "hi",
+    )
+
+    def chain(pdf):
+        import pandas as pd
+
+        adj: dict[int, set[int]] = {}
+        members: set[int] = set()
+        for hi, lo in zip(pdf["hi"], pdf["lo"]):
+            adj.setdefault(int(hi), set()).add(int(lo))
+            members.add(int(hi))
+            members.add(int(lo))
+        kept: list[int] = []
+        kept_set: set[int] = set()
+        for i in sorted(members):
+            if not (adj.get(i, set()) & kept_set):
+                kept.append(i)
+                kept_set.add(i)
+        return pd.DataFrame({id_col: kept})
+
+    comp_kept = edges.groupBy("comp").applyInPandas(
+        chain, schema=f"{id_col} bigint"
+    )
+    singles = df.select(F.col(id_col)).join(
+        nodes, df[id_col] == nodes["n"], "left_anti"
+    )
+    return singles.unionByName(comp_kept)

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from data_pipeline_playground_spark.operators.dedup import (
     FUZZ_THRESHOLD,
     TITLE_PREFIX_LEN,
+    fuzzy_dedup_greedy_survivors,
     fuzzy_dedup_survivors,
 )
 from data_pipeline_playground_spark.registry import query
@@ -82,6 +83,68 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_dedup_survivors(
         docs, text_col="text", id_col="doc_id", candidates="minhash"
     )
+
+
+# Greedy-chain fixpoint oracle: the reference's arrival-order dedup
+# (pipeline.py:22-42 — keep a title iff not similar to any previously
+# KEPT title) as a DuckDB recursive CTE. `pairs` is the exact similar-
+# pairs set; `chain` walks the kept sequence: the next kept doc is the
+# smallest id above the last kept one that has no similar pair into
+# the accumulated kept LIST — exactly the greedy fixpoint, natively
+# recursive, so the distributed component-parallel implementation is
+# checked against an independent sequential formulation. MATERIALIZED
+# is load-bearing: without it DuckDB re-evaluates the n² Levenshtein
+# pairs CTE on every recursion iteration (~500 × 125k lev calls).
+_DEDUP_GREEDY_SQL = f"""
+WITH RECURSIVE t AS MATERIALIZED (
+  SELECT doc_id AS i, substring(text, 1, {TITLE_PREFIX_LEN}) AS title
+  FROM documents
+),
+pairs AS MATERIALIZED (
+  SELECT a.i AS hi, b.i AS lo
+  FROM t a JOIN t b ON b.i < a.i
+  WHERE 100.0 * (length(a.title) + length(b.title)
+                 - levenshtein(a.title, b.title))
+        / greatest(length(a.title) + length(b.title), 1) > {FUZZ_THRESHOLD}
+),
+chain AS (
+  SELECT (SELECT min(i) FROM t) AS last_id,
+         [(SELECT min(i) FROM t)] AS kept
+  UNION ALL
+  SELECT nxt.i, list_append(chain.kept, nxt.i)
+  FROM chain
+  JOIN LATERAL (
+    SELECT min(tt.i) AS i FROM t tt
+    WHERE tt.i > chain.last_id
+      AND NOT EXISTS (
+        SELECT 1 FROM pairs p
+        WHERE p.hi = tt.i AND list_contains(chain.kept, p.lo))
+  ) nxt ON nxt.i IS NOT NULL
+)
+SELECT last_id AS doc_id FROM chain
+"""
+
+
+@query("dedup_fuzzy_greedy", oracle=_DEDUP_GREEDY_SQL)
+def dedup_fuzzy_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's EXACT greedy-chain dedup semantics
+    (pipeline.py:22-42): arrival-order scan where each doc survives
+    iff it is not similar to any previously KEPT doc — the one
+    documented semantic deviation of the pairwise tiers, closed.
+    Differs from dedup_fuzzy exactly on intransitive chains (A~B~C,
+    A≁C: pairwise keeps {{A}}, greedy keeps {{A, C}}).
+
+    Distributed shape (operators/dedup.py): LSH-candidate pairs with
+    exact verify → connected components → per-component sequential
+    greedy chain in applyInPandas (kept-status never crosses a
+    component boundary, so the inherently-sequential section is
+    bounded by component size — dozens of docs — at any corpus
+    scale); edge-free docs bypass Python entirely. Oracle: recursive
+    kept-chain fixpoint (see _DEDUP_GREEDY_SQL) over the exact
+    all-pairs predicate, which also certifies LSH recall on this
+    corpus."""
+    docs = table(spark, sf_dir, "documents")
+    return fuzzy_dedup_greedy_survivors(docs, text_col="text", id_col="doc_id")
 
 
 @query(

@@ -416,8 +416,20 @@ def purchases_asof_click_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "event_id", "ts"
     )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "event_id", "ts", "value"
+    # Duplicate-timestamp collapse (max event_id per (user, ts)) runs
+    # in SPARK, before the cogroup — JVM window instead of a per-key
+    # pandas drop_duplicates, and each shipped right block shrinks to
+    # exactly the two columns merge_asof consumes.
+    dw = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .withColumn("rn", F.row_number().over(dw))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            F.col("value").alias("click_value"),
+        )
     )
 
     def merge(p_pdf: "pd.DataFrame", c_pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -426,12 +438,9 @@ def purchases_asof_click_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=["click_ts", "click_value", "event_id", "purchase_ts", "user_id"]
             )
         p = p_pdf.sort_values("ts")
-        if len(c_pdf) and "ts" in c_pdf.columns:
-            c = (
-                c_pdf.sort_values(["ts", "event_id"])
-                .drop_duplicates("ts", keep="last")  # max event_id per ts
-                .rename(columns={"ts": "click_ts", "value": "click_value"})
-            )[["click_ts", "click_value"]]
+        if len(c_pdf) and "click_ts" in c_pdf.columns:
+            # pre-deduped and projected Spark-side: pure sort + as-of
+            c = c_pdf.sort_values("click_ts")[["click_ts", "click_value"]]
         else:
             # a key with purchases but no clicks arrives as an EMPTY
             # (column-less) right block — synthesize the empty frame

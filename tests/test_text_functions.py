@@ -138,3 +138,29 @@ def test_pii_scrub_redacts_crafted_rows(spark):
     assert out[1] == (1, 1, "contact <EMAIL> or call <PHONE> now")
     assert out[2] == (2, 0, "two mails: <EMAIL> <EMAIL>; digits 42 stay")
     assert out[3] == (0, 0, "clean text with room 1234 and no pii")
+
+
+def test_nltk_gate_selection_and_real_path_contract():
+    """NLP UDF import-gate (mirror of the PIL gate in
+    multimodal/media.py): the flags are True exactly when NLTK (and
+    tagger data) is importable; with NLTK present, the real stemmer
+    must keep the fallback's str→str contract on a sample vocabulary
+    and the real tagger path the list→sublist contract."""
+    from data_pipeline_playground_spark.functions import nlp_udfs as N
+
+    assert N._HAS_NLTK_STEM == N._nltk_stemmer_available()
+    assert N._HAS_NLTK_POS == N._nltk_tagger_available()
+    if not N._HAS_NLTK_STEM:
+        return  # this container ships no NLTK; fallback paths are
+        # exercised by stem_profile / pos_noun_profile queries
+    from nltk.stem import PorterStemmer
+
+    stem = PorterStemmer().stem
+    for w in ["running", "caresses", "ponies", "agreed", "cats", "is"]:
+        assert isinstance(stem(w), str)
+    if N._HAS_NLTK_POS:
+        from nltk import pos_tag
+
+        toks = ["London", "cats", "run"]
+        kept = [t for t, tag in pos_tag(toks) if tag in ("NNP", "NNS")]
+        assert set(kept) <= set(toks)
