@@ -53,9 +53,11 @@ def run_news_pipeline(spark: SparkSession, sf_dir: str,
     cv_model = CountVectorizer(inputCol="tokens", outputCol="tf").fit(toks)
     tf = cv_model.transform(toks)
     idf = IDF(inputCol="tf", outputCol="tfidf").fit(tf)
+    # cached BEFORE the fit: every Lloyd iteration re-reads the feature
+    # frame — uncached, each one replays tokenize+CV+IDF+normalize
     feats = Normalizer(inputCol="tfidf", outputCol="features", p=2.0).transform(
         idf.transform(tf)
-    )
+    ).cache()
     from data_pipeline_playground_spark.queries.ml import KMEANS_K_CAP
 
     n = deduped.count()

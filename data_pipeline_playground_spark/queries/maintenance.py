@@ -303,3 +303,210 @@ def user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "state", "valid_from", "valid_to",
         F.col("valid_to").isNull().alias("is_current"),
     )
+
+
+# --- point-in-time SCD2 dimension lookup ------------------------------------
+
+_PIT_SQL = """
+WITH ev AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+),
+chg AS (
+  SELECT user_id, ts, event_id, event_type FROM ev
+  WHERE prev IS NULL OR event_type <> prev
+),
+iv AS (
+  SELECT user_id, event_type AS state, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS valid_to
+  FROM chg
+),
+p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts AS purchase_ts, iv.state
+FROM p LEFT JOIN iv
+  ON iv.user_id = p.user_id
+ AND iv.valid_from <= p.ts
+ AND (iv.valid_to IS NULL OR p.ts < iv.valid_to)
+"""
+
+
+@query("purchases_pit_state", oracle=_PIT_SQL)
+def purchases_pit_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME dimension lookup against the SCD2 history that
+    user_state_scd2 builds: each purchase resolves the user's state
+    valid AT its timestamp — the canonical warehouse "fact joins the
+    dimension as-of fact time" operation (and the ML-pipeline
+    train-serve-skew guard: features must come from the version valid
+    at label time, never the current one).
+
+    Distributed shape: NO interval join at all. The state-change rows
+    and the purchase probes union under ONE user_id shuffle and a
+    running last_value window carries the in-effect state onto each
+    probe — linear in |events|, immune to the per-key quadratic blowup
+    of a naive [from, to) theta-join, and the same proven union+window
+    shape as purchases_asof_click. Ties at one timestamp: changes sort
+    before probes (tag 0 < 1) so a purchase sees a state beginning at
+    its own instant (matching valid_from <= ts inclusive), and
+    same-instant changes resolve by event_id like the SCD2 build.
+
+    Oracle: DuckDB joins the materialized intervals natively, so the
+    window re-expression is checked against the interval semantics."""
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        events.select(
+            "user_id", "ts", "event_id", "event_type",
+            F.lag("event_type").over(w).alias("prev"),
+        )
+        .filter(F.col("prev").isNull() | (F.col("event_type") != F.col("prev")))
+        .select(
+            "user_id", "ts", "event_id",
+            F.col("event_type").alias("state"),
+            F.lit(0).alias("tag"),
+            F.lit(None).cast("bigint").alias("probe_id"),
+        )
+    )
+    probes = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id",
+        F.lit(None).cast("string").alias("state"),
+        F.lit(1).alias("tag"),
+        F.col("event_id").alias("probe_id"),
+    )
+    mw = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = chg.unionByName(probes).select(
+        "user_id", "ts", "tag", "probe_id",
+        F.last("state", ignorenulls=True).over(mw).alias("state"),
+    )
+    return merged.filter(F.col("tag") == 1).select(
+        F.col("probe_id").alias("event_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "state",
+    )
+
+
+# --- incremental view maintenance: aggregate-state merge --------------------
+
+IVM_CUTOFF = "1995-06-01"
+
+_IVM_SQL = """
+SELECT o_custkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+FROM orders
+GROUP BY o_custkey
+"""
+
+
+@query("orders_ivm_merge", oracle=_IVM_SQL)
+def orders_ivm_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: the per-customer aggregate is
+    computed as TWO independent partial states (orders before / since
+    IVM_CUTOFF — standing state + change batch) merged by a full-outer
+    coalesce-add join. The ORACLE aggregates the whole table directly,
+    so value equality certifies the IVM merge law
+    (merge(agg(old), agg(delta)) == agg(old ∪ delta)) — the property
+    that lets a 100 TB standing aggregate absorb a daily batch without
+    rescanning history. Counts and exact-decimal sums are the
+    combinable-state pattern every agg in this repo follows; the merge
+    join keys both sides on o_custkey, so at scale it co-partitions
+    with the stored state's bucketing and the delta side is the only
+    new scan."""
+    orders = table(spark, sf_dir, "orders")
+    cutoff = F.to_date(F.lit(IVM_CUTOFF))
+
+    def state(side: DataFrame) -> DataFrame:
+        return side.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"),
+        )
+
+    old = state(orders.filter(F.col("o_orderdate") < cutoff))
+    delta = state(orders.filter(F.col("o_orderdate") >= cutoff)).select(
+        F.col("o_custkey").alias("d_custkey"),
+        F.col("n").alias("dn"),
+        F.col("s").alias("ds"),
+    )
+    merged = old.join(
+        delta, old["o_custkey"] == delta["d_custkey"], "full_outer"
+    )
+    zero = F.lit("0").cast("decimal(18,2)")
+    return merged.select(
+        F.coalesce("o_custkey", "d_custkey").alias("o_custkey"),
+        (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n_orders"),
+        (F.coalesce("s", zero) + F.coalesce("ds", zero))
+        .cast("double")
+        .alias("total_spent"),
+    )
+
+
+# --- join-key skew profiler -------------------------------------------------
+
+SKEW_TOP_N = 10
+
+# float discipline: every arithmetic step is an explicit DOUBLE op on
+# exact integers (DuckDB float literals are DECIMAL, which would route
+# the math through a different rounding path than Spark's doubles)
+_SKEW_SQL = f"""
+WITH k AS (
+  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY l_suppkey
+),
+tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS n_keys
+  FROM k
+)
+SELECT k.l_suppkey, k.cnt,
+       round(CAST(k.cnt AS DOUBLE) * CAST(1000000 AS DOUBLE)
+             / CAST(tot.total AS DOUBLE), 6) AS ppm_share,
+       round(CAST(k.cnt AS DOUBLE)
+             / (CAST(tot.total AS DOUBLE) / CAST(tot.n_keys AS DOUBLE)), 6)
+         AS skew_ratio
+FROM k, tot
+QUALIFY row_number() OVER (ORDER BY k.cnt DESC, k.l_suppkey) <= {SKEW_TOP_N}
+"""
+
+
+@query("lineitem_supplier_skew", oracle=_SKEW_SQL)
+def lineitem_supplier_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key SKEW profiler — the diagnostic that decides between a
+    plain shuffle join, AQE skew-join splitting, and key salting
+    (SCALE.md's skew playbook needs this measurement first): per-key
+    row counts for a prospective join key, the top-N heavy hitters
+    with parts-per-million share, and each hitter's ratio to the mean
+    key load. One map-side-combined count shuffle; the totals are a
+    2-value broadcast; top-N is a TakeOrdered, never a global sort.
+    ppm/ratio are single shared double divisions of exact integers —
+    IEEE-identical in both engines, round(6) pins the display."""
+    li = table(spark, sf_dir, "lineitem")
+    k = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = k.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    prof = k.crossJoin(F.broadcast(tot)).select(
+        "l_suppkey",
+        "cnt",
+        F.round(
+            F.col("cnt").cast("double")
+            * F.lit(1000000).cast("double")
+            / F.col("total").cast("double"),
+            6,
+        ).alias("ppm_share"),
+        F.round(
+            F.col("cnt").cast("double")
+            / (F.col("total").cast("double") / F.col("n_keys").cast("double")),
+            6,
+        ).alias("skew_ratio"),
+    )
+    # orderBy+limit compiles to TakeOrderedAndProject — per-partition
+    # top-N then a driver-side merge of N·P rows, never a global sort
+    return prof.orderBy(F.desc("cnt"), F.asc("l_suppkey")).limit(SKEW_TOP_N)

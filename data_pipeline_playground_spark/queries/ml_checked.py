@@ -77,17 +77,18 @@ FROM a1 GROUP BY cid, label
 
 
 def _km_assign(e: DataFrame, codebook: DataFrame) -> DataFrame:
-    """Argmin-centroid assignment: broadcast the (tiny) codebook on a
-    constant key — a BroadcastHashJoin fan-out, NOT a cartesian — then
-    a per-vector window whose partitions are exactly KM_K rows."""
+    """Argmin-centroid assignment: every vector fans out against the
+    BROADCAST ≤16-row codebook (BroadcastNestedLoopJoin with the tiny
+    build side — the right physical shape for an all-centroids probe:
+    corpus never shuffles), then a per-vector argmin window whose
+    partitions are exactly |codebook| rows."""
     w = Window.partitionBy("vec_id").orderBy("d2", "cid")
     return (
-        e.withColumn("one", F.lit(1))
-        .join(F.broadcast(codebook.withColumn("one", F.lit(1))), "one")
+        e.crossJoin(F.broadcast(codebook))
         .withColumn("d2", F.round(_l2sq(F.col("v"), F.col("c")), 6))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .drop("one", "rn")
+        .drop("rn")
     )
 
 

@@ -56,6 +56,10 @@ SHOWCASE = [
     ("events_time_rollup", "native ROLLUP: one parquet scan into one "
      "Expand, partial aggregation below a single hash exchange — "
      "grains cost row copies, not rescans."),
+    ("purchases_pit_state", "point-in-time SCD2 lookup with NO join "
+     "operator: state changes and probes union into user_id Window "
+     "passes (the oracle's interval join would be per-key quadratic); "
+     "at most two hash exchanges."),
 ]
 
 

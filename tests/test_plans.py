@@ -682,3 +682,74 @@ def test_cogroup_survives_sorted_projection(spark, sf_dir):
     assert plain == reordered
     n_null = sum(1 for _, c in plain if c is None)
     assert n_null < len(plain)  # matches must survive the projection
+
+
+def test_checked_assignment_broadcast_codebook(spark, sf_dir):
+    """Checked clustering assignment: every Lloyd/seed pass broadcasts
+    the ≤4-row codebook (constant-key BroadcastHashJoin fan-out, never
+    a cartesian), and the argmin windows partition by vec_id — no
+    global-order window. Pinned on bisecting_assign_checked because
+    its plan is built inline; kmeans_assign_checked shares _km_assign
+    but memoizes+caches, so its plan is an InMemoryTableScan."""
+    plan = _plan(spark, sf_dir, "bisecting_assign_checked")
+    # codebook probes: BNLJ with the tiny build side broadcast (the
+    # corpus never shuffles for the join); the level-2 seed join has a
+    # real equi key (side) and must stay a broadcast HASH join
+    assert "BroadcastNestedLoopJoin BuildRight" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(vec_id" in plan
+
+
+def test_dedup_fuzzy_greedy_component_parallel(spark, sf_dir):
+    """Greedy-chain dedup: the sequential section is the per-component
+    FlatMapGroupsInPandas (components are bounded, so per-key pandas
+    is correct here — contrast events_throttle_1h where keys are
+    unbounded in count); edge-free docs bypass Python via a hash
+    anti-join, never a nested-loop."""
+    plan = _plan(spark, sf_dir, "dedup_fuzzy_greedy")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    m = re.search(r"ReadSchema: struct<doc_id[^>]*>", plan)
+    assert m  # the singles anti-join scans doc_id (+title cols), not full rows
+
+
+def test_cogroup_click_dedup_in_jvm(spark, sf_dir):
+    """The cogroup as-of demo must keep its click-side timestamp dedup
+    in a JVM window BEFORE FlatMapCoGroupsInPandas (pushed out of the
+    per-key Python merge in round 5): a Window over (user_id, ts)
+    appears below the cogroup and the right child ships exactly
+    (user_id, click_ts, click_value)."""
+    plan = _plan(spark, sf_dir, "purchases_asof_click_cogroup")
+    assert "FlatMapCoGroupsInPandas" in plan
+    # tree prints top-down: the dedup window sits BELOW the cogroup,
+    # so its row_number text appears after the cogroup operator's
+    assert plan.index("row_number") > plan.index("FlatMapCoGroupsInPandas")
+
+
+def test_pit_state_no_interval_join(spark, sf_dir):
+    """Point-in-time SCD2 lookup: union+window re-expression — zero
+    join operators (the oracle's interval join would be per-key
+    quadratic), at most two user_id hash exchanges."""
+    plan = _plan(spark, sf_dir, "purchases_pit_state")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_ivm_merge_combinable_states(spark, sf_dir):
+    """IVM state merge: two partial aggregates (map-side combined)
+    merged by a key-colocated full-outer join — no broadcast of a
+    growing side, no extra exchange beyond the two state builds."""
+    plan = _plan(spark, sf_dir, "orders_ivm_merge")
+    assert "SortMergeJoin" in plan and "FullOuter" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "partial_" in plan
+
+
+def test_skew_profiler_takeordered(spark, sf_dir):
+    """Skew profiler: top-N heavy hitters via TakeOrderedAndProject
+    (per-partition top-N + driver merge), never a global Sort; the
+    totals frame is a broadcast 2-value scalar."""
+    plan = _plan(spark, sf_dir, "lineitem_supplier_skew")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
