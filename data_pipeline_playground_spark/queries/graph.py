@@ -260,8 +260,12 @@ _LEXC_TOKENS = (
 )
 
 
-def _build_lexrank_checked_sql() -> str:
-    head = f"""
+def _checked_graph_head() -> str:
+    """Shared CTE head for the value-checked iteration twins
+    (lexrank_scores_checked, pic_embedding_checked): bounded doc
+    sample → integer-tf cosine sims snapped to DECIMAL(10,9) →
+    thresholded, row-normalized edge list + nodes."""
+    return f"""
 docs AS (
   SELECT doc_id, source, text FROM documents
   WHERE doc_id % {LEXC_MOD} = 0 AND doc_id < {LEXC_CAP}
@@ -307,7 +311,11 @@ nodes AS (
   SELECT d.doc_id, d.source AS grp, g.n_g
   FROM docs d JOIN (SELECT source, count(*) AS n_g FROM docs GROUP BY source) g
     ON g.source = d.source
-),
+)"""
+
+
+def _build_lexrank_checked_sql() -> str:
+    head = _checked_graph_head() + f""",
 r0 AS (
   SELECT doc_id, grp, n_g,
          CAST(CAST(1 AS DOUBLE) / CAST(n_g AS DOUBLE) AS DECIMAL(11,9)) AS s
@@ -334,14 +342,10 @@ r{i} AS (
     )
 
 
-@query("lexrank_scores_checked", oracle=_build_lexrank_checked_sql())
-def lexrank_scores_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Value-checked LexRank damped power iteration (see block comment
-    above): score_i = d/N_g + (1-d)·Σ_j (sim_ji/deg_j)·score_j over the
-    thresholded within-group tf-cosine graph, 8 iterations, on a
-    bounded doc sample (doc_id % 17 = 0). Same shuffle shape as
-    pagerank_nations: edge build is one inverted-index join, each
-    iteration is one broadcast join + aggregate; edges cached once."""
+def _checked_graph_parts(spark: SparkSession, sf_dir: str):
+    """Spark twin of _checked_graph_head: (edges CACHED, nodes, deg)
+    over the bounded doc sample — shared by lexrank_scores_checked and
+    pic_embedding_checked (same graph, two different iterations)."""
     from data_pipeline_playground_spark.functions.text import tokenize
 
     docs = (
@@ -396,6 +400,18 @@ def lexrank_scores_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_g")).join(
         docs.select("doc_id", "source"), "source"
     ).select("doc_id", F.col("source").alias("grp"), "n_g")
+    return edges, nodes, deg
+
+
+@query("lexrank_scores_checked", oracle=_build_lexrank_checked_sql())
+def lexrank_scores_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-checked LexRank damped power iteration (see block comment
+    above): score_i = d/N_g + (1-d)·Σ_j (sim_ji/deg_j)·score_j over the
+    thresholded within-group tf-cosine graph, 8 iterations, on a
+    bounded doc sample (doc_id % 3 = 0, < 500). Same shuffle shape as
+    pagerank_nations: edge build is one inverted-index join, each
+    iteration is one broadcast join + aggregate; edges cached once."""
+    edges, nodes, _deg = _checked_graph_parts(spark, sf_dir)
     ranks = nodes.select(
         "doc_id", "grp", "n_g",
         (F.lit(1).cast("double") / F.col("n_g").cast("double"))
@@ -425,3 +441,107 @@ def lexrank_scores_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
             # re-optimization super-linear (same as operators/lexrank.py)
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("doc_id", "grp", F.col("s").cast("double").alias("score"))
+
+
+# --- PIC power iteration, value-checked (N7 family) -------------------------
+
+PIC_CHECKED_ITERS = 5
+
+
+def _build_pic_checked_sql() -> str:
+    """PIC's algorithmic core (Lin & Cohen 2010): repeated
+    multiplication by the row-normalized affinity matrix with L1
+    re-normalization — unrolled over the SAME checked graph as
+    lexrank_scores_checked. Decimal discipline identical: per-node
+    values snap to DECIMAL(11,9); the normalizer is an exact decimal
+    SUM shared through one double division."""
+    head = _checked_graph_head() + """,
+v0 AS (
+  SELECT n.doc_id, n.grp,
+         CAST(COALESCE(CAST(d.deg AS DOUBLE), CAST(0 AS DOUBLE))
+              / CAST(z.z AS DOUBLE) AS DECIMAL(11,9)) AS s
+  FROM nodes n
+  LEFT JOIN deg d ON d.src = n.doc_id
+  CROSS JOIN (SELECT SUM(deg) AS z FROM deg) z
+)"""
+    iters = []
+    for i in range(1, PIC_CHECKED_ITERS + 1):
+        iters.append(f"""
+u{i} AS (
+  SELECT n.doc_id, n.grp,
+         CAST(COALESCE(CAST(SUM(e.p * v{i-1}.s) AS DOUBLE),
+                       CAST(0 AS DOUBLE)) AS DECIMAL(11,9)) AS u
+  FROM nodes n
+  LEFT JOIN edges e ON e.src = n.doc_id
+  LEFT JOIN v{i-1} ON v{i-1}.doc_id = e.dst
+  GROUP BY n.doc_id, n.grp
+),
+z{i} AS (SELECT SUM(u) AS z FROM u{i}),
+v{i} AS (
+  SELECT u.doc_id, u.grp,
+         CAST(CAST(u.u AS DOUBLE) / CAST(z{i}.z AS DOUBLE)
+              AS DECIMAL(11,9)) AS s
+  FROM u{i} u CROSS JOIN z{i}
+)""")
+    return (
+        "WITH " + head + "," + ",".join(iters)
+        + f"\nSELECT doc_id, grp, CAST(s AS DOUBLE) AS v"
+          f" FROM v{PIC_CHECKED_ITERS}"
+    )
+
+
+@query("pic_embedding_checked", oracle=_build_pic_checked_sql())
+def pic_embedding_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-checked PowerIterationClustering core (reference N7 /
+    cluster.py:39-44's clustering intent; PIC per Lin & Cohen 2010):
+    v ← normalize₁(P·v) from the degree vector, 5 iterations over the
+    bounded checked graph — the 1-D spectral EMBEDDING that PIC's
+    final k-means clusters, pinned to exact values. Completes the
+    checked-twin set: every iterative/ML family (KMeans, bisecting,
+    LexRank, PQ-ANN, pagerank, now PIC) has an oracle-checked
+    assignment or iteration query beside its rows-only fit.
+
+    Scale shape: identical to lexrank_scores_checked — edge build is
+    one inverted-index join (cached), each iteration one broadcast
+    join + partial-agg sum; the L1 normalizer is a 1-row broadcast."""
+    edges, nodes, deg = _checked_graph_parts(spark, sf_dir)
+    z0 = deg.agg(F.sum("deg").alias("z"))
+    v = (
+        nodes.join(deg, nodes.doc_id == deg.dsrc, "left")
+        .crossJoin(F.broadcast(z0))
+        .select(
+            "doc_id", "grp",
+            (
+                F.coalesce(F.col("deg").cast("double"),
+                           F.lit(0).cast("double"))
+                / F.col("z").cast("double")
+            ).cast("decimal(11,9)").alias("s"),
+        )
+    )
+    for i in range(PIC_CHECKED_ITERS):
+        prev = v.select(F.col("doc_id").alias("pdoc"), F.col("s").alias("ps"))
+        u_agg = (
+            edges.join(F.broadcast(prev), F.col("dst") == F.col("pdoc"))
+            .groupBy(F.col("src").alias("udoc"))
+            .agg(F.sum(F.col("p") * F.col("ps")).alias("usum"))
+        )
+        u = nodes.join(
+            F.broadcast(u_agg), nodes.doc_id == F.col("udoc"), "left"
+        ).select(
+            "doc_id", "grp",
+            F.coalesce(F.col("usum").cast("double"), F.lit(0).cast("double"))
+            .cast("decimal(11,9)").alias("u"),
+        )
+        # MANDATORY truncation each round: both z and v reference u, so
+        # without materialization the lineage tree DOUBLES per
+        # iteration (2^5 replays of the edge join — measured 58 s of
+        # pure plan overhead on a 167-node graph). The frame is
+        # node-count-sized, so the checkpoint is trivial at any SF.
+        u = u.localCheckpoint(eager=True)
+        z = u.agg(F.sum("u").alias("z"))
+        v = u.crossJoin(F.broadcast(z)).select(
+            "doc_id", "grp",
+            (F.col("u").cast("double") / F.col("z").cast("double"))
+            .cast("decimal(11,9)").alias("s"),
+        )
+    return v.select("doc_id", "grp", F.col("s").cast("double").alias("v"))

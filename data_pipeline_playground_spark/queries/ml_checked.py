@@ -252,3 +252,105 @@ def bisecting_assign_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
             "d2",
         )
     )
+
+
+# --- fixed-phi topic assignment (N9/J3 family), all-integer -----------------
+
+_TOPIC_SQL_TOKENS = (
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+)
+TOPIC_MOD = 3
+TOPIC_CAP = 500
+
+_TOPIC_ASSIGN_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, source, text FROM documents
+  WHERE doc_id % {TOPIC_MOD} = 0 AND doc_id < {TOPIC_CAP}
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest({_TOPIC_SQL_TOKENS}) AS term FROM docs)
+  GROUP BY doc_id, term
+),
+phi AS (
+  SELECT source AS topic, term, CAST(SUM(c) AS BIGINT) AS w
+  FROM (
+    SELECT d.source, t.term, t.c FROM tf t JOIN docs d ON d.doc_id = t.doc_id
+  )
+  GROUP BY source, term
+),
+topics AS (
+  SELECT topic,
+         CAST(row_number() OVER (ORDER BY topic) - 1 AS BIGINT) AS topic_id
+  FROM (SELECT DISTINCT source AS topic FROM docs)
+),
+scores AS (
+  SELECT t.doc_id, p.topic, CAST(SUM(t.c * p.w) AS BIGINT) AS score
+  FROM tf t JOIN phi p ON p.term = t.term
+  GROUP BY t.doc_id, p.topic
+),
+best AS (
+  SELECT doc_id, topic, score FROM scores
+  QUALIFY row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, topic) = 1
+)
+SELECT b.doc_id, tp.topic_id, b.topic, b.score
+FROM best b JOIN topics tp ON tp.topic = b.topic
+"""
+
+
+@query("topic_assign_checked", oracle=_TOPIC_ASSIGN_SQL)
+def topic_assign_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-checked topic-model ASSIGNMENT step (reference
+    lda.py:59-64: per-document argmax over topic affinities — J3): the
+    topic-word matrix φ is FIXED deterministically (per-source term
+    counts over the bounded doc sample — the E-step of a topic model
+    whose topics are pinned instead of fitted), each document scores
+    every topic by the integer dot product Σ tf_doc(term)·φ_topic(term)
+    and takes the argmax with lexicographic tie-break. ALL arithmetic
+    is exact BIGINT — zero float anywhere, the strongest parity class
+    in the repo. The seeded-LDA fit itself stays rows-only
+    (queries/ml.py); this pins the assignment machinery.
+
+    Scale shape: tf and φ are one shuffle each; the score join is an
+    inverted-index join on term (cost ∝ Σ df² like TF-IDF similarity,
+    bounded here by the fixed sample); argmax is a |topics|-row
+    window per doc."""
+    from data_pipeline_playground_spark.functions.text import tokenize
+    from data_pipeline_playground_spark.tables import table
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % TOPIC_MOD == 0) & (F.col("doc_id") < TOPIC_CAP))
+        .select("doc_id", "source", "text")
+    )
+    tf = (
+        docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    phi = (
+        tf.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy(F.col("source").alias("topic"), F.col("term").alias("pterm"))
+        .agg(F.sum("c").alias("w"))
+    )
+    topics = (
+        docs.select(F.col("source").alias("topic"))
+        .distinct()
+        .withColumn(
+            "topic_id",
+            (F.row_number().over(Window.orderBy("topic")) - 1).cast("bigint"),
+        )
+    )
+    scores = (
+        tf.join(phi, tf.term == phi.pterm)
+        .groupBy("doc_id", "topic")
+        .agg(F.sum(F.col("c") * F.col("w")).alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("topic"))
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(F.broadcast(topics), "topic")
+        .select("doc_id", "topic_id", "topic", "score")
+    )
