@@ -1,5 +1,7 @@
-"""Oracle-checked K-Means / bisecting assignment (SURVEY §2.8 N6/N8,
-J2 — the value-checked tier of the clustering family).
+"""Oracle-checked ML assignment steps (SURVEY §2.8 N6/N8/N9, J2/J3 —
+the value-checked tier of the clustering + topic families: K-Means and
+bisecting Lloyd assignment over embeddings, fixed-φ topic argmax over
+documents).
 
 The seeded-ML queries in queries/ml.py (KMeans, BisectingKMeans over
 TF-IDF) are rows-only by nature: MLlib's k-means|| init and float
