@@ -387,39 +387,46 @@ def events_throttle_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COGROUP_BUCKETS = 64  # Python invocations per stage = buckets, not users
+
+
 @query("purchases_asof_click_cogroup", oracle=_ASOF_SQL)
 def purchases_asof_click_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME as-of semantics as purchases_asof_click, implemented on
-    the cogrouped-map Arrow surface: purchases and clicks cogroup per
-    user and pandas ``merge_asof`` (backward, inclusive) runs per
-    block — the two-sided Python escape hatch for per-key logic no
-    window can express. Sharing the native-ASOF oracle certifies the
-    cogroup path bit-for-bit against the window formulation's
-    reference semantics. Scale shape: one co-shuffle of both sides on
-    user_id; per-key cost is the sort — use the union+window tier when
-    the logic IS expressible, this surface when it isn't.
+    the cogrouped-map Arrow surface — the two-sided Python escape
+    hatch for per-key logic no window can express. Sharing the
+    native-ASOF oracle certifies the cogroup path bit-for-bit against
+    the window formulation's reference semantics.
+
+    Scale shape (round 5, replacing the per-user cogroup): both sides
+    cogroup on a HASH BUCKET of the key (user_id % 64), and pandas
+    ``merge_asof(..., by="user_id")`` runs the per-user as-of
+    VECTORIZED inside each block. Per-key pandas-frame construction
+    was the dominant cost of the naive per-user cogroup (its own
+    docstring conceded it breaks at billions of keys); bucketing makes
+    Python-invocation count a CONSTANT (64 per stage) while the
+    per-user logic stays in C inside merge_asof. Duplicate-timestamp
+    collapse (max event_id per (user, ts)) runs in a JVM window BEFORE
+    the cogroup, so each shipped right block is exactly the three
+    columns the merge consumes.
 
     KNOWN OPTIMIZER HAZARD (observed on Spark 4.1, pinned in
     tests/test_plans.py): a REORDERING projection placed above
     FlatMapCoGroupsInPandas mis-prunes the right cogroup child (the
-    plan shows the clicks side collapsing to [user_id, user_id,
-    value], silently dropping ts/event_id before the Python worker).
-    The output schema is therefore declared in ALPHABETICAL column
-    order so a consumer's sort-columns-by-name projection is a no-op;
-    the defensive empty-right guard below turns any residual
-    mis-pruning into an immediately visible all-null tier rather than
-    a crash.
+    plan showed the clicks side collapsing to [user_id, user_id,
+    value], silently dropping columns before the Python worker). The
+    output schema is therefore declared in ALPHABETICAL column order
+    so a consumer's sort-columns-by-name projection is a no-op; the
+    defensive empty-right guard below turns any residual mis-pruning
+    into an immediately visible all-null tier rather than a crash.
     """
     import pandas as pd
 
     ev = table(spark, sf_dir, "events")
+    bkt = (F.col("user_id") % COGROUP_BUCKETS).alias("bkt")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "event_id", "ts"
+        "user_id", "event_id", "ts", bkt
     )
-    # Duplicate-timestamp collapse (max event_id per (user, ts)) runs
-    # in SPARK, before the cogroup — JVM window instead of a per-key
-    # pandas drop_duplicates, and each shipped right block shrinks to
-    # exactly the two columns merge_asof consumes.
     dw = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
     clicks = (
         ev.filter(F.col("event_type") == "click")
@@ -429,6 +436,7 @@ def purchases_asof_click_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.col("ts").alias("click_ts"),
             F.col("value").alias("click_value"),
+            bkt,
         )
     )
 
@@ -437,21 +445,34 @@ def purchases_asof_click_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
             return pd.DataFrame(
                 columns=["click_ts", "click_value", "event_id", "purchase_ts", "user_id"]
             )
+        # merge_asof requires the `on` column globally sorted; `by`
+        # handles the per-user partitioning internally (vectorized)
         p = p_pdf.sort_values("ts")
-        if len(c_pdf) and "click_ts" in c_pdf.columns:
-            # pre-deduped and projected Spark-side: pure sort + as-of
-            c = c_pdf.sort_values("click_ts")[["click_ts", "click_value"]]
+        # guard on the FULL required set: under aggressive column
+        # pruning (a count() above the cogroup) the Spark 4.1
+        # mis-pruning can ship a PARTIAL right block (click_ts without
+        # user_id was observed); degrading to the empty frame keeps
+        # row counts exact (the as-of preserves every left row) and
+        # value-bearing fetches ship the full block
+        if len(c_pdf) and {"user_id", "click_ts", "click_value"} <= set(
+            c_pdf.columns
+        ):
+            c = c_pdf.sort_values("click_ts")[
+                ["user_id", "click_ts", "click_value"]
+            ]
         else:
-            # a key with purchases but no clicks arrives as an EMPTY
+            # a bucket with purchases but no clicks arrives as an EMPTY
             # (column-less) right block — synthesize the empty frame
             c = pd.DataFrame(
                 {
+                    "user_id": pd.Series(dtype=p["user_id"].dtype),
                     "click_ts": pd.Series(dtype=p["ts"].dtype),
                     "click_value": pd.Series(dtype="float64"),
                 }
             )
         merged = pd.merge_asof(
-            p, c, left_on="ts", right_on="click_ts", direction="backward"
+            p, c, left_on="ts", right_on="click_ts", by="user_id",
+            direction="backward",
         )
         return pd.DataFrame(
             {
@@ -467,8 +488,8 @@ def purchases_asof_click_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        purchases.groupBy("user_id")
-        .cogroup(clicks.groupBy("user_id"))
+        purchases.groupBy("bkt")
+        .cogroup(clicks.groupBy("bkt"))
         .applyInPandas(
             merge,
             schema="click_ts timestamp_ntz, click_value double, event_id bigint, "
