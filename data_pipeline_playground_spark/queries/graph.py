@@ -278,10 +278,21 @@ tf AS (
 n2 AS (
   SELECT doc_id, CAST(SUM(c * c) AS BIGINT) AS n2 FROM tf GROUP BY doc_id
 ),
+tf2 AS (
+  -- semantics-preserving min-df prune (VERDICT r5 #3): a term in only
+  -- ONE doc of its group cannot form a pair, so dropping group-df=1
+  -- terms from the PAIR JOIN input leaves `dots` bit-identical while
+  -- removing the long singleton tail of the inverted index. Norms
+  -- (n2) keep every term.
+  SELECT tf.* FROM tf
+  JOIN (SELECT source, term FROM tf GROUP BY source, term
+        HAVING count(*) >= 2) f
+    ON f.source = tf.source AND f.term = tf.term
+),
 dots AS (
   SELECT a.doc_id AS src, b.doc_id AS dst, a.source AS grp,
          CAST(SUM(a.c * b.c) AS BIGINT) AS dot
-  FROM tf a JOIN tf b
+  FROM tf2 a JOIN tf2 b
     ON a.term = b.term AND a.source = b.source AND a.doc_id <> b.doc_id
   GROUP BY a.doc_id, b.doc_id, a.source
 ),
@@ -343,9 +354,11 @@ r{i} AS (
 
 
 def _checked_graph_parts(spark: SparkSession, sf_dir: str):
-    """Spark twin of _checked_graph_head: (edges CACHED, nodes, deg)
-    over the bounded doc sample — shared by lexrank_scores_checked and
-    pic_embedding_checked (same graph, two different iterations)."""
+    """Spark twin of _checked_graph_head: (edges, nodes, deg) over the
+    bounded doc sample — shared by lexrank_scores_checked and
+    pic_embedding_checked (same graph, two different iterations).
+    The expensive pair join is df-pruned, computed over half the pairs
+    (mirrored post-sim), and eagerly checkpointed exactly once."""
     from data_pipeline_playground_spark.functions.text import tokenize
 
     docs = (
@@ -361,17 +374,33 @@ def _checked_graph_parts(spark: SparkSession, sf_dir: str):
     n2 = tf.groupBy(F.col("doc_id").alias("ndoc")).agg(
         F.sum(F.col("c") * F.col("c")).alias("n2")
     )
-    a = tf.select(F.col("doc_id").alias("src"), F.col("source").alias("grp"),
-                  F.col("term").alias("t"), F.col("c").alias("ca"))
-    b = tf.select(F.col("doc_id").alias("dst"), F.col("source").alias("g2"),
-                  F.col("term").alias("t2"), F.col("c").alias("cb"))
+    # min-df prune before the pair join (VERDICT r5 #3): group-df=1
+    # terms cannot form a pair, so the semi-join drops the singleton
+    # tail of the inverted index without changing a single dot product
+    # (norms keep every term; the oracle CTE mirrors this as tf2)
+    gdf = (
+        tf.groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("source", "term")
+    )
+    tf2 = tf.join(gdf, ["source", "term"], "left_semi")
+    a = tf2.select(F.col("doc_id").alias("src"), F.col("source").alias("grp"),
+                   F.col("term").alias("t"), F.col("c").alias("ca"))
+    b = tf2.select(F.col("doc_id").alias("dst"), F.col("source").alias("g2"),
+                   F.col("term").alias("t2"), F.col("c").alias("cb"))
+    # Spark-only half-pair trick: dot and sim are symmetric, so join
+    # src<dst (half the pairs/aggregate groups) and mirror AFTER the
+    # per-pair sim is computed. sqrt(na)*sqrt(nb) is commutative in
+    # IEEE doubles, so mirrored rows carry bit-identical sims; the
+    # oracle keeps the simple both-directions join (values identical).
     dots = (
         a.join(b, (F.col("t") == F.col("t2")) & (F.col("grp") == F.col("g2"))
-               & (F.col("src") != F.col("dst")))
+               & (F.col("src") < F.col("dst")))
         .groupBy("src", "dst", "grp")
         .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
     )
-    sims = (
+    sims_half = (
         dots.join(n2.select(F.col("ndoc").alias("sa"), F.col("n2").alias("na")),
                   F.col("src") == F.col("sa"))
         .join(n2.select(F.col("ndoc").alias("sb"), F.col("n2").alias("nb")),
@@ -385,6 +414,19 @@ def _checked_graph_parts(spark: SparkSession, sf_dir: str):
             ).cast("decimal(10,9)").alias("sim"),
         )
         .filter(F.col("sim") >= F.lit(LEXC_THRESHOLD).cast("decimal(10,9)"))
+        # the ONE expensive frame (inverted-index pair join): eagerly
+        # materialized so deg, edges, and the PIC degree vector all
+        # derive from these blocks instead of each replaying the join;
+        # localCheckpoint (not cache+count) so the blocks are
+        # ContextCleaner-collected when the frame goes out of scope
+        # (ADVICE r5 on the cache-without-unpersist pattern)
+        .localCheckpoint(eager=True)
+    )
+    sims = sims_half.unionByName(
+        sims_half.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"),
+            F.col("grp"), F.col("sim"),
+        )
     )
     deg = sims.groupBy(F.col("src").alias("dsrc")).agg(F.sum("sim").alias("deg"))
     edges = (
@@ -394,9 +436,10 @@ def _checked_graph_parts(spark: SparkSession, sf_dir: str):
             (F.col("sim").cast("double") / F.col("deg").cast("double"))
             .cast("decimal(10,9)").alias("p"),
         )
-        .cache()
+        # edges is re-read every iteration: one more (tiny) eager
+        # materialization on top of the checkpointed sims_half blocks
+        .localCheckpoint(eager=True)
     )
-    edges.count()  # materialize once: every iteration references edges
     nodes = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_g")).join(
         docs.select("doc_id", "source"), "source"
     ).select("doc_id", F.col("source").alias("grp"), "n_g")
