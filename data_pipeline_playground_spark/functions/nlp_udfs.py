@@ -17,10 +17,15 @@ self-contained fallbacks do:
   for a tagger (keeps NNP-like capitalized tokens and NNS-like plural
   nouns, the reference's accepted_pos = ['NNP','NNS'], lda.py:21-29).
 
-The gate is decided DRIVER-SIDE at module import (the flags are
-plain bools pickled by value into the UDF closure, so executors never
-re-probe); this container ships no NLTK, so CI exercises the
-fallbacks — tests/test_nlp_udfs.py pins the gate selection and, when
+The gate is decided DRIVER-SIDE at module import and CLOSURE-BOUND:
+each UDF is built by a factory that closes over the probed bool, so
+the flag travels inside the pickled closure cell regardless of how
+the function itself is serialized (by value via the
+register_pickle_by_value call below, or by reference on a cluster
+where executors could re-import this module) — executors never
+re-probe, and driver/executor NLTK skew cannot make output
+partition-dependent (ADVICE r5 #1). This container ships no NLTK, so
+CI exercises the fallbacks — tests pin the gate selection and, when
 NLTK is present, the contract equality of both paths.
 """
 
@@ -136,21 +141,31 @@ def _post_1b(w: str) -> str:
     return w
 
 
-@pandas_udf(_ARR_STR)
-def stem_tokens_udf(tokens: pd.Series) -> pd.Series:
-    """N3 porter_stem over array<string> columns, Arrow-vectorized.
-    Real NLTK PorterStemmer when importable (reference cluster.py:13),
-    else the self-contained Porter fallback — same array<string>
-    contract either way."""
-    if _HAS_NLTK_STEM:
-        from nltk.stem import PorterStemmer
+def _make_stem_udf(has_nltk: bool):
+    """Factory binding the driver-probed NLTK gate into the closure
+    cell (see module docstring — the bool ships with the pickle, so
+    the gate can never resolve differently per executor)."""
 
-        stem = PorterStemmer().stem
-    else:
-        stem = porter_stem
-    return tokens.map(
-        lambda toks: [stem(t) for t in toks] if toks is not None else None
-    )
+    @pandas_udf(_ARR_STR)
+    def stem_tokens_udf(tokens: pd.Series) -> pd.Series:
+        """N3 porter_stem over array<string> columns, Arrow-vectorized.
+        Real NLTK PorterStemmer when importable (reference
+        cluster.py:13), else the self-contained Porter fallback — same
+        array<string> contract either way."""
+        if has_nltk:
+            from nltk.stem import PorterStemmer
+
+            stem = PorterStemmer().stem
+        else:
+            stem = porter_stem
+        return tokens.map(
+            lambda toks: [stem(t) for t in toks] if toks is not None else None
+        )
+
+    return stem_tokens_udf
+
+
+stem_tokens_udf = _make_stem_udf(_HAS_NLTK_STEM)
 
 
 def _noun_like(token: str) -> bool:
@@ -166,25 +181,34 @@ def _noun_like(token: str) -> bool:
     )  # NNS-like
 
 
-@pandas_udf(_ARR_STR)
-def pos_filter_nouns_udf(tokens: pd.Series) -> pd.Series:
-    """N4 pos_filter (reference keeps only NNP/NNS tags, lda.py:21-29).
-    Real nltk.pos_tag when importable with its model data, else the
-    deterministic noun-shape heuristic — same contract either way."""
-    if _HAS_NLTK_POS:
-        from nltk import pos_tag
+def _make_pos_udf(has_nltk: bool):
+    """Factory twin of _make_stem_udf for the POS gate."""
 
-        def keep(toks):
-            return [t for t, tag in pos_tag(list(toks)) if tag in ("NNP", "NNS")]
+    @pandas_udf(_ARR_STR)
+    def pos_filter_nouns_udf(tokens: pd.Series) -> pd.Series:
+        """N4 pos_filter (reference keeps only NNP/NNS tags,
+        lda.py:21-29). Real nltk.pos_tag when importable with its model
+        data, else the deterministic noun-shape heuristic — same
+        contract either way."""
+        if has_nltk:
+            from nltk import pos_tag
 
-    else:
+            def keep(toks):
+                return [t for t, tag in pos_tag(list(toks)) if tag in ("NNP", "NNS")]
 
-        def keep(toks):
-            return [t for t in toks if _noun_like(t)]
+        else:
 
-    return tokens.map(
-        lambda toks: keep(toks) if toks is not None else None
-    )
+            def keep(toks):
+                return [t for t in toks if _noun_like(t)]
+
+        return tokens.map(
+            lambda toks: keep(toks) if toks is not None else None
+        )
+
+    return pos_filter_nouns_udf
+
+
+pos_filter_nouns_udf = _make_pos_udf(_HAS_NLTK_POS)
 
 
 # Ship this module's functions BY VALUE inside pickled UDFs: the driver

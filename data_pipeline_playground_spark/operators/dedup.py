@@ -137,10 +137,13 @@ def fuzzy_similar_pairs_minhash(df: DataFrame, text_col: str = "text",
         F.length(F.substring(F.col(text_col), 1, TITLE_PREFIX_LEN)).alias("_len"),
     )
     hashes = shingle_hashes(titles, text_col="_title", id_col="_i")
-    # cached + eagerly materialized: the band self-join would re-run
-    # the shingle+hash fold (and race the lazy cache within one action)
-    sig = signatures(df.sparkSession, hashes).cache()
-    sig.count()
+    # eagerly materialized: the band self-join would otherwise re-run
+    # the shingle+hash fold (and race a lazy cache within one action).
+    # localCheckpoint, not cache+count: checkpoint blocks are released
+    # by the ContextCleaner when the frame goes out of scope, so
+    # repeated calls in one session don't accumulate cached blocks
+    # until an external clearCache (ADVICE r5 #3).
+    sig = signatures(df.sparkSession, hashes).localCheckpoint(eager=True)
     cand = candidate_pairs(band_keys(sig))  # (ci > cj) distinct pairs
     a = titles.select(F.col("_i").alias("ci"), F.col("_title").alias("_ta"),
                       F.col("_len").alias("_la"))
@@ -203,8 +206,10 @@ def fuzzy_dedup_greedy_survivors(df: DataFrame, text_col: str = "text",
 
     if pairs is None:
         pairs = fuzzy_similar_pairs_minhash(df, text_col, id_col)
-    pairs = pairs.cache()
-    pairs.count()  # consumed by components (iterative) + edge grouping
+    # consumed by components (iterative) + edge grouping; eager
+    # localCheckpoint instead of cache+count so the blocks are freed
+    # on GC rather than accumulating until clearCache (ADVICE r5 #3)
+    pairs = pairs.localCheckpoint(eager=True)
     nodes = (
         pairs.select(F.col("hi").alias("n"))
         .union(pairs.select(F.col("lo").alias("n")))

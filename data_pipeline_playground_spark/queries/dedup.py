@@ -78,7 +78,12 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     is 1 on this corpus (missed candidates would leave extra
     survivors and fail the row compare). On adversarial corpora
     (ratio>80 pairs with low shingle Jaccard) recall may drop below 1;
-    operators/dedup.py documents the crossover."""
+    operators/dedup.py documents the crossover.
+
+    TRIAGE (ADVICE r5 #4): if this oracle ever mismatches after an SF
+    or corpus change, suspect LSH RECALL first, not an implementation
+    bug — diff fuzzy_similar_pairs_minhash against the oracle's exact
+    pair predicate before touching the dedup logic."""
     docs = table(spark, sf_dir, "documents")
     return fuzzy_dedup_survivors(
         docs, text_col="text", id_col="doc_id", candidates="minhash"
@@ -142,7 +147,14 @@ def dedup_fuzzy_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale); edge-free docs bypass Python entirely. Oracle: recursive
     kept-chain fixpoint (see _DEDUP_GREEDY_SQL) over the exact
     all-pairs predicate, which also certifies LSH recall on this
-    corpus."""
+    corpus.
+
+    TRIAGE (ADVICE r5 #4): the Spark side derives pairs from LSH
+    candidates while the oracle walks exact n² pairs, so the value
+    check holds only while LSH recall is 1. On a future mismatch
+    after an SF/corpus change, triage as a RECALL property first
+    (diff the candidate pair set against the oracle's exact pairs);
+    the greedy-chain machinery itself is fixed by construction."""
     docs = table(spark, sf_dir, "documents")
     return fuzzy_dedup_greedy_survivors(docs, text_col="text", id_col="doc_id")
 
