@@ -31,6 +31,15 @@ SEED = 42
 # is identical where the reference actually runs.
 KMEANS_K_CAP = 64
 
+# Iteration budgets for the rows-only fits, named so the bench can
+# RECORD them in its JSON (ADVICE r5 #2: round totals must stay
+# attributable to engine changes, not silent fidelity-knob cuts).
+# The cuts themselves are documented at each fit site.
+KMEANS_MAX_ITER = 10
+LDA_MAX_ITER = 5        # vs 10 in rounds 2-4; reference gensim passes=50
+BISECTING_MAX_ITER = 8  # vs stock 20
+PIC_MAX_ITER = 6        # vs 10 in rounds 2-4
+
 
 def _tokens_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
@@ -79,7 +88,7 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     feats, _, n = _tfidf_features_memo(spark, sf_dir)
     k = max(2, min(n // 4, KMEANS_K_CAP))
-    model = KMeans(k=k, maxIter=10, seed=SEED, featuresCol="features").fit(feats)
+    model = KMeans(k=k, maxIter=KMEANS_MAX_ITER, seed=SEED, featuresCol="features").fit(feats)
     pred = model.transform(feats)
     return (
         pred.groupBy(F.col("prediction").alias("cluster_id"))
@@ -110,7 +119,7 @@ def _lda_fit(spark: SparkSession, sf_dir: str):
         # only thing the two consumers read — stabilizes within a few
         # corpus passes at this k; rows-only queries, documented cut in
         # the KMEANS_K_CAP spirit to keep the no-oracle bench block lean.
-        model = LDA(k=k, maxIter=5, seed=SEED, optimizer="online").fit(bow)
+        model = LDA(k=k, maxIter=LDA_MAX_ITER, seed=SEED, optimizer="online").fit(bow)
         return (cv_model, model, bow)
 
     return memo(spark, "lda_fit", sf_dir, build)
@@ -172,7 +181,7 @@ def bisecting_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # converges in a handful of steps on L2-normalized TF-IDF; the
     # stock setting just burns 4 extra distributed jobs per split.
     model = BisectingKMeans(
-        k=5, maxIter=8, seed=SEED, featuresCol="features"
+        k=5, maxIter=BISECTING_MAX_ITER, seed=SEED, featuresCol="features"
     ).fit(feats)
     return (
         model.transform(feats)
@@ -253,7 +262,7 @@ def power_iteration_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a handful of power steps; each extra step is a full RDD job over
     # |E| — documented cut (KMEANS_K_CAP spirit), rows-only query.
     pic = PowerIterationClustering(
-        k=max(2, k), maxIter=6, initMode="degree", weightCol="sim"
+        k=max(2, k), maxIter=PIC_MAX_ITER, initMode="degree", weightCol="sim"
     )
     assignments = pic.assignClusters(edges)
     return (
