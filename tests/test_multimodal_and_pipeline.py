@@ -84,6 +84,48 @@ def test_news_pipeline_end_to_end(spark, sf_dir):
         assert r.summary_text  # every cluster got a representative text
 
 
+def test_news_pipeline_greedy_fidelity_snapshot(spark, sf_dir):
+    """VERDICT r5 #5: the greedy fidelity mode reproduces the
+    reference's arrival-order dedup (pipeline.py:22-42) END-TO-END on
+    the driver corpus (FIXTURES.md F9): an independent sequential
+    Python rescan — walk doc_ids in arrival order, keep a doc iff its
+    60-char title is not similar (ratio > 80) to any previously KEPT
+    title — must produce the exact survivor sequence the distributed
+    component-parallel operator emits, and the pipeline's greedy mode
+    must consume exactly that survivor set."""
+    from data_pipeline_playground_spark.functions.text import py_fuzz_ratio
+    from data_pipeline_playground_spark.operators.dedup import (
+        FUZZ_THRESHOLD,
+        TITLE_PREFIX_LEN,
+        fuzzy_dedup_greedy_survivors,
+    )
+    from data_pipeline_playground_spark.plans.news_pipeline import run_news_pipeline
+
+    docs = table(spark, sf_dir, "documents")
+    titles = {
+        r.doc_id: (r.text or "")[:TITLE_PREFIX_LEN]
+        for r in docs.select("doc_id", "text").collect()
+    }
+
+    def similar(a: str, b: str) -> bool:
+        if not a and not b:
+            return False  # engine formula: total=0 → ratio 0, not 100
+        return py_fuzz_ratio(a, b) > FUZZ_THRESHOLD
+
+    kept: list[int] = []  # reference survivor sequence, arrival order
+    for i in sorted(titles):
+        if not any(similar(titles[i], titles[j]) for j in kept):
+            kept.append(i)
+
+    got = sorted(
+        r.doc_id for r in fuzzy_dedup_greedy_survivors(docs).collect()
+    )
+    assert got == kept  # arrival order == ascending doc_id
+
+    out = run_news_pipeline(spark, sf_dir, dedup="greedy").collect()
+    assert sum(r.n_articles for r in out) == len(kept)
+
+
 def test_audio_window_rms_shape_and_determinism(spark, sf_dir):
     """Every audio row yields ceil-split windows of its duration;
     window indices are dense from 0; RMS is bounded by the 8-bit PCM

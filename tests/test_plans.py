@@ -109,6 +109,21 @@ def test_fuzzy_minhash_no_quadratic_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_bpe_encode_jvm_fold_broadcast_merges(spark, sf_dir):
+    """bpe_encode (tokenizer APPLY): the merge table collapses to a
+    ONE-ROW broadcast array (BNLJ fan-out over the vocab — the
+    intended ≤K-row build side), top-K merges via TakeOrdered (never
+    a global sort), and the K-rule rewrite fold runs as a JVM
+    higher-order aggregate — no Python stage anywhere."""
+    plan = _plan(spark, sf_dir, "bpe_encode")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+
+
 def test_minhash_signatures_single_shuffle(spark, sf_dir):
     """Wide minhash signatures: one doc_id exchange with partial_min
     map-side combine; no param-table join, no per-component exchange."""
@@ -712,6 +727,101 @@ def test_dedup_fuzzy_greedy_component_parallel(spark, sf_dir):
     assert "CartesianProduct" not in plan
     m = re.search(r"ReadSchema: struct<doc_id[^>]*>", plan)
     assert m  # the singles anti-join scans doc_id (+title cols), not full rows
+
+
+def test_cogroup_mispruning_bug_still_exists_upstream(spark, sf_dir):
+    """CANARY for the Spark 4.1 upstream bug the alphabetical-schema
+    workaround exists for (VERDICT r5 #8): a REORDERING projection
+    above FlatMapCoGroupsInPandas mis-prunes the RIGHT cogroup child.
+    This test rebuilds the as-of cogroup WITHOUT the workaround (a
+    deliberately non-alphabetical output schema, so a sort-columns
+    projection reorders) and asserts the bug STILL FIRES — the right
+    block arrives incomplete and matches degrade to null.
+
+    IF THIS TEST FAILS after a Spark upgrade: the upstream bug is
+    fixed. Remove the workaround (alphabetical schema + partial-block
+    guard) in queries/temporal_joins.py purchases_asof_click_cogroup,
+    flip this canary, and drop the pin note in SURVEY/PLANS docs.
+    """
+    import pandas as pd
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from data_pipeline_playground_spark.tables import table
+
+    ev = table(spark, sf_dir, "events")
+    bkt = (F.col("user_id") % 8).alias("bkt")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", bkt
+    )
+    dw = W.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .withColumn("rn", F.row_number().over(dw))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            F.col("value").alias("click_value"),
+            bkt,
+        )
+    )
+
+    def merge(p_pdf, c_pdf):
+        if not len(p_pdf):
+            return pd.DataFrame(
+                columns=["user_id", "purchase_ts", "event_id", "click_ts", "click_value"]
+            )
+        p = p_pdf.sort_values("ts")
+        if len(c_pdf) and {"user_id", "click_ts", "click_value"} <= set(c_pdf.columns):
+            c = c_pdf.sort_values("click_ts")[["user_id", "click_ts", "click_value"]]
+        else:  # mis-pruned (or genuinely empty) right block
+            c = pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype=p["user_id"].dtype),
+                    "click_ts": pd.Series(dtype=p["ts"].dtype),
+                    "click_value": pd.Series(dtype="float64"),
+                }
+            )
+        m = pd.merge_asof(
+            p, c, left_on="ts", right_on="click_ts", by="user_id",
+            direction="backward",
+        )
+        return pd.DataFrame(
+            {
+                "user_id": m["user_id"],
+                "purchase_ts": m["ts"],
+                "event_id": m["event_id"],
+                "click_ts": m["click_ts"],
+                "click_value": m["click_value"].astype("Float64"),
+            }
+        )
+
+    # NON-alphabetical output schema — no workaround: the consumer's
+    # sorted-columns projection below is a genuine reordering
+    naked = (
+        purchases.groupBy("bkt")
+        .cogroup(clicks.groupBy("bkt"))
+        .applyInPandas(
+            merge,
+            schema="user_id bigint, purchase_ts timestamp_ntz, event_id bigint, "
+            "click_ts timestamp_ntz, click_value double",
+        )
+    )
+    reordered = naked.select(*sorted(naked.columns)).collect()
+    n_match_naked = sum(1 for r in reordered if r.click_ts is not None)
+    # ground truth from the workaround query (driver-green oracle)
+    good = _QUERIES["purchases_asof_click_cogroup"](spark, sf_dir)
+    n_match_good = sum(
+        1 for r in good.select(*sorted(good.columns)).collect()
+        if r.click_ts is not None
+    )
+    assert n_match_good > 0  # the corpus genuinely has matches
+    assert n_match_naked < n_match_good, (
+        "Spark's cogroup mis-pruning did NOT reproduce: the upstream "
+        "bug appears FIXED in this Spark version — remove the "
+        "alphabetical-schema workaround in purchases_asof_click_cogroup"
+    )
 
 
 def test_cogroup_click_dedup_in_jvm(spark, sf_dir):
