@@ -561,6 +561,21 @@ def pic_embedding_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("decimal(11,9)").alias("s"),
         )
     )
+    # L1 normalizer as a WHOLE-FRAME window sum instead of a separate
+    # agg + crossJoin(broadcast(z)): with z folded into one window
+    # expression the per-round plan references u exactly ONCE, so the
+    # lineage grows LINEARLY (the old two-branch shape — z and v both
+    # reading u — doubled it per round: 2^5 replays of the edge join,
+    # measured 58 s of pure plan overhead on a 167-node graph).
+    # Checkpointing therefore drops from every round to every OTHER
+    # round (bounding Catalyst re-optimization depth, as in
+    # lexrank_scores_checked), and each round sheds one broadcast
+    # exchange + one job. The single-partition window is safe: the
+    # frame is the bounded checked-doc sample (< 500 nodes) by
+    # construction. Decimal discipline unchanged — u snaps to
+    # DECIMAL(11,9), z is an exact decimal SUM, one double division,
+    # re-snap — so values stay bit-identical to the oracle.
+    wz = Window.partitionBy()
     for i in range(PIC_CHECKED_ITERS):
         prev = v.select(F.col("doc_id").alias("pdoc"), F.col("s").alias("ps"))
         u_agg = (
@@ -575,16 +590,16 @@ def pic_embedding_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("usum").cast("double"), F.lit(0).cast("double"))
             .cast("decimal(11,9)").alias("u"),
         )
-        # MANDATORY truncation each round: both z and v reference u, so
-        # without materialization the lineage tree DOUBLES per
-        # iteration (2^5 replays of the edge join — measured 58 s of
-        # pure plan overhead on a 167-node graph). The frame is
-        # node-count-sized, so the checkpoint is trivial at any SF.
-        u = u.localCheckpoint(eager=True)
-        z = u.agg(F.sum("u").alias("z"))
-        v = u.crossJoin(F.broadcast(z)).select(
+        v = u.select(
             "doc_id", "grp",
-            (F.col("u").cast("double") / F.col("z").cast("double"))
+            (F.col("u").cast("double")
+             / F.sum("u").over(wz).cast("double"))
             .cast("decimal(11,9)").alias("s"),
         )
+        if i == 1:
+            # one mid-loop truncation suffices for linear lineage: the
+            # deepest re-optimized plan is 3 stacked rounds (5 nested
+            # join+window blocks stay well inside Catalyst's comfort
+            # zone; the 2^N hazard only existed with the two-branch z)
+            v = v.localCheckpoint(eager=True)
     return v.select("doc_id", "grp", F.col("s").cast("double").alias("v"))
