@@ -424,6 +424,117 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- ANN recall certificate (approximation quality as a checked metric) -----
+
+_ANN_RECALL_SQL = f"""
+WITH e AS (SELECT vec_id, {_SQL_V} AS v FROM embeddings),
+b AS (SELECT vec_id, v, {_SQL_BUCKET} AS bucket FROM e),
+q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM b WHERE vec_id < {N_QUERY_VECTORS}),
+exact_topk AS (
+  SELECT q_id, n_id FROM (
+    SELECT q.q_id, e.vec_id AS n_id,
+           row_number() OVER (
+             PARTITION BY q.q_id
+             ORDER BY round({_SQL_DOT.format(a="q.qv", b="e.v")}
+                      / greatest({_SQL_NORM.format(a="q.qv")}
+                                 * {_SQL_NORM.format(a="e.v")}, 1e-12), 6) DESC,
+                      e.vec_id) AS rn
+    FROM q, e WHERE e.vec_id <> q.q_id
+  ) WHERE rn <= {TOP_K}
+),
+lsh_topk AS (
+  SELECT q_id, n_id FROM (
+    SELECT q.q_id, b.vec_id AS n_id,
+           row_number() OVER (
+             PARTITION BY q.q_id
+             ORDER BY round({_SQL_DOT.format(a="q.qv", b="b.v")}
+                      / greatest({_SQL_NORM.format(a="q.qv")}
+                                 * {_SQL_NORM.format(a="b.v")}, 1e-12), 6) DESC,
+                      b.vec_id) AS rn
+    FROM q JOIN b ON q.bucket = b.bucket AND b.vec_id <> q.q_id
+  ) WHERE rn <= {TOP_K}
+),
+el AS (SELECT vec_id, label, {_SQL_V} AS v FROM embeddings),
+ql AS (SELECT vec_id AS q_id, v AS qv, label FROM el WHERE vec_id < {N_QUERY_VECTORS}),
+ivf_topk AS (
+  SELECT q_id, n_id FROM (
+    SELECT ql.q_id, el.vec_id AS n_id,
+           row_number() OVER (
+             PARTITION BY ql.q_id
+             ORDER BY round({_SQL_DOT.format(a="ql.qv", b="el.v")}
+                      / greatest({_SQL_NORM.format(a="ql.qv")}
+                                 * {_SQL_NORM.format(a="el.v")}, 1e-12), 6) DESC,
+                      el.vec_id) AS rn
+    FROM ql JOIN el ON ql.label = el.label AND el.vec_id <> ql.q_id
+  ) WHERE rn <= {TOP_K}
+)
+SELECT x.q_id,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(l.n_id) AS BIGINT) AS lsh_hit,
+       CAST(count(i.n_id) AS BIGINT) AS ivf_hit,
+       CAST(count(l.n_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS lsh_recall,
+       CAST(count(i.n_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS ivf_recall
+FROM exact_topk x
+LEFT JOIN lsh_topk l ON l.q_id = x.q_id AND l.n_id = x.n_id
+LEFT JOIN ivf_topk i ON i.q_id = x.q_id AND i.n_id = x.n_id
+GROUP BY x.q_id
+"""
+
+
+@query("ann_recall_certificate", oracle=_ANN_RECALL_SQL)
+def ann_recall_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of BOTH approximate ANN tiers (LSH buckets, IVF cell
+    probe) against the exact brute-force top-k, per query vector — the
+    approximation-quality metric a production vector pipeline ships
+    NEXT TO its index, here itself oracle-checked (all three rankings
+    are deterministic: rounded cosine, n_id tie-break, so hit COUNTS
+    are exact integers and recall is one int/int double division —
+    bit-identical across engines).
+
+    Composes three already-checked tiers (embedding_cosine_topk,
+    ann_lsh_topk, ann_ivf_topk) through miss-revealing left joins.
+    EXPECTED RESULT on this corpus: recall is LOW (LSH ≈ 0, IVF ≈
+    0.1) and that is the certificate doing its job — the synthetic
+    embeddings are near-orthogonal (top-neighbor cosine ≈ 0.4 →
+    per-hyperplane agreement ≈ 0.6 → P[8-bit signatures collide] ≈
+    0.6^8 ≈ 2%), so single-probe 8-bit LSH cannot serve this
+    distribution and the certificate SAYS so before a 100 TB index
+    build would. At scale the exact side runs on a sampled query set
+    (here: the fixed query vectors), exactly how production recall
+    certificates work."""
+    gt = embedding_cosine_topk(spark, sf_dir).select("q_id", "n_id")
+    lsh = ann_lsh_topk(spark, sf_dir).select(
+        F.col("q_id").alias("lq"), F.col("n_id").alias("ln"),
+        F.lit(1).alias("lhit"),
+    )
+    ivf = ann_ivf_topk(spark, sf_dir).select(
+        F.col("q_id").alias("iq"), F.col("n_id").alias("inn"),
+        F.lit(1).alias("ihit"),
+    )
+    return (
+        gt.join(
+            lsh,
+            (F.col("q_id") == F.col("lq")) & (F.col("n_id") == F.col("ln")),
+            "left",
+        )
+        .join(
+            ivf,
+            (F.col("q_id") == F.col("iq")) & (F.col("n_id") == F.col("inn")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("lhit").alias("lsh_hit"),
+            F.count("ihit").alias("ivf_hit"),
+            (F.count("lhit").cast("double") / F.count(F.lit(1)).cast("double"))
+            .alias("lsh_recall"),
+            (F.count("ihit").cast("double") / F.count(F.lit(1)).cast("double"))
+            .alias("ivf_recall"),
+        )
+    )
+
+
 # --- embedding-cosine near-dup dedup (north-star tier) ----------------------
 
 # The synthetic embeddings carry no true near-duplicates (max within-
