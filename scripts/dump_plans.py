@@ -60,6 +60,17 @@ SHOWCASE = [
      "operator: state changes and probes union into user_id Window "
      "passes (the oracle's interval join would be per-key quadratic); "
      "at most two hash exchanges."),
+    ("bpe_encode", "tokenizer APPLY: top-K merge ranking is "
+     "TakeOrderedAndProject (never a global sort); the merge table "
+     "collapses to a one-row array fanned out by a broadcast "
+     "(BNLJ with a 1-row build side is the intended shape); the "
+     "K-rule rewrite fold is a JVM higher-order aggregate — no "
+     "Python stage anywhere."),
+    ("ann_recall_certificate", "three deterministic top-k tiers "
+     "composed: every candidate join is a BroadcastHashJoin of the "
+     "fixed query set (exact tier) or an equi-join on bucket/cell "
+     "(approx tiers); hit counting is two broadcast left joins + one "
+     "hash aggregate — no cartesian, no Python."),
 ]
 
 
