@@ -424,6 +424,89 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- multi-probe LSH (the production fix for single-probe recall) -----------
+
+MULTIPROBE_BITS = N_PLANES  # probe Hamming-0 and all Hamming-1 buckets
+
+_LSH_MULTIPROBE_SQL = f"""
+WITH e AS (SELECT vec_id, {_SQL_V} AS v FROM embeddings),
+b AS (SELECT vec_id, v, {_SQL_BUCKET} AS bucket FROM e),
+q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM b WHERE vec_id < {N_QUERY_VECTORS}),
+probes AS (
+  SELECT q.q_id, q.qv,
+         CASE WHEN f.flip < 0 THEN q.bucket
+              ELSE xor(q.bucket, 1 << f.flip) END AS pbucket
+  FROM q, (SELECT unnest(range(-1, {MULTIPROBE_BITS})) AS flip) f
+),
+pairs AS (
+  SELECT p.q_id, b.vec_id AS n_id,
+         round({_SQL_DOT.format(a="p.qv", b="b.v")}
+               / greatest({_SQL_NORM.format(a="p.qv")}
+                          * {_SQL_NORM.format(a="b.v")}, 1e-12), 6) AS cosine
+  FROM probes p JOIN b ON p.pbucket = b.bucket AND b.vec_id <> p.q_id
+)
+SELECT q_id, n_id, cosine FROM (
+  SELECT q_id, n_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rn
+  FROM pairs
+) WHERE rn <= {TOP_K}
+"""
+
+
+@query("ann_lsh_multiprobe_topk", oracle=_LSH_MULTIPROBE_SQL)
+def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-k (Lv et al. 2007): each query probes its
+    own bucket PLUS every Hamming-distance-1 bucket (flip one sign
+    bit), so candidates grow 9× while the index stays single-table —
+    the standard production answer to the low single-probe recall
+    that ann_recall_certificate exposes on this corpus. Buckets
+    partition the vector set, so probe buckets are disjoint and no
+    candidate dedup is needed. The probe fan-out is on the QUERY side
+    only (10 × 9 rows broadcast); the corpus side remains one
+    equi-join on its precomputed signature — at 100 TB identical
+    bucket-local shape to ann_lsh_topk, just nprobe× the candidate
+    volume."""
+    e = (
+        _embed_double(spark, sf_dir)
+        .withColumn("bucket", _bucket_col())
+        .withColumn("nv", norm(F.col("v"), DIM))
+    )
+    q = e.filter(F.col("vec_id") < N_QUERY_VECTORS).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
+        F.col("bucket").alias("qbucket"),
+    )
+    probes = q.select(
+        "q_id", "qv", "nq",
+        F.explode(
+            F.expr(
+                f"transform(sequence(-1, {MULTIPROBE_BITS - 1}), "
+                f"f -> CASE WHEN f < 0 THEN qbucket "
+                f"ELSE qbucket ^ shiftleft(1, f) END)"
+            )
+        ).alias("pbucket"),
+    )
+    pairs = e.join(
+        F.broadcast(probes),
+        (F.col("bucket") == F.col("pbucket")) & (F.col("vec_id") != F.col("q_id")),
+    ).select(
+        "q_id",
+        F.col("vec_id").alias("n_id"),
+        F.round(
+            dot(F.col("qv"), F.col("v"), DIM)
+            / F.greatest(F.col("nq") * F.col("nv"), F.lit(1e-12)),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", "n_id", "cosine")
+    )
+
+
 # --- ANN recall certificate (approximation quality as a checked metric) -----
 
 _ANN_RECALL_SQL = f"""
@@ -454,6 +537,23 @@ lsh_topk AS (
     FROM q JOIN b ON q.bucket = b.bucket AND b.vec_id <> q.q_id
   ) WHERE rn <= {TOP_K}
 ),
+mp_topk AS (
+  SELECT q_id, n_id FROM (
+    SELECT p.q_id, b.vec_id AS n_id,
+           row_number() OVER (
+             PARTITION BY p.q_id
+             ORDER BY round({_SQL_DOT.format(a="p.qv", b="b.v")}
+                      / greatest({_SQL_NORM.format(a="p.qv")}
+                                 * {_SQL_NORM.format(a="b.v")}, 1e-12), 6) DESC,
+                      b.vec_id) AS rn
+    FROM (
+      SELECT q.q_id, q.qv,
+             CASE WHEN f.flip < 0 THEN q.bucket
+                  ELSE xor(q.bucket, 1 << f.flip) END AS pbucket
+      FROM q, (SELECT unnest(range(-1, {MULTIPROBE_BITS})) AS flip) f
+    ) p JOIN b ON p.pbucket = b.bucket AND b.vec_id <> p.q_id
+  ) WHERE rn <= {TOP_K}
+),
 el AS (SELECT vec_id, label, {_SQL_V} AS v FROM embeddings),
 ql AS (SELECT vec_id AS q_id, v AS qv, label FROM el WHERE vec_id < {N_QUERY_VECTORS}),
 ivf_topk AS (
@@ -471,11 +571,14 @@ ivf_topk AS (
 SELECT x.q_id,
        CAST(count(*) AS BIGINT) AS n_exact,
        CAST(count(l.n_id) AS BIGINT) AS lsh_hit,
+       CAST(count(m.n_id) AS BIGINT) AS mp_hit,
        CAST(count(i.n_id) AS BIGINT) AS ivf_hit,
        CAST(count(l.n_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS lsh_recall,
+       CAST(count(m.n_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mp_recall,
        CAST(count(i.n_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS ivf_recall
 FROM exact_topk x
 LEFT JOIN lsh_topk l ON l.q_id = x.q_id AND l.n_id = x.n_id
+LEFT JOIN mp_topk m ON m.q_id = x.q_id AND m.n_id = x.n_id
 LEFT JOIN ivf_topk i ON i.q_id = x.q_id AND i.n_id = x.n_id
 GROUP BY x.q_id
 """
@@ -483,29 +586,35 @@ GROUP BY x.q_id
 
 @query("ann_recall_certificate", oracle=_ANN_RECALL_SQL)
 def ann_recall_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@k of BOTH approximate ANN tiers (LSH buckets, IVF cell
-    probe) against the exact brute-force top-k, per query vector — the
-    approximation-quality metric a production vector pipeline ships
-    NEXT TO its index, here itself oracle-checked (all three rankings
-    are deterministic: rounded cosine, n_id tie-break, so hit COUNTS
-    are exact integers and recall is one int/int double division —
-    bit-identical across engines).
+    """Recall@k of every approximate ANN tier (single-probe LSH,
+    Hamming-1 multi-probe LSH, IVF cell probe) against the exact
+    brute-force top-k, per query vector — the approximation-quality
+    metric a production vector pipeline ships NEXT TO its index, here
+    itself oracle-checked (all four rankings are deterministic:
+    rounded cosine, n_id tie-break, so hit COUNTS are exact integers
+    and recall is one int/int double division — bit-identical across
+    engines).
 
-    Composes three already-checked tiers (embedding_cosine_topk,
-    ann_lsh_topk, ann_ivf_topk) through miss-revealing left joins.
-    EXPECTED RESULT on this corpus: recall is LOW (LSH ≈ 0, IVF ≈
-    0.1) and that is the certificate doing its job — the synthetic
-    embeddings are near-orthogonal (top-neighbor cosine ≈ 0.4 →
-    per-hyperplane agreement ≈ 0.6 → P[8-bit signatures collide] ≈
-    0.6^8 ≈ 2%), so single-probe 8-bit LSH cannot serve this
-    distribution and the certificate SAYS so before a 100 TB index
-    build would. At scale the exact side runs on a sampled query set
-    (here: the fixed query vectors), exactly how production recall
-    certificates work."""
+    Composes four already-checked tiers (embedding_cosine_topk,
+    ann_lsh_topk, ann_lsh_multiprobe_topk, ann_ivf_topk) through
+    miss-revealing left joins. EXPECTED RESULT on this corpus: recall
+    is LOW (LSH ≈ 0 → multi-probe ≈ 0.06 → IVF ≈ 0.1) and that is
+    the certificate doing its job — the synthetic embeddings are
+    near-orthogonal (top-neighbor cosine ≈ 0.4 → per-hyperplane
+    agreement ≈ 0.6 → P[8-bit signatures collide] ≈ 0.6^8 ≈ 2%), so
+    bucketed indexes cannot serve this distribution and the
+    certificate SAYS so (and quantifies exactly what multi-probe buys)
+    before a 100 TB index build would. At scale the exact side runs on
+    a sampled query set (here: the fixed query vectors), exactly how
+    production recall certificates work."""
     gt = embedding_cosine_topk(spark, sf_dir).select("q_id", "n_id")
     lsh = ann_lsh_topk(spark, sf_dir).select(
         F.col("q_id").alias("lq"), F.col("n_id").alias("ln"),
         F.lit(1).alias("lhit"),
+    )
+    mp = ann_lsh_multiprobe_topk(spark, sf_dir).select(
+        F.col("q_id").alias("mq"), F.col("n_id").alias("mn"),
+        F.lit(1).alias("mhit"),
     )
     ivf = ann_ivf_topk(spark, sf_dir).select(
         F.col("q_id").alias("iq"), F.col("n_id").alias("inn"),
@@ -518,6 +627,11 @@ def ann_recall_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left",
         )
         .join(
+            mp,
+            (F.col("q_id") == F.col("mq")) & (F.col("n_id") == F.col("mn")),
+            "left",
+        )
+        .join(
             ivf,
             (F.col("q_id") == F.col("iq")) & (F.col("n_id") == F.col("inn")),
             "left",
@@ -526,9 +640,12 @@ def ann_recall_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_exact"),
             F.count("lhit").alias("lsh_hit"),
+            F.count("mhit").alias("mp_hit"),
             F.count("ihit").alias("ivf_hit"),
             (F.count("lhit").cast("double") / F.count(F.lit(1)).cast("double"))
             .alias("lsh_recall"),
+            (F.count("mhit").cast("double") / F.count(F.lit(1)).cast("double"))
+            .alias("mp_recall"),
             (F.count("ihit").cast("double") / F.count(F.lit(1)).cast("double"))
             .alias("ivf_recall"),
         )
@@ -928,12 +1045,30 @@ def _pq_model(spark: SparkSession, sf_dir: str):
                  F.col("sub").alias("c"))
 
         def assign(codebook: DataFrame) -> DataFrame:
-            w = Window.partitionBy("vec_id", "m").orderBy("d2r", "cid")
+            # codebook packed as ONE row per subspace (m → 16 candidate
+            # structs): the argmin is then a narrow JVM projection —
+            # transform to (rounded d2, cid) structs, array_sort (field
+            # order = the oracle's ORDER BY d2r, cid), take [0] — so
+            # assignment costs ZERO shuffle and ZERO fan-out. The old
+            # shape (16× candidate join + per-(vec,m) row_number
+            # window) shuffled corpus×16 rows per pass; at 100 TB that
+            # window exchange IS the bottleneck, this is a map.
+            cands = codebook.groupBy("m").agg(
+                F.collect_list(F.struct("cid", "c")).alias("cands")
+            )
+            best = F.array_sort(
+                F.transform(
+                    F.col("cands"),
+                    lambda s: F.struct(
+                        F.round(_l2sq(F.col("sub"), s["c"]), 6).alias("d2r"),
+                        s["cid"].alias("cid"),
+                    ),
+                )
+            )[0]
             return (
-                sub.join(F.broadcast(codebook), "m")
-                .withColumn("d2r", F.round(_l2sq(F.col("sub"), F.col("c")), 6))
-                .withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1)
+                sub.join(F.broadcast(cands), "m")
+                .withColumn("cid", best["cid"])
+                .drop("cands")
             )
 
         a0 = assign(c0).select("vec_id", "m", "cid", "sub")

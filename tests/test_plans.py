@@ -345,11 +345,13 @@ def test_ann_pq_topk_codes_side_no_vectors(spark, sf_dir):
 
 
 def test_pq_codes_bounded_windows(spark, sf_dir):
-    """Code assignment's argmin windows partition by (vec, subspace) —
-    16-row partitions — and the codebook join is broadcast."""
+    """Code assignment is a NARROW MAP (r6): the packed per-subspace
+    codebook broadcasts and the argmin is a transform+array_sort
+    projection — no fan-out join, no window, no assignment shuffle."""
     plan = _plan(spark, sf_dir, "pq_codes")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+    assert "Window" not in plan
 
 
 def test_orders_snapshot_diff_key_join(spark, sf_dir):
