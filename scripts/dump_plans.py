@@ -66,11 +66,12 @@ SHOWCASE = [
      "(BNLJ with a 1-row build side is the intended shape); the "
      "K-rule rewrite fold is a JVM higher-order aggregate — no "
      "Python stage anywhere."),
-    ("ann_recall_certificate", "three deterministic top-k tiers "
+    ("ann_recall_certificate", "four deterministic top-k tiers "
      "composed: every candidate join is a BroadcastHashJoin of the "
      "fixed query set (exact tier) or an equi-join on bucket/cell "
-     "(approx tiers); hit counting is two broadcast left joins + one "
-     "hash aggregate — no cartesian, no Python."),
+     "(approx tiers, incl. the multi-probe query-side fan-out); hit "
+     "counting is three broadcast left joins + one hash aggregate — "
+     "no cartesian, no Python."),
 ]
 
 
