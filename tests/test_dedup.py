@@ -92,3 +92,49 @@ def test_greedy_survivors_partition_invariant(spark, sf_dir):
         for r in fuzzy_dedup_greedy_survivors(docs.repartition(7)).collect()
     }
     assert s1 == s7 and len(s1) > 0
+
+
+def test_lsh_pair_recall_is_exactly_one(spark, sf_dir):
+    """PAIR-LEVEL recall certificate (the ADVICE-r5 triage check made
+    executable): the LSH-candidate pair set must equal the exact
+    all-pairs threshold predicate on this corpus. The dedup_fuzzy_greedy
+    and dedup_fuzzy_minhash oracles walk EXACT pairs while the Spark
+    side walks LSH-derived pairs, so their value checks assume recall
+    1 — when one of them mismatches after an SF/corpus change, THIS
+    test says whether the cause is LSH recall (this fails too) or
+    chain/survivor logic (this still passes)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_playground_spark.operators.dedup import (
+        FUZZ_THRESHOLD,
+        TITLE_PREFIX_LEN,
+        fuzzy_similar_pairs_minhash,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    got = {
+        (r.hi, r.lo)
+        for r in fuzzy_similar_pairs_minhash(docs).select("hi", "lo").collect()
+    }
+    # exact ground truth: genuine ALL-pairs (crossJoin, no candidate
+    # pruning of any kind) with the same ratio formula via the JVM
+    # levenshtein — independent of the LSH candidate path under test
+    t = docs.select(
+        "doc_id", F.substring("text", 1, TITLE_PREFIX_LEN).alias("title")
+    )
+    a = t.select(F.col("doc_id").alias("hi"), F.col("title").alias("ta"))
+    b = t.select(F.col("doc_id").alias("lo"), F.col("title").alias("tb"))
+    tot = F.length("ta") + F.length("tb")
+    ratio = F.when(F.col("ta") == F.col("tb"), F.lit(100.0)).otherwise(
+        F.lit(100.0) * (tot - F.levenshtein("ta", "tb")).cast("double")
+        / F.greatest(tot, F.lit(1)).cast("double")
+    )
+    want = {
+        (r.hi, r.lo)
+        for r in a.crossJoin(b)
+        .filter(F.col("hi") > F.col("lo"))
+        .filter(ratio > F.lit(FUZZ_THRESHOLD))
+        .select("hi", "lo")
+        .collect()
+    }
+    assert got == want  # precision AND recall both exactly 1
