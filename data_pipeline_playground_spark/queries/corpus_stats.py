@@ -564,3 +564,91 @@ def split_unigram_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("chi2_term").cast("double").alias("chi2_divergence"),
         F.count(F.lit(1)).alias("n_terms"),
     )
+
+
+# ---- feature-hashing collision audit (vocab-free featurization gate) -------
+
+# The hashing trick replaces vocabulary building with hash(term) % 2^k
+# — constant memory at any corpus size, which is why it is the 100 TB
+# featurization default. Its one cost is collisions; this audit
+# quantifies that cost per candidate hash width BEFORE a training run
+# commits to one: per width, how many distinct terms collide, and —
+# the number that actually corrupts features — what share of token
+# OCCURRENCES sits in a bucket shared by ≥2 distinct terms. All
+# integer counts via the engine-portable rolling hash; the only double
+# is one final int/int division per row, bit-identical across engines.
+
+FEATURE_HASH_BITS = (8, 12, 16)
+
+
+def _feature_hash_sql() -> str:
+    from data_pipeline_playground_spark.functions.text import sql_rolling_hash
+
+    bits_list = ", ".join(str(b) for b in FEATURE_HASH_BITS)
+    return f"""
+WITH tok AS (SELECT unnest({_SQL_TOKENS}) AS term FROM documents),
+tf AS (SELECT term, count(*) AS freq FROM tok GROUP BY term),
+th AS (SELECT term, freq, {sql_rolling_hash("term")} AS h FROM tf),
+bucketed AS (
+  SELECT b.bits, th.h % (1 << b.bits) AS bucket,
+         count(*) AS n_terms_in_bucket,
+         CAST(sum(th.freq) AS BIGINT) AS freq_in_bucket
+  FROM th, (SELECT unnest([{bits_list}]) AS bits) b
+  GROUP BY b.bits, th.h % (1 << b.bits)
+)
+SELECT bits,
+       CAST(sum(n_terms_in_bucket) AS BIGINT) AS n_terms,
+       CAST(count(*) AS BIGINT) AS buckets_used,
+       CAST(max(n_terms_in_bucket) AS BIGINT) AS max_bucket_load,
+       CAST(sum(n_terms_in_bucket) - count(*) AS BIGINT) AS colliding_terms,
+       CAST(sum(CASE WHEN n_terms_in_bucket >= 2 THEN freq_in_bucket
+                     ELSE 0 END) AS DOUBLE)
+         / CAST(sum(freq_in_bucket) AS DOUBLE) AS freq_collision_share
+FROM bucketed GROUP BY bits
+"""
+
+
+@query("feature_hash_collisions", oracle=_feature_hash_sql())
+def feature_hash_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick collision audit (see block comment): for each
+    candidate width in FEATURE_HASH_BITS, bucket the corpus vocabulary
+    by the portable rolling hash mod 2^bits and report distinct-term
+    collisions plus the frequency-weighted share of tokens whose
+    bucket is impure. One token-explode aggregate builds the weighted
+    vocabulary (shuffle ∝ distinct terms); the per-width fan-out is a
+    3-literal explode on the VOCAB side only, and everything downstream
+    is combinable hash aggregation — no windows, no joins."""
+    from data_pipeline_playground_spark.functions.text import rolling_hash
+
+    docs = table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    th = tf.select("term", "freq", rolling_hash(F.col("term")).alias("h"))
+    bucketed = (
+        th.select(
+            "freq", "h",
+            F.explode(F.array(*[F.lit(b) for b in FEATURE_HASH_BITS])).alias("bits"),
+        )
+        .groupBy("bits", (F.col("h") % F.expr("shiftleft(1, bits)")).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_in_bucket"),
+            F.sum("freq").alias("freq_in_bucket"),
+        )
+    )
+    return bucketed.groupBy("bits").agg(
+        F.sum("n_terms_in_bucket").cast("bigint").alias("n_terms"),
+        F.count(F.lit(1)).cast("bigint").alias("buckets_used"),
+        F.max("n_terms_in_bucket").cast("bigint").alias("max_bucket_load"),
+        (F.sum("n_terms_in_bucket") - F.count(F.lit(1)))
+        .cast("bigint").alias("colliding_terms"),
+        (
+            F.sum(
+                F.when(F.col("n_terms_in_bucket") >= 2, F.col("freq_in_bucket"))
+                .otherwise(F.lit(0))
+            ).cast("double")
+            / F.sum("freq_in_bucket").cast("double")
+        ).alias("freq_collision_share"),
+    )
