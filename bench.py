@@ -9,12 +9,23 @@ Each query is timed end-to-end (plan + execute + collect-to-count).
 A warmup pass on sf0.001 primes the JVM/codegen so timings reflect
 steady-state execution, not first-query JIT.
 
-Self-heal mode (VERDICT r5 #6): set SPARK_GRAFT_BENCH_BASE to a prior
-bench JSON and only the queries inside that run's CONTAMINATED probe
-windows (plus queries the base run never timed) are re-run; clean base
-timings are merged in unchanged, so a throttled run can be repaired
-off-peak without re-paying the full sweep. The merged record carries
-"merged_from" + "rerun_queries" provenance.
+Contention handling (the host is CPU burst-credit limited; throttle
+transients of a few minutes were observed mid-run in r5/r6):
+- a known-subsecond sentinel query is probed every _PROBE_EVERY
+  queries; a hot probe marks the surrounding window's timings
+  untrustworthy;
+- IN-RUN SELF-HEAL (round 6): after the sweep, queries inside hot
+  windows are automatically re-run (up to SPARK_GRAFT_BENCH_HEAL_ROUNDS
+  rounds, default 2, after a SPARK_GRAFT_BENCH_HEAL_COOLDOWN idle
+  pause) and each query keeps its MINIMUM observed timing — under
+  one-sided contention noise the minimum is the closest estimate of
+  true cost. Only queries that never saw a clean window end up in
+  "contention_warning"/"still_hot".
+- CROSS-RUN SELF-HEAL (VERDICT r5 #6): set SPARK_GRAFT_BENCH_BASE to a
+  prior bench JSON and only the queries inside that run's contaminated
+  probe windows (plus queries the base run never timed) are re-run;
+  clean base timings are merged in unchanged. The merged record
+  carries "merged_from" + "rerun_queries" provenance.
 """
 
 from __future__ import annotations
@@ -41,15 +52,38 @@ _PROBE_HOT = 1.5
 _SENTINELS = {"section_rank_topk": 2.0, "project_clean": 2.0}
 
 
-def _contaminated_names(base: dict) -> set[str]:
-    """Query names inside the base run's hot probe windows.
+def _hot_window_names(probes: dict[str, float], probe_names: dict[str, str],
+                      order: list[str], spacing: int) -> set[str]:
+    """Names inside hot probe windows, mapped LEXICOGRAPHICALLY.
 
     A hot probe at position P (probes fire BEFORE the query at index P)
-    contaminates [P - PROBE_EVERY, P + PROBE_EVERY): throttling
-    developed somewhere in the preceding window and persists into the
-    following one until a clean probe. Indices map onto the base run's
-    own sorted name list, so registry growth between runs can't shift
-    the mapping."""
+    contaminates [P - spacing, P + spacing): throttling developed
+    somewhere in the preceding window and persists into the following
+    one until a clean probe. Positions index the run's own sorted
+    to_run list, but because that list is sorted, the window maps onto
+    ANY name list as the lexicographic interval between the adjacent
+    probes' recorded names — so registry growth or subset re-runs
+    can't shift the mapping."""
+    names: set[str] = set()
+    for pos_s, v in probes.items():
+        if v > _PROBE_HOT:
+            p = int(pos_s)
+            lo = probe_names.get(str(p - spacing), "")
+            hi = probe_names.get(str(p + spacing), "\uffff")
+            names.update(q for q in order if lo <= q < hi)
+    return names
+
+
+def _contaminated_names(base: dict) -> set[str]:
+    """Query names whose timings in a prior bench record are untrusted.
+
+    A self-healed base (round 6+) records exactly which queries never
+    saw a clean window as "still_hot" — trust that. Otherwise fall
+    back to re-deriving hot probe windows from the base's probe data
+    (and for pre-r6 bases without probe_names, raw positional
+    windows)."""
+    if "still_hot" in base:
+        return set(base["still_hot"]) | set(base.get("errors", {}))
     order = sorted(base.get("queries", {}))
     n = len(order)
     # window half-width = the BASE run's probe spacing (it may have
@@ -58,28 +92,18 @@ def _contaminated_names(base: dict) -> set[str]:
     spacing = max(
         (b - a for a, b in zip(pos, pos[1:])), default=_PROBE_EVERY
     )
-    names: set[str] = set()
+    probes = base.get("sentinel_probes", {})
     probe_names = base.get("probe_names", {})
     if probe_names:
-        # Positions index the base run's OWN to_run list (which, for a
-        # self-healed base, is a SUBSET of its merged queries dict) —
-        # but to_run is always sorted, so the window [p-spacing,
-        # p+spacing) maps portably onto ANY run's name list as the
-        # LEXICOGRAPHIC interval between the adjacent probes' names.
-        for pos_s, v in base.get("sentinel_probes", {}).items():
-            if v > _PROBE_HOT:
-                p = int(pos_s)
-                lo = probe_names.get(str(p - spacing), "")
-                hi = probe_names.get(str(p + spacing), "\uffff")
-                names.update(q for q in order if lo <= q < hi)
+        names = _hot_window_names(probes, probe_names, order, spacing)
     else:
         # legacy base (pre-r6: positions only, full-run indices)
         hot_idx: set[int] = set()
-        for pos_s, v in base.get("sentinel_probes", {}).items():
+        for pos_s, v in probes.items():
             if v > _PROBE_HOT:
                 p = int(pos_s)
                 hot_idx.update(range(max(0, p - spacing), min(n, p + spacing)))
-        names.update(order[i] for i in hot_idx)
+        names = {order[i] for i in hot_idx}
     # errored queries have no timing at all — always re-run
     names.update(base.get("errors", {}))
     return names
@@ -88,6 +112,8 @@ def _contaminated_names(base: dict) -> set[str]:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    heal_rounds = int(os.environ.get("SPARK_GRAFT_BENCH_HEAL_ROUNDS", "2"))
+    heal_cooldown = float(os.environ.get("SPARK_GRAFT_BENCH_HEAL_COOLDOWN", "60"))
 
     from data_pipeline_playground_spark.queries.ml import (
         BISECTING_MAX_ITER,
@@ -130,35 +156,55 @@ def main() -> None:
         except Exception:
             pass
 
-    timings: dict[str, float] = {}
-    errors: dict[str, str] = {}
-    # Interleaved contention probes: a known-subsecond sentinel query
-    # re-measured every PROBE_EVERY queries. A single end-of-run
-    # sentinel can miss MID-RUN burst-credit throttling (observed:
-    # the b..p alphabetical block at 4-14× with clean s..z timings) —
-    # probing throughout localizes which stretch of the run is
-    # trustworthy.
-    probes: dict[str, float] = {}
-    probe_names: dict[str, str] = {}
+    def run_pass(names: list[str]):
+        """One timed sweep over ``names`` with interleaved contention
+        probes. A single end-of-run sentinel can miss MID-RUN
+        burst-credit throttling (observed: the b..p alphabetical block
+        at 4-14× with clean s..z timings) — probing throughout
+        localizes which stretch of the run is trustworthy."""
+        timings: dict[str, float] = {}
+        errors: dict[str, str] = {}
+        probes: dict[str, float] = {}
+        probe_names: dict[str, str] = {}
 
-    def probe(position: int) -> None:
-        if _PROBE_Q not in queries:
-            return
-        # the query ABOUT TO RUN at this position — lets a future
-        # self-heal map this run's probe windows onto any registry
-        # (positions index to_run, which is a subset in healed runs)
-        # end-of-run marker sorts AFTER every real name so a hot final
-        # probe's window reaches the end of the list
-        probe_names[str(position)] = (
-            to_run[position] if position < len(to_run) else "\uffff"
-        )
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        try:
-            queries[_PROBE_Q](spark, sf_dir).count()
-            probes[str(position)] = round(time.perf_counter() - t0, 3)
-        except Exception:
-            pass
+        def probe(position: int) -> None:
+            if _PROBE_Q not in queries:
+                return
+            # the query ABOUT TO RUN at this position — lets self-heal
+            # (in-run or cross-run) map probe windows onto any registry.
+            # end-of-run marker sorts AFTER every real name so a hot
+            # final probe's window reaches the end of the list
+            probe_names[str(position)] = (
+                names[position] if position < len(names) else "\uffff"
+            )
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            try:
+                queries[_PROBE_Q](spark, sf_dir).count()
+                probes[str(position)] = round(time.perf_counter() - t0, 3)
+            except Exception:
+                pass
+
+        for q_idx, name in enumerate(names):
+            if q_idx % _PROBE_EVERY == 0:
+                probe(q_idx)
+            # Drop any cached data left by the previous query so each
+            # timing is independent of run order. Memoized frames
+            # (caching.py) that a later query retrieves are
+            # re-materialized at that retrieval — so every query pays
+            # its own build cost even for session-shared artifacts;
+            # run order never subsidizes a timing.
+            spark.catalog.clearCache()
+            start = time.perf_counter()
+            try:
+                queries[name](spark, sf_dir).count()
+                timings[name] = round(time.perf_counter() - start, 3)
+            except Exception as exc:  # one bad query must not sink the bench
+                errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+                print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
+
+        probe(len(names))  # final checkpoint
+        return timings, errors, probes, probe_names
 
     # warm the probe query once at the bench SF (unrecorded): the first
     # sf0.1 execution pays plan compile + codegen, which would read as
@@ -169,25 +215,37 @@ def main() -> None:
         except Exception:
             pass
 
-    for q_idx, name in enumerate(to_run):
-        if q_idx % _PROBE_EVERY == 0:
-            probe(q_idx)
-        # Drop any cached data left by the previous query so each
-        # timing is independent of run order. Memoized frames
-        # (caching.py) that a later query retrieves are re-materialized
-        # at that retrieval — so every query pays its own build cost
-        # even for session-shared artifacts; run order never subsidizes
-        # a timing.
-        spark.catalog.clearCache()
-        start = time.perf_counter()
-        try:
-            queries[name](spark, sf_dir).count()
-            timings[name] = round(time.perf_counter() - start, 3)
-        except Exception as exc:  # one bad query must not sink the bench
-            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
-            print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
+    timings, errors, probes, probe_names = run_pass(to_run)
+    hot = _hot_window_names(probes, probe_names, sorted(timings), _PROBE_EVERY)
+    # a tripped sentinel's own timing is untrusted too — heal it
+    hot.update(
+        q for q, lim in _SENTINELS.items() if timings.get(q, 0.0) > lim
+    )
 
-    probe(len(to_run))  # final checkpoint
+    # In-run heal: re-measure the untrusted window(s) after an idle
+    # cooldown; keep each query's MINIMUM (contention noise is
+    # one-sided). Repeat until every query has at least one
+    # clean-window measurement or the round budget runs out.
+    heal_log: list[dict] = []
+    for _ in range(heal_rounds):
+        if not hot:
+            break
+        time.sleep(heal_cooldown)
+        retry = sorted(hot)
+        r_tim, r_err, r_probes, r_pnames = run_pass(retry)
+        for name, t in r_tim.items():
+            timings[name] = min(timings.get(name, float("inf")), t)
+            errors.pop(name, None)
+        still = _hot_window_names(r_probes, r_pnames, retry, _PROBE_EVERY)
+        still.update(
+            q for q, lim in _SENTINELS.items() if r_tim.get(q, 0.0) > lim
+        )
+        heal_log.append({
+            "rerun": len(retry),
+            "probes": r_probes,
+            "still_hot": sorted(still),
+        })
+        hot = still
 
     rerun = sorted(timings)
     if base:
@@ -218,27 +276,29 @@ def main() -> None:
     if base:
         out["merged_from"] = base_path
         out["rerun_queries"] = rerun
-    # Contention sentinel: these queries are known-subsecond on an idle
-    # box at sf0.1; if one measures far above that, the host was CPU
-    # burst-credit throttled (or co-loaded) mid-run and the run's
-    # timings are not comparable across rounds — label the run so a
-    # throttled bench self-identifies instead of reading as a 10×
-    # plan regression.
+    out["sentinel_probes"] = probes
+    out["probe_names"] = probe_names
+    if heal_log:
+        out["heal"] = heal_log
+    # Contention verdict AFTER healing: only queries that never saw a
+    # clean window (or sentinels still above their idle-box bound in
+    # the final merged timings) make the run non-comparable — label it
+    # so a throttled bench self-identifies instead of reading as a 10×
+    # plan regression. "still_hot" is the exact untrusted set; a later
+    # SPARK_GRAFT_BENCH_BASE run re-runs only those.
     tripped = {
         q: timings[q]
         for q, lim in _SENTINELS.items()
         if q in rerun and timings.get(q, 0.0) > lim
     }
-    out["sentinel_probes"] = probes
-    out["probe_names"] = probe_names
-    hot = {pos: v for pos, v in probes.items() if v > _PROBE_HOT}
+    out["still_hot"] = sorted(hot)
     if tripped or hot:
         parts = [f"{q}={v}s" for q, v in sorted(tripped.items())]
-        parts += [f"probe@{pos}={v}s" for pos, v in sorted(hot.items(), key=lambda kv: int(kv[0]))]
+        parts += [f"{len(hot)} queries never measured in a clean window"]
         out["contention_warning"] = (
             "sentinel queries exceeded idle-box bounds "
             f"({', '.join(parts)}); "
-            "host was likely CPU-throttled — timings unreliable"
+            "host was likely CPU-throttled — still_hot timings unreliable"
         )
     # one compact line (no spaces): the line is consumed by automated
     # JSON-line parsers whose capture may be length-bounded
