@@ -661,3 +661,85 @@ def discount_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt((n * sxx) - (sx * sx)) * F.sqrt((n * syy) - (sy * sy))
     )
     return s.select("p_brand", "n_lines", corr.alias("discount_qty_corr"))
+
+
+# --- Q21 (adapted): sole-late-supplier blame --------------------------------
+
+LATE_DAYS = 60  # no commitdate/receiptdate in this schema — a line is
+# "late" iff it shipped more than LATE_DAYS after its order was placed
+
+_SOLE_LATE_SQL = f"""
+SELECT s_name, count(DISTINCT l1.l_orderkey) AS numwait
+FROM lineitem l1
+JOIN orders ON l1.l_orderkey = o_orderkey
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL {LATE_DAYS} DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL {LATE_DAYS} DAY)
+GROUP BY s_name
+"""
+
+
+@query("supplier_sole_late", oracle=_SOLE_LATE_SQL)
+def supplier_sole_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting), adapted:
+    lateness = shipped > LATE_DAYS after order date (schema has no
+    commit/receipt dates), orders restricted to status 'F'; numwait =
+    distinct orders where the supplier was the ONLY late one in a
+    multi-supplier order.
+
+    Spark-first reformulation: the textbook EXISTS + NOT-EXISTS pair
+    is two extra self-joins of the fact table; since BOTH predicates
+    are functions of the line's own order group, they collapse into
+    aggregation over the already-joined rows — n_supp >= 2 replaces
+    EXISTS, n_late_supp == 1 replaces NOT EXISTS, and max(late
+    supplier) is well-defined exactly on the surviving rows. The
+    distinct-supplier counts are a MANUAL two-level aggregate
+    (per-(order, supplier) then per-order) rather than mixed
+    countDistincts, which would plan as a gid-Expand — 3× the row
+    stream and an extra exchange; both manual levels shuffle only
+    combined rows (~one per order-supplier pair). The supplier dim
+    broadcasts. The oracle keeps the classic correlated-subquery
+    form, so both sides derive the answer independently.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    flagged = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"]
+    ).withColumn(
+        "is_late",
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_DAYS} DAYS"),
+    )
+    per_supp = flagged.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("is_late").alias("supp_late")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.col("supp_late").cast("int")).alias("n_late_supp"),
+        F.max(
+            F.when(F.col("supp_late"), F.col("l_suppkey"))
+        ).alias("late_supp"),
+    )
+    blame = per_order.filter(
+        (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+    )
+    return (
+        blame.groupBy("late_supp")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(sup), F.col("late_supp") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+    )

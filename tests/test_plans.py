@@ -865,3 +865,18 @@ def test_skew_profiler_takeordered(spark, sf_dir):
     plan = _plan(spark, sf_dir, "lineitem_supplier_skew")
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_sole_late_no_expand_no_self_join(spark, sf_dir):
+    """supplier_sole_late replaces Q21's EXISTS/NOT-EXISTS self-joins
+    with per-order aggregation, and its distinct-supplier counts are a
+    manual two-level aggregate: lineitem is scanned ONCE, there is no
+    gid-Expand (mixed countDistincts would 3× the row stream), and the
+    supplier dim broadcasts."""
+    plan = _plan(spark, sf_dir, "supplier_sole_late")
+    assert plan.count("lineitem.parquet") == 1  # no EXISTS self-joins
+    assert "Expand" not in plan  # manual two-level, not gid-expand
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # supplier (and orders at this SF)
+    # every shuffle carries map-side-combined rows, never raw lineitems
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 3
