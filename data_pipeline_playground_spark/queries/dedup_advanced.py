@@ -570,3 +570,56 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("ci", "cj", F.round(cont, 6).alias("containment"))
     )
+
+
+# ---- cross-source duplication matrix (corpus governance) -------------------
+
+_SOURCE_OVERLAP_SQL = (
+    _MINHASH_CTES
+    + f"""
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       count(*) AS n_pairs,
+       round(avg(sim), 6) AS avg_sim
+FROM est
+JOIN documents da ON da.doc_id = est.ci
+JOIN documents db ON db.doc_id = est.cj
+WHERE sim >= {SIM_THRESHOLD}
+GROUP BY 1, 2
+"""
+)
+
+
+@query("source_overlap_matrix", oracle=_SOURCE_OVERLAP_SQL)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources duplicate each other: near-dup pairs (MinHash
+    estimate ≥ threshold) rolled up to an unordered source×source
+    matrix — the corpus-governance view that tells a crawl operator
+    which feeds are mirrors (off-diagonal mass) vs self-repetitive
+    (diagonal mass) before committing a 100 TB dedup pass.
+
+    Reuses the memoized signature/estimate pipeline shared by the
+    whole dedup family; the only new work is two doc_id equi-joins to
+    attach sources and one combinable groupBy. Pair order is
+    normalized with least/greatest on the SOURCE so (A,B) and (B,A)
+    aggregate together. avg(sim) is exact across engines: every sim
+    is an integer multiple of 1/{NUM_HASHES}, so the double sum
+    accumulates without rounding in any order.
+    """
+    docs = table(spark, sf_dir, "documents")
+    est = _minhash_est(spark, sf_dir).filter(F.col("sim") >= SIM_THRESHOLD)
+    src = docs.select("doc_id", "source")
+    a = src.select(F.col("doc_id").alias("ci"), F.col("source").alias("sa"))
+    b = src.select(F.col("doc_id").alias("cj"), F.col("source").alias("sb"))
+    return (
+        est.join(a, "ci")
+        .join(b, "cj")
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("sim"), 6).alias("avg_sim"),
+        )
+    )

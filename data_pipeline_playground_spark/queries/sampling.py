@@ -344,3 +344,66 @@ def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("split_i") != F.col("split_j"))
         .select("ci", "cj", F.round("sim", 6).alias("sim"), "split_i", "split_j")
     )
+
+
+# ---- epoch shuffle: shard assignment + balance audit -----------------------
+
+# Training export shuffles the corpus every epoch. A global ORDER BY
+# random() is neither reproducible nor scalable (one range exchange of
+# the whole corpus); the scale shape is (1) assign each doc a salted
+# hash KEY, (2) route it to shard = key mod N (narrow map, zero
+# shuffle), (3) sortWithinPartitions(key) at write time — local sorts
+# only, no global ordering anywhere, yet the concatenated shard files
+# enumerate a deterministic permutation of the corpus. This query is
+# the ASSIGNMENT plus the balance audit an operator checks before the
+# write: per-shard doc count, distinct sources, and the char volume
+# (skewed shards → stragglers at the trainer).
+
+EPOCH_SALT = "epoch0:"
+N_SHARDS = 16
+
+_EPOCH_KEY_EXPR = f"'{EPOCH_SALT}' || CAST(doc_id AS VARCHAR)"
+_SHUFFLE_KEY = sql_rolling_hash(_EPOCH_KEY_EXPR)
+
+_SHUFFLE_SHARDS_SQL = f"""
+SELECT {_SHUFFLE_KEY} % {N_SHARDS} AS shard,
+       count(*) AS n_docs,
+       count(DISTINCT source) AS n_sources,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min({_SHUFFLE_KEY}) AS min_key,
+       max({_SHUFFLE_KEY}) AS max_key
+FROM documents
+GROUP BY 1
+"""
+
+
+@query("training_shuffle_shards", oracle=_SHUFFLE_SHARDS_SQL)
+def training_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-shuffle shard assignment + balance audit
+    (see block comment). The shard id and ordering key are pure
+    narrow maps over the salted portable hash — reproducible on any
+    engine and any partitioning, new permutation per EPOCH_SALT; the
+    audit is one combinable groupBy over N_SHARDS groups. The write
+    path this audits is `df.repartition(N_SHARDS, "shard")
+    .sortWithinPartitions("shuffle_key")` — local sorts, no global
+    range exchange (plan-pinned in test_plans.py)."""
+    docs = table(spark, sf_dir, "documents")
+    key = rolling_hash(
+        F.concat(F.lit(EPOCH_SALT), F.col("doc_id").cast("string"))
+    )
+    return (
+        docs.select(
+            (key % N_SHARDS).alias("shard"),
+            key.alias("shuffle_key"),
+            "source",
+            "n_chars",
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("shuffle_key").alias("min_key"),
+            F.max("shuffle_key").alias("max_key"),
+        )
+    )

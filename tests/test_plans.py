@@ -880,3 +880,34 @@ def test_sole_late_no_expand_no_self_join(spark, sf_dir):
     assert "BroadcastHashJoin" in plan  # supplier (and orders at this SF)
     # every shuffle carries map-side-combined rows, never raw lineitems
     assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 3
+
+
+def test_training_shuffle_write_path_no_global_sort(spark, sf_dir):
+    """The epoch-shuffle WRITE shape (repartition by shard +
+    sortWithinPartitions by key) must plan as ONE hash exchange and a
+    LOCAL sort — a global range exchange here would serialize the
+    whole corpus through a sampled ordering at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_playground_spark.functions.text import rolling_hash
+    from data_pipeline_playground_spark.queries.sampling import (
+        EPOCH_SALT,
+        N_SHARDS,
+    )
+    from data_pipeline_playground_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    key = rolling_hash(
+        F.concat(F.lit(EPOCH_SALT), F.col("doc_id").cast("string"))
+    )
+    out = (
+        docs.select("doc_id", "text", (key % N_SHARDS).alias("shard"),
+                    key.alias("shuffle_key"))
+        .repartition(N_SHARDS, "shard")
+        .sortWithinPartitions("shuffle_key")
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower()  # no global sort
+    assert plan.count("Exchange hashpartitioning") == 1
+    # the sort is local to each shard partition
+    assert re.search(r"Sort \[shuffle_key[^\]]*\], false", plan)
