@@ -407,3 +407,192 @@ def training_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("shuffle_key").alias("max_key"),
         )
     )
+
+
+# ---- end-to-end training-corpus funnel -------------------------------------
+
+# The composed curation pipeline every pretraining run fronts:
+#   raw → quality gate → language gate → near-dup dedup →
+#   benchmark decontamination → train-split assignment
+# reported as a funnel (docs + char volume surviving each stage) — the
+# governance artifact reviewed before a 100 TB export. Every stage is
+# the SAME definition as its standalone oracle-checked query (shared
+# Column helpers / SQL fragments), so the funnel certifies the
+# COMPOSITION, not re-derived variants.
+
+FUNNEL_QUALITY_MIN = 0.32  # ≈ lower quartile of quality_score
+FUNNEL_LANG = "en"
+
+_FUNNEL_STAGES = (
+    "raw", "quality", "lang", "dedup", "decontaminated", "train",
+)
+
+
+def _build_funnel_sql() -> str:
+    from data_pipeline_playground_spark.operators.minhash import (
+        SHINGLE_N,
+        SIM_THRESHOLD,
+    )
+    from data_pipeline_playground_spark.queries.dedup_advanced import (
+        _MINHASH_CTES,
+    )
+    from data_pipeline_playground_spark.queries.text import (
+        _LANG_BEST_SQL,
+        _LANG_HITS_SQL,
+        _LANG_MARKERS,
+        _SQL_TOKENS,
+        SQL_QUALITY_EXPR,
+    )
+
+    sh = _decon_shingles(SHINGLE_N)
+    h_cols = ", ".join("h_" + code for code in sorted(_LANG_MARKERS))
+    # cumulative survival predicates, one per funnel stage
+    conds = {
+        "raw": "TRUE",
+        "quality": "q_ok",
+        "lang": "q_ok AND lang_ok",
+        "dedup": "q_ok AND lang_ok AND NOT is_dup",
+        "decontaminated": "q_ok AND lang_ok AND NOT is_dup AND NOT is_con",
+        "train": "q_ok AND lang_ok AND NOT is_dup AND NOT is_con AND is_train",
+    }
+    aggs = ", ".join(
+        f"CAST(count(*) FILTER (WHERE {conds[s]}) AS BIGINT) AS n{i}, "
+        f"CAST(coalesce(sum(n_chars) FILTER (WHERE {conds[s]}), 0) AS BIGINT)"
+        f" AS c{i}"
+        for i, s in enumerate(_FUNNEL_STAGES, start=1)
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({i} AS INT) AS stage_idx, '{s}' AS stage, "
+        f"n{i} AS n_docs, c{i} AS n_chars FROM agg"
+        for i, s in enumerate(_FUNNEL_STAGES, start=1)
+    )
+    return (
+        _MINHASH_CTES
+        + f""",
+dup AS (SELECT DISTINCT ci AS doc_id FROM est WHERE sim >= {SIM_THRESHOLD}),
+cex AS (SELECT doc_id, unnest({sh}) AS g FROM documents),
+bench AS (SELECT DISTINCT g FROM cex WHERE doc_id < {BENCH_SET_MAX_ID}),
+hits AS (SELECT DISTINCT cex.doc_id FROM cex JOIN bench USING (g)
+         WHERE cex.doc_id >= {BENCH_SET_MAX_ID}),
+qt AS (
+  SELECT doc_id, n_chars, {_SQL_TOKENS} AS toks,
+         len({_SQL_TOKENS}) AS n_tokens,
+         greatest(len({_SQL_TOKENS}), 1) AS n_tok_safe
+  FROM documents
+),
+lh AS (SELECT doc_id, {_LANG_HITS_SQL} FROM qt),
+lm AS (SELECT *, greatest({h_cols}) AS h_max FROM lh),
+flags AS (
+  SELECT qt.doc_id, qt.n_chars,
+         {SQL_QUALITY_EXPR} >= {FUNNEL_QUALITY_MIN} AS q_ok,
+         ({_LANG_BEST_SQL}) = '{FUNNEL_LANG}' AS lang_ok,
+         dup.doc_id IS NOT NULL AS is_dup,
+         (qt.doc_id < {BENCH_SET_MAX_ID} OR hits.doc_id IS NOT NULL) AS is_con,
+         {_SPLIT_BUCKET} < {TRAIN_PCT} AS is_train
+  FROM qt
+  JOIN lm USING (doc_id)
+  LEFT JOIN dup ON dup.doc_id = qt.doc_id
+  LEFT JOIN hits ON hits.doc_id = qt.doc_id
+),
+agg AS (SELECT {aggs} FROM flags)
+{rows}
+"""
+    )
+
+
+@query("corpus_funnel", oracle=_build_funnel_sql())
+def corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus curation funnel (see block comment): per stage,
+    how many docs and chars survive the cumulative gates.
+
+    Scale shape: the naive funnel materializes six intermediate
+    corpora (six scans + six writes); this computes every frontier in
+    ONE pass — quality, language, and split gates are narrow
+    expressions on the same scan (shared Column helpers with the
+    standalone queries), the dedup and contamination drop-sets arrive
+    as two doc_id equi-joins, and all six (docs, chars) pairs fall out
+    of a single global aggregate (12 combinable sums) unpivoted with
+    stack(). Nothing here grows with corpus size except the two
+    drop-set joins, both bounded by the dup/contaminated population.
+    """
+    from data_pipeline_playground_spark.functions.text import tokenize
+    from data_pipeline_playground_spark.operators.minhash import SIM_THRESHOLD
+    from data_pipeline_playground_spark.queries.dedup_advanced import (
+        _minhash_est,
+    )
+    from data_pipeline_playground_spark.queries.text import (
+        lang_pred_col,
+        quality_score_col,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    base = docs.select(
+        "doc_id", "n_chars", toks.alias("toks"), F.size(toks).alias("n_tokens")
+    )
+    split_bucket = (
+        rolling_hash(F.concat(F.lit(SPLIT_SALT), F.col("doc_id").cast("string")))
+        % 100
+    )
+    flags = base.select(
+        "doc_id",
+        "n_chars",
+        (
+            quality_score_col(F.col("toks"), F.col("n_tokens"))
+            >= FUNNEL_QUALITY_MIN
+        ).alias("q_ok"),
+        (lang_pred_col(F.col("toks")) == FUNNEL_LANG).alias("lang_ok"),
+        (split_bucket < TRAIN_PCT).alias("is_train"),
+    )
+    dup = (
+        _minhash_est(spark, sf_dir)
+        .filter(F.col("sim") >= SIM_THRESHOLD)
+        .select(F.col("ci").alias("doc_id"))
+        .distinct()
+        .withColumn("dup1", F.lit(1))
+    )
+    con = (
+        decontaminate_overlap(spark, sf_dir)
+        .select("doc_id")
+        .withColumn("con1", F.lit(1))
+    )
+    f = (
+        flags.join(dup, "doc_id", "left")
+        .join(con, "doc_id", "left")
+        .withColumn("is_dup", F.col("dup1").isNotNull())
+        .withColumn(
+            "is_con",
+            (F.col("doc_id") < BENCH_SET_MAX_ID) | F.col("con1").isNotNull(),
+        )
+    )
+    conds = {
+        "raw": F.lit(True),
+        "quality": F.col("q_ok"),
+        "lang": F.col("q_ok") & F.col("lang_ok"),
+        "dedup": F.col("q_ok") & F.col("lang_ok") & ~F.col("is_dup"),
+        "decontaminated": F.col("q_ok") & F.col("lang_ok")
+        & ~F.col("is_dup") & ~F.col("is_con"),
+        "train": F.col("q_ok") & F.col("lang_ok") & ~F.col("is_dup")
+        & ~F.col("is_con") & F.col("is_train"),
+    }
+    aggs = []
+    for i, s in enumerate(_FUNNEL_STAGES, start=1):
+        aggs.append(
+            F.sum(F.when(conds[s], 1).otherwise(0))
+            .cast("bigint").alias(f"n{i}")
+        )
+        aggs.append(
+            F.sum(F.when(conds[s], F.col("n_chars")).otherwise(0))
+            .cast("bigint").alias(f"c{i}")
+        )
+    agg = f.agg(*aggs)
+    stack_args = ", ".join(
+        f"{i}, '{s}', n{i}, c{i}"
+        for i, s in enumerate(_FUNNEL_STAGES, start=1)
+    )
+    return agg.select(
+        F.expr(
+            f"stack({len(_FUNNEL_STAGES)}, {stack_args}) "
+            "AS (stage_idx, stage, n_docs, n_chars)"
+        )
+    )

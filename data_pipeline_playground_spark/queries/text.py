@@ -7,7 +7,7 @@ and mirrored in DuckDB list-lambda SQL for the oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_pipeline_playground_spark.functions.text import (
@@ -309,6 +309,17 @@ def ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- text quality scoring (driver extension) --------------------------------
 
+# The score as an embeddable SQL expression (expects columns `toks`,
+# `n_tokens`, `n_tok_safe`) so composed pipelines (corpus_funnel) can
+# reuse it inside their own CTE chains without drifting from the
+# standalone query's definition.
+SQL_QUALITY_EXPR = f"""round(CASE WHEN n_tokens = 0 THEN 0.0 ELSE
+         0.4 * least(1.0, n_tokens / 100.0)
+         + 0.3 * (len(list_distinct(toks)) * 1.0 / n_tok_safe)
+         + 0.3 * (len(list_filter(toks, w -> list_contains({_SQL_STOPWORDS}, w)))
+                  * 1.0 / n_tok_safe)
+       END, 6)"""
+
 _QUALITY_SQL = f"""
 WITH t AS (
   SELECT doc_id, text, {_SQL_TOKENS} AS toks,
@@ -316,15 +327,30 @@ WITH t AS (
          len({_SQL_TOKENS}) AS n_tokens
   FROM documents
 )
-SELECT doc_id,
-       round(CASE WHEN n_tokens = 0 THEN 0.0 ELSE
-         0.4 * least(1.0, n_tokens / 100.0)
-         + 0.3 * (len(list_distinct(toks)) * 1.0 / n_tok_safe)
-         + 0.3 * (len(list_filter(toks, w -> list_contains({_SQL_STOPWORDS}, w)))
-                  * 1.0 / n_tok_safe)
-       END, 6) AS quality_score
+SELECT doc_id, {SQL_QUALITY_EXPR} AS quality_score
 FROM t
 """
+
+
+def quality_score_col(toks: Column, n_tokens: Column) -> Column:
+    """quality_score as a reusable Column over pre-aliased token-array
+    and token-count columns — single definition shared by the
+    standalone query and composed pipelines."""
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    # divide by greatest(n,1): ANSI mode evaluates both when/otherwise
+    # branches vectorized, so a bare /n_tokens would raise on empty docs
+    n_safe = F.greatest(n_tokens, F.lit(1))
+    score = (
+        F.lit(0.4) * F.least(F.lit(1.0), n_tokens / F.lit(100.0))
+        + F.lit(0.3) * (F.size(F.array_distinct(toks)) * F.lit(1.0) / n_safe)
+        + F.lit(0.3)
+        * (
+            F.size(F.filter(toks, lambda w: F.array_contains(sw, w)))
+            * F.lit(1.0)
+            / n_safe
+        )
+    )
+    return F.round(F.when(n_tokens == 0, F.lit(0.0)).otherwise(score), 6)
 
 
 @query("quality_score", oracle=_QUALITY_SQL)
@@ -335,25 +361,11 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     toks = tokenize(F.col("text"))
     d = docs.select("doc_id", toks.alias("toks"), F.size(toks).alias("n_tokens"))
-    sw = F.array(*[F.lit(s) for s in STOPWORDS])
-    # divide by greatest(n,1): ANSI mode evaluates both when/otherwise
-    # branches vectorized, so a bare /n_tokens would raise on empty docs
-    n_safe = F.greatest(F.col("n_tokens"), F.lit(1))
-    score = (
-        F.lit(0.4) * F.least(F.lit(1.0), F.col("n_tokens") / F.lit(100.0))
-        + F.lit(0.3) * (F.size(F.array_distinct("toks")) * F.lit(1.0) / n_safe)
-        + F.lit(0.3)
-        * (
-            F.size(F.filter(F.col("toks"), lambda w: F.array_contains(sw, w)))
-            * F.lit(1.0)
-            / n_safe
-        )
-    )
     return d.select(
         "doc_id",
-        F.round(
-            F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(score), 6
-        ).alias("quality_score"),
+        quality_score_col(F.col("toks"), F.col("n_tokens")).alias(
+            "quality_score"
+        ),
     )
 
 
@@ -391,17 +403,14 @@ SELECT doc_id, {_LANG_BEST_SQL} AS lang_pred FROM m
 """
 
 
-@query("lang_id", oracle=_LANG_ID_SQL)
-def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-word language ID: count per-language function-word hits,
-    argmax with lexicographic tie-break. Pure array lambdas — at 100 TB
-    this is a narrow map stage, no shuffle."""
-    docs = table(spark, sf_dir, "documents")
-    d = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+def lang_pred_col(toks: Column) -> Column:
+    """lang_pred as a reusable Column over a pre-aliased token-array
+    column — single definition shared by the standalone query and
+    composed pipelines (corpus_funnel)."""
     def _hits(markers):
         mk = F.array(*[F.lit(w) for w in markers])
         # NB: single-param lambda only — a 2-arg lambda is (elem, idx)
-        return F.size(F.filter(F.col("toks"), lambda w: F.array_contains(mk, w)))
+        return F.size(F.filter(toks, lambda w: F.array_contains(mk, w)))
 
     hit_cols = {code: _hits(_LANG_MARKERS[code]) for code in sorted(_LANG_MARKERS)}
     h_max = F.greatest(*hit_cols.values())
@@ -409,7 +418,17 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     for lang_code in sorted(_LANG_MARKERS):
         cond = hit_cols[lang_code] == h_max
         expr = F.when(cond, lang_code) if expr is None else expr.when(cond, lang_code)
-    return d.select("doc_id", expr.alias("lang_pred"))
+    return expr
+
+
+@query("lang_id", oracle=_LANG_ID_SQL)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID: count per-language function-word hits,
+    argmax with lexicographic tie-break. Pure array lambdas — at 100 TB
+    this is a narrow map stage, no shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    return d.select("doc_id", lang_pred_col(F.col("toks")).alias("lang_pred"))
 
 
 # --- document fingerprinting (driver extension) -----------------------------
