@@ -26,7 +26,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_pipeline_playground_spark.functions.text import tokenize
@@ -89,7 +89,9 @@ BM25_TOPK = 15
 
 _q_list = ", ".join(f"'{t}'" for t in BM25_QUERY)
 
-_BM25_SQL = f"""
+# CTE chain through the scored docs (sc) — shared by the standalone
+# top-k and the RRF fusion oracle
+_BM25_CTES = f"""
 WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
 tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
 dl AS (SELECT doc_id, len(toks) AS dl FROM t),
@@ -110,20 +112,21 @@ sc AS (
   JOIN dl ON dl.doc_id = tf.doc_id
   CROSS JOIN st
   GROUP BY tf.doc_id
-)
+)"""
+
+_BM25_SQL = (
+    _BM25_CTES
+    + f"""
 SELECT doc_id, round(s, 6) AS bm25
 FROM sc
 QUALIFY row_number() OVER (ORDER BY round(s, 6) DESC, doc_id) <= {BM25_TOPK}
 """
+)
 
 
-@query("bm25_topk", oracle=_BM25_SQL)
-def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-15 documents for a fixed 3-term query. The token
-    explosion is filtered to the query terms before any shuffle, the
-    1-row corpus stats and the |query|-row df table are broadcast, and
-    the final rank is a top-k over |matching docs| rows. Scores are
-    rounded before ranking (see module docstring)."""
+def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bm25) for every query-matching doc — shared by
+    bm25_topk and the RRF fusion; scores rounded before any rank."""
     docs = table(spark, sf_dir, "documents")
     t = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
     dl = t.select("doc_id", F.size("toks").alias("dl"))
@@ -150,9 +153,23 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(F.sum(term_score), 6).alias("bm25"))
     )
+    return sc
+
+
+@query("bm25_topk", oracle=_BM25_SQL)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-15 documents for a fixed 3-term query. The token
+    explosion is filtered to the query terms before any shuffle, the
+    1-row corpus stats and the |query|-row df table are broadcast, and
+    the final rank is a top-k over |matching docs| rows. Scores are
+    rounded before ranking (see module docstring)."""
     # orderBy+limit plans as TakeOrderedAndProject: per-partition heap
     # top-k + driver merge of k rows — no single-partition window.
-    return sc.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(BM25_TOPK)
+    return (
+        _bm25_scores(spark, sf_dir)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(BM25_TOPK)
+    )
 
 
 # ---- token-distribution entropy (quality signal) ---------------------------
@@ -323,3 +340,164 @@ def term_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc("pmi"), F.asc("ta"), F.asc("tb")
     ).limit(PMI_TOPK)
+
+
+# ---- hybrid retrieval: reciprocal-rank fusion ------------------------------
+
+# RRF (Cormack et al., SIGIR'09): fuse ranked lists by summing
+# 1/(k + rank), k = 60 — the standard hybrid-search combiner (no score
+# normalization needed, only ranks). Fused here: BM25 (probabilistic)
+# with a TF-IDF vector-space cosine over the same query — two genuinely
+# different rankers whose disagreements RRF reconciles. Each ranker
+# contributes its top-RRF_CANDIDATES list; docs retrieved by only one
+# list get the other's contribution as 0.
+
+RRF_K = 60
+RRF_CANDIDATES = 50
+RRF_TOPK = 15
+
+_COS_CTES = f""",
+tfall AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dfall AS (SELECT term, count(*) AS df FROM tfall GROUP BY term),
+w AS (
+  SELECT doc_id, term, tfall.tf * ln(st.n_docs * 1.0 / dfall.df) AS w
+  FROM tfall JOIN dfall USING (term) CROSS JOIN st
+),
+normd AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+qnum AS (
+  SELECT doc_id, sum(w) AS num FROM w
+  WHERE term IN ({_q_list}) GROUP BY doc_id
+),
+cosc AS (
+  SELECT qnum.doc_id,
+         round(num / greatest(nrm * sqrt({len(BM25_QUERY)}.0), 1e-12), 6)
+           AS cosine
+  FROM qnum JOIN normd ON normd.doc_id = qnum.doc_id
+)"""
+
+_RRF_SQL = (
+    _BM25_CTES
+    + _COS_CTES
+    + f""",
+r1 AS (
+  SELECT doc_id, row_number() OVER (ORDER BY round(s, 6) DESC, doc_id) AS rnk
+  FROM sc
+  QUALIFY rnk <= {RRF_CANDIDATES}
+),
+r2 AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id) AS rnk
+  FROM cosc
+  QUALIFY rnk <= {RRF_CANDIDATES}
+),
+fused AS (
+  SELECT doc_id,
+         r1.rnk AS bm25_rank, r2.rnk AS cos_rank,
+         round(coalesce(1.0 / ({RRF_K} + r1.rnk), 0)
+               + coalesce(1.0 / ({RRF_K} + r2.rnk), 0), 9) AS rrf_score
+  FROM r1 FULL JOIN r2 USING (doc_id)
+)
+SELECT doc_id, bm25_rank, cos_rank, rrf_score FROM fused
+QUALIFY row_number() OVER (ORDER BY rrf_score DESC, doc_id) <= {RRF_TOPK}
+"""
+)
+
+
+def _tfidf_cosine_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cosine) vector-space ranking for the fixed query:
+    binary query vector over BM25_QUERY against the doc's full TF-IDF
+    vector. The doc norm needs the WHOLE vocabulary's weights — one
+    combinable (doc, term) aggregate plus a term-keyed df join (the
+    df table is vocabulary-sized: broadcast for natural-language
+    vocabs, graceful shuffle join beyond); the query numerator prunes
+    to |query| terms before its shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    n_docs = t.agg(F.count(F.lit(1)).alias("n_docs"))
+    tfall = (
+        t.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfall = tfall.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = (
+        tfall.join(F.broadcast(dfall), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf")
+                * F.log(F.col("n_docs") * F.lit(1.0) / F.col("df"))
+            ).alias("w"),
+        )
+    )
+    normd = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    qnum = (
+        w.filter(F.col("term").isin(*BM25_QUERY))
+        .groupBy("doc_id")
+        .agg(F.sum("w").alias("num"))
+    )
+    import math
+
+    return qnum.join(normd, "doc_id").select(
+        "doc_id",
+        F.round(
+            F.col("num")
+            / F.greatest(
+                F.col("nrm") * F.lit(math.sqrt(len(BM25_QUERY))),
+                F.lit(1e-12),
+            ),
+            6,
+        ).alias("cosine"),
+    )
+
+
+@query("hybrid_rrf_topk", oracle=_RRF_SQL)
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: RRF fusion (see block comment) of the BM25
+    and TF-IDF-cosine rankings for the same fixed query.
+
+    Scale shape: each ranker is already bounded (TakeOrdered top-50
+    candidate lists — per-partition heaps, no global sort), so the
+    fusion itself is a full outer join of two ≤50-row frames plus one
+    more TakeOrdered: constant work at any corpus size. Integer ranks
+    make 1/(k+rank) bit-identical across engines; the fused score is
+    rounded before the final rank."""
+    r1 = (
+        _bm25_scores(spark, sf_dir)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(RRF_CANDIDATES)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+            .cast("bigint")
+            .alias("bm25_rank"),
+        )
+    )
+    r2 = (
+        _tfidf_cosine_scores(spark, sf_dir)
+        .orderBy(F.desc("cosine"), F.asc("doc_id"))
+        .limit(RRF_CANDIDATES)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cosine"), F.asc("doc_id")))
+            .cast("bigint")
+            .alias("cos_rank"),
+        )
+    )
+    contrib = lambda c: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(RRF_K) + c), F.lit(0.0)
+    )
+    fused = r1.join(r2, ["doc_id"], "full").select(
+        "doc_id",
+        "bm25_rank",
+        "cos_rank",
+        F.round(
+            contrib(F.col("bm25_rank")) + contrib(F.col("cos_rank")), 9
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(RRF_TOPK)

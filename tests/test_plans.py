@@ -214,6 +214,25 @@ def test_bm25_topk_uses_takeordered(spark, sf_dir):
     assert "Window" not in plan
 
 
+def test_hybrid_rrf_bounded_fusion(spark, sf_dir):
+    """RRF fuses two TakeOrdered top-50 candidate lists; the only
+    Window nodes sit ABOVE a 50-row GlobalLimit (rank assignment over
+    an already-bounded frame), and the final top-k is again a
+    per-partition heap — no unbounded single-partition stage."""
+    plan = _plan(spark, sf_dir, "hybrid_rrf_topk")
+    # each candidate list is cut to 50 rows by a per-partition heap
+    # BEFORE its rank window (orderBy+limit compiles to
+    # TakeOrderedAndProject, not a rangepartitioning sort), and the
+    # final top-15 is a third heap over the ≤100-row fused frame
+    assert plan.count("TakeOrderedAndProject(limit=50") == 2
+    assert plan.count("TakeOrderedAndProject(limit=15") == 1
+    # two rank-assignment Window NODES (physical operator lines), one
+    # per candidate list — both above their 50-row heap
+    assert plan.count("Window [row_number()") == 2
+    assert "Exchange rangepartitioning" not in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_inverted_index_single_shuffle(spark, sf_dir):
     """explode → groupBy(term) is one hash shuffle; the bounded
     postings head must not add a sort exchange."""
