@@ -23,9 +23,16 @@ transients of a few minutes were observed mid-run in r5/r6):
   "contention_warning"/"still_hot".
 - CROSS-RUN SELF-HEAL (VERDICT r5 #6): set SPARK_GRAFT_BENCH_BASE to a
   prior bench JSON and only the queries inside that run's contaminated
-  probe windows (plus queries the base run never timed) are re-run;
-  clean base timings are merged in unchanged. The merged record
-  carries "merged_from" + "rerun_queries" provenance.
+  probe windows (plus queries the base run never timed, plus an
+  explicit SPARK_GRAFT_BENCH_RERUN list) are re-run; clean base
+  timings are merged in unchanged, and a re-run query keeps the
+  MINIMUM of base and re-run — the same one-sided-noise policy as the
+  in-run heal, so a burst that slips BETWEEN probes during the re-run
+  (observed: 18 s on a 2 s query with both flanking probes ≤ 0.8 s)
+  cannot overwrite a cleaner base measurement. Cross-run min-merge is
+  only sound while the code is unchanged between the two runs; a run
+  after a query rewrite must start from a fresh base. The merged
+  record carries "merged_from" + "rerun_queries" provenance.
 """
 
 from __future__ import annotations
@@ -250,10 +257,13 @@ def main() -> None:
     rerun = sorted(timings)
     if base:
         # merge: clean base timings for everything not re-run; drop
-        # base entries for queries no longer registered
+        # base entries for queries no longer registered. A re-run
+        # query keeps min(base, rerun): contention noise is one-sided
+        # (see module docstring), and a burst can land between probes
+        # DURING the heal re-run itself.
         for name, t in base.get("queries", {}).items():
-            if name in queries and name not in timings and name not in errors:
-                timings[name] = t
+            if name in queries and name not in errors:
+                timings[name] = min(timings.get(name, float("inf")), t)
 
     total = round(sum(timings.values()), 4)
     out = {
