@@ -66,6 +66,12 @@ SHOWCASE = [
      "(BNLJ with a 1-row build side is the intended shape); the "
      "K-rule rewrite fold is a JVM higher-order aggregate — no "
      "Python stage anywhere."),
+    ("hybrid_rrf_topk", "RRF hybrid retrieval fusion: each ranker "
+     "ends in TakeOrderedAndProject(limit=50) (per-partition heap, "
+     "no rangepartitioning sort); the rank windows sit ABOVE those "
+     "50-row heaps; the fusion is one full outer SortMergeJoin of "
+     "two <=50-row frames plus a third TakeOrderedAndProject — "
+     "constant-cost fusion at any corpus size, no Python stage."),
     ("ann_recall_certificate", "four deterministic top-k tiers "
      "composed: every candidate join is a BroadcastHashJoin of the "
      "fixed query set (exact tier) or an equi-join on bucket/cell "
