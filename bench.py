@@ -116,6 +116,23 @@ def _contaminated_names(base: dict) -> set[str]:
     return names
 
 
+def _merge_base_timings(
+    timings: dict[str, float],
+    errors: dict[str, str],
+    base_queries: dict[str, float],
+    registered: set[str],
+) -> None:
+    """Merge a prior run's timings into this run's, in place: clean
+    base timings fill queries not re-run; a re-run query keeps
+    min(base, rerun) — contention noise is one-sided, and a throttle
+    burst can land between probes DURING the heal re-run itself.
+    Base entries for unregistered queries are dropped; a query that
+    errored this run keeps no timing at all."""
+    for name, t in base_queries.items():
+        if name in registered and name not in errors:
+            timings[name] = min(timings.get(name, float("inf")), t)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -256,14 +273,9 @@ def main() -> None:
 
     rerun = sorted(timings)
     if base:
-        # merge: clean base timings for everything not re-run; drop
-        # base entries for queries no longer registered. A re-run
-        # query keeps min(base, rerun): contention noise is one-sided
-        # (see module docstring), and a burst can land between probes
-        # DURING the heal re-run itself.
-        for name, t in base.get("queries", {}).items():
-            if name in queries and name not in errors:
-                timings[name] = min(timings.get(name, float("inf")), t)
+        _merge_base_timings(
+            timings, errors, base.get("queries", {}), set(queries)
+        )
 
     total = round(sum(timings.values()), 4)
     out = {

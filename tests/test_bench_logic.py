@@ -78,3 +78,21 @@ def test_contaminated_legacy_positional_fallback():
         # no probe_names → legacy positional windows [5-5, 5+5)
     }
     assert bench._contaminated_names(base) == set(ORDER[0:10])
+
+def test_merge_keeps_min_of_base_and_rerun():
+    # a burst during the heal re-run must not overwrite a cleaner base
+    timings = {"qa": 18.4, "qb": 0.9}
+    bench._merge_base_timings(
+        timings, {}, {"qa": 2.1, "qb": 1.5, "qc": 0.7}, {"qa", "qb", "qc"}
+    )
+    assert timings == {"qa": 2.1, "qb": 0.9, "qc": 0.7}
+
+
+def test_merge_drops_unregistered_and_errored():
+    # qd no longer registered; qe errored this run → no stale timing
+    timings = {"qa": 1.0}
+    errors = {"qe": "Boom"}
+    bench._merge_base_timings(
+        timings, errors, {"qd": 3.0, "qe": 2.0, "qa": 1.2}, {"qa", "qe"}
+    )
+    assert timings == {"qa": 1.0}
