@@ -1355,3 +1355,84 @@ def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= RAND_NEG_K)
         .select("q_id", "n_id", "n_label")
     )
+
+
+# --- per-dimension feature statistics (normalization audit) ------------------
+
+# Snap scale for the per-dimension sums: components are sub-1 floats
+# (widened float32 shortest-repr ≤ 9 significant digits), so a 7-dp
+# decimal snap rounds identically in both engines; squares carry scale
+# 14, keeping sum-of-squares scaled integers < 2^63 up to ~3.7e4
+# vectors per unit of squared magnitude — documented headroom, not a
+# silent cap (at larger SFs widen to DECIMAL(20,14) on both sides).
+_DIM_SNAP = "decimal(12,7)"
+
+_DIM_STATS_SQL = """
+WITH ex AS (
+  SELECT unnest(list_transform(embedding, (x, i) -> {
+           'dim': CAST(i - 1 AS BIGINT),
+           'xs': CAST(CAST(x AS DOUBLE) AS DECIMAL(12,7))})) AS u
+  FROM embeddings
+),
+g AS (
+  SELECT u.dim AS dim, count(*) AS n,
+         sum(u.xs) AS s,
+         sum(CAST(u.xs * u.xs AS DECIMAL(25,14))) AS sq,
+         min(u.xs) AS mn, max(u.xs) AS mx
+  FROM ex GROUP BY u.dim
+)
+SELECT dim,
+       n AS n_vectors,
+       CAST(s AS DOUBLE) / n AS mean_v,
+       sqrt(greatest(CAST(sq AS DOUBLE) / n
+                     - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n),
+                     0.0)) AS std_v,
+       CAST(mn AS DOUBLE) AS min_v,
+       CAST(mx AS DOUBLE) AS max_v
+FROM g
+"""
+
+
+@query("embedding_dim_stats", oracle=_DIM_STATS_SQL)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/std/min/max over the embedding column — the
+    feature-store normalization audit (z-scaling constants, dead-dim
+    and range-drift detection) a training pipeline runs before fitting
+    anything on the vectors.
+
+    Exactness: each component is snapped once to DECIMAL(12,7); sums
+    and sums-of-squares are then exact decimals (order-free, so any
+    partitioning/combining yields the same bits), and mean/variance
+    are combined in ONE shared double expression tree ending in a
+    correctly-rounded sqrt — zero rounding slack (the
+    split_unigram_divergence playbook). Shape: posexplode is a narrow
+    map (rows × dim, no shuffle), then one partial-aggregatable
+    groupBy on the {DIM}-key dim column — combinable wire profile, no
+    skew, survives 100 TB as a single scan + tiny shuffle.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("pos", "xd")
+    ).select(
+        F.col("pos").cast("long").alias("dim"),
+        F.col("xd").cast(_DIM_SNAP).alias("xs"),
+    )
+    g = ex.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xs").alias("s"),
+        F.sum((F.col("xs") * F.col("xs")).cast("decimal(25,14)")).alias("sq"),
+        F.min("xs").alias("mn"),
+        F.max("xs").alias("mx"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = F.col("sq").cast("double") / F.col("n") - mean * mean
+    return g.select(
+        "dim",
+        F.col("n").alias("n_vectors"),
+        mean.alias("mean_v"),
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias("std_v"),
+        F.col("mn").cast("double").alias("min_v"),
+        F.col("mx").cast("double").alias("max_v"),
+    )

@@ -722,3 +722,98 @@ def length_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.length("text").alias("n_chars"))
     )
+
+
+# --- tokenizer vocabulary coverage / OOV audit -------------------------------
+
+VOCAB_SIZE = 24  # top-N train-split tokens kept in the vocabulary
+
+
+def _vocab_coverage_sql() -> str:
+    from data_pipeline_playground_spark.functions.text import sql_rolling_hash
+    from data_pipeline_playground_spark.queries.sampling import (
+        SPLIT_SALT,
+        TRAIN_PCT,
+        VAL_PCT,
+    )
+
+    key = f"'{SPLIT_SALT}' || CAST(doc_id AS VARCHAR)"
+    bucket = f"{sql_rolling_hash(key)} % 100"
+    return f"""
+WITH b AS (
+  SELECT source, {_SQL_TOKENS} AS toks, {bucket} AS bucket FROM documents
+),
+tr AS (SELECT unnest(toks) AS token FROM b WHERE bucket < {TRAIN_PCT}),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, count(*) AS cnt FROM tr GROUP BY token
+  ) ORDER BY cnt DESC, token LIMIT {VOCAB_SIZE}
+),
+va AS (
+  SELECT source, unnest(toks) AS token
+  FROM b WHERE bucket >= {TRAIN_PCT} AND bucket < {VAL_PCT}
+)
+SELECT va.source AS source,
+       count(*) AS n_tokens,
+       count(CASE WHEN vocab.token IS NULL THEN 1 END) AS n_oov,
+       round(count(CASE WHEN vocab.token IS NULL THEN 1 END) * 1.0
+             / greatest(count(*), 1), 6) AS oov_rate
+FROM va LEFT JOIN vocab ON va.token = vocab.token
+GROUP BY va.source
+"""
+
+
+@query("vocab_coverage", oracle=_vocab_coverage_sql())
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary coverage audit: build the top-{VOCAB_SIZE}
+    vocabulary from the TRAIN split (same salted-hash split as
+    `dataset_split` — never RNG), then measure the out-of-vocabulary
+    token rate per source on the VAL split. The pre-training gate that
+    catches a domain whose text the tokenizer will shred into bytes.
+
+    Shape: train tokens → partial-agg count → TakeOrderedAndProject
+    (orderBy + limit never single-partitions the full token table) →
+    broadcast the {VOCAB_SIZE}-row vocab into the val-token scan →
+    one final shuffle on source. At 100 TB both explodes stream; the
+    only wide ops are a count-by-token (combinable) and the tiny
+    broadcast. Counts stay BIGINT on both engines (no HUGEINT sums).
+    """
+    from data_pipeline_playground_spark.functions.text import rolling_hash
+    from data_pipeline_playground_spark.queries.sampling import (
+        SPLIT_SALT,
+        TRAIN_PCT,
+        VAL_PCT,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    bucket = (
+        rolling_hash(F.concat(F.lit(SPLIT_SALT), F.col("doc_id").cast("string")))
+        % 100
+    )
+    base = docs.select(
+        "source", F.explode(tokenize(F.col("text"))).alias("token"), bucket.alias("bucket")
+    )
+    vocab = (
+        base.filter(F.col("bucket") < TRAIN_PCT)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(VOCAB_SIZE)
+        .select(F.col("token").alias("v_token"))
+    )
+    val = base.filter(
+        (F.col("bucket") >= TRAIN_PCT) & (F.col("bucket") < VAL_PCT)
+    )
+    joined = val.join(
+        F.broadcast(vocab), val["token"] == vocab["v_token"], "left"
+    )
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count(F.when(F.col("v_token").isNull(), F.lit(1))).alias("n_oov"),
+        F.round(
+            F.count(F.when(F.col("v_token").isNull(), F.lit(1)))
+            * F.lit(1.0)
+            / F.greatest(F.count(F.lit(1)), F.lit(1)),
+            6,
+        ).alias("oov_rate"),
+    )

@@ -403,3 +403,65 @@ def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).alias("cumulative_users"),
     )
+
+
+# --- exponentially weighted moving average (exact, bounded memory) ----------
+
+EWMA_WINDOW = 12  # trailing rows per user; alpha = 1/2 (dyadic, exact)
+
+_EWMA_SQL = f"""
+WITH w AS (
+  SELECT event_id, user_id, value,
+         list(CAST(value AS DECIMAL(18,6))) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN {EWMA_WINDOW - 1} PRECEDING AND CURRENT ROW) AS vs
+  FROM events
+)
+SELECT event_id, user_id, value,
+       CAST(list_reduce(list_prepend(CAST(0 AS DECIMAL(30,6)),
+              list_transform(vs, (x, i) ->
+                CAST(x * (CAST(1 AS BIGINT) << (i - 1)) AS DECIMAL(30,6)))),
+            (acc, t) -> CAST(acc + t AS DECIMAL(30,6))) AS DOUBLE)
+       / CAST((CAST(1 AS BIGINT) << len(vs)) - 1 AS DOUBLE) AS ewma
+FROM w
+"""
+
+
+@query("events_ewma", oracle=_EWMA_SQL)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event EWMA (alpha = 1/2) of `value` over the user's trailing
+    {EWMA_WINDOW} events — the monitoring/feature smoothing primitive.
+
+    Exactness: with a dyadic alpha the weights are integer powers of
+    two, so numerator = sum(v_i * 2^i) is an exact decimal sum and
+    denominator = 2^m - 1 an exact integer; the single closing double
+    division is IEEE-identical across engines (no transcendentals, no
+    rounding slack — the lexrank_scores_checked playbook). The window
+    frame bounds state: one shuffle on user_id, then a sorted pass
+    holding at most {EWMA_WINDOW} rows per partition cursor — the same
+    per-key bounded-state profile a streaming EWMA would have, so the
+    shape survives 100 TB unchanged.
+    """
+    events = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(EWMA_WINDOW - 1), Window.currentRow)
+    )
+    vs = F.collect_list(F.col("value").cast("decimal(18,6)")).over(w)
+    out = events.select("event_id", "user_id", "value", vs.alias("vs"))
+    # shiftleft's PySpark wrapper only takes a Python-int shift, so the
+    # column-indexed 2^i weights go through the SQL expression form.
+    num = F.expr(
+        "aggregate("
+        "  transform(vs, (x, i) -> CAST(x * shiftleft(1L, i) AS DECIMAL(30,6))),"
+        "  CAST(0 AS DECIMAL(30,6)),"
+        "  (acc, t) -> CAST(acc + t AS DECIMAL(30,6)))"
+    )
+    den = F.expr("CAST(shiftleft(1L, size(vs)) - 1 AS DOUBLE)")
+    return out.select(
+        "event_id",
+        "user_id",
+        "value",
+        (num.cast("double") / den).alias("ewma"),
+    )

@@ -930,3 +930,32 @@ def test_training_shuffle_write_path_no_global_sort(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
     # the sort is local to each shard partition
     assert re.search(r"Sort \[shuffle_key[^\]]*\], false", plan)
+
+
+def test_embedding_dim_stats_single_combinable_shuffle(spark, sf_dir):
+    """posexplode is a narrow map; the only exchange is the dim-key
+    aggregation, with map-side partials (partial_sum/partial_count
+    before the shuffle) so the wire carries dim-cardinality rows."""
+    plan = _plan(spark, sf_dir, "embedding_dim_stats")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_" in plan  # map-side combine before the exchange
+    assert "CartesianProduct" not in plan
+
+
+def test_vocab_coverage_broadcasts_vocab(spark, sf_dir):
+    """The top-N vocab (tiny) must broadcast into the val-token scan —
+    a shuffled join here would re-shuffle every token at 100 TB — and
+    the vocab's own top-N must be TakeOrdered, never a global sort."""
+    plan = _plan(spark, sf_dir, "vocab_coverage")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_events_ewma_single_shuffle_jvm_only(spark, sf_dir):
+    """EWMA is one user_id window pass: one hash exchange, no Python
+    (the 2^i weighting stays in codegen'd higher-order functions)."""
+    plan = _plan(spark, sf_dir, "events_ewma")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
