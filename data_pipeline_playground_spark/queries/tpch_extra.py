@@ -7,9 +7,14 @@ not yet cover: conditional-share aggregates (Q8/Q14), counts-of-counts
 (Q13), correlated-average filters (Q17), group-HAVING semi-joins back
 to the fact (Q18), equals-scalar-max selection (Q15), anti-join with a
 scalar broadcast threshold (Q22), and argmax-per-group over a fact
-join (Q2-ish). The driver schema has no partsupp/shipmode/commitdate,
-so Q9/Q12/Q21 are adapted where noted (cost proxy = discounted retail
-price); each docstring records the deviation.
+join (Q2-ish). Round 6 completes the classic 22: Q21 (sole-late
+blame), Q6 (pure-pushdown global sum), Q12 (late-priority split),
+Q16 (distinct-supplier variety) and Q20 (dominant-supplier
+correlated-agg chain). The driver schema has no
+partsupp/shipmode/commitdate, so Q9/Q12/Q16/Q20/Q21 are adapted where
+noted (cost proxy = discounted retail price, lineitem pairs for
+partsupp, lateness = shipdate − orderdate); each docstring records
+the deviation.
 
 Scale notes (SCALE.md §Relational): every query keeps `lineitem` as
 the probe side with dims broadcast, so the only wide shuffles are the
@@ -742,4 +747,238 @@ def supplier_sole_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numwait"))
         .join(F.broadcast(sup), F.col("late_supp") == F.col("s_suppkey"))
         .select("s_name", "numwait")
+    )
+
+
+# --- Q6: single-scan forecast-revenue aggregate ------------------------------
+
+_FORECAST_REVENUE_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue_delta,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@query("forecast_revenue_change", oracle=_FORECAST_REVENUE_SQL)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: revenue that would vanish if small low-discount
+    orders were dropped — a pure scan→filter→global-sum plan, the
+    simplest shape in the suite (here so all 22 Q-shapes are covered).
+
+    Plan: every predicate (date range, discount band, quantity) is
+    parquet-pushable; the sum is an exact decimal with map-side
+    partials collapsing to ONE row per partition before the single
+    final-agg exchange. The double literals 0.05/0.07/24 parse to the
+    same IEEE values in both engines, so the band edges agree bitwise.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount", 4, 2))
+            .cast("double")
+            .alias("revenue_delta"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --- Q12 adapted: late-shipment priority split -------------------------------
+
+# The driver schema has no l_shipmode/l_commitdate/l_receiptdate, so the
+# Q12 analog groups by l_returnflag (the per-line categorical that exists)
+# and defines "late" as shipping more than LATE_DAYS after the order date
+# (same lateness proxy as the Q21 adaptation above).
+
+_LATE_PRIORITY_SQL = f"""
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 60 DAYS
+GROUP BY l_returnflag
+"""
+
+
+@query("late_priority_lines", oracle=_LATE_PRIORITY_SQL)
+def late_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: did late shipping hit high-priority orders? —
+    the two-way conditional count over a fact⋈fact key join.
+
+    Adaptation (recorded per the module header): no shipmode/commit/
+    receipt dates in the driver schema, so the category is
+    l_returnflag and "late" is shipdate > orderdate + 60 days.
+
+    Plan: the 1996 ship-date filter is pushed to the lineitem scan
+    BEFORE the join (Catalyst pushes it below); the orderkey join is
+    the one unavoidable fact⋈fact shuffle of the Q12 shape (AQE picks
+    the strategy at runtime), and the priority split is a map-side-
+    combinable CASE count collapsing to |returnflag| rows.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(high.cast("bigint")).alias("high_line_count"),
+            F.sum((~high).cast("bigint")).alias("low_line_count"),
+        )
+    )
+
+
+# --- Q16 adapted: supplier variety per part attribute ------------------------
+
+# No partsupp table: the (part, supplier) relation observed in lineitem
+# stands in for it. The Q16 "complaint suppliers" exclusion maps to
+# suppliers with negative account balance (the only supplier-side
+# disqualifier in the schema).
+
+_SUPPLIER_VARIETY_SQL = """
+SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON l_partkey = p_partkey
+WHERE p_type <> 'PROMO'
+  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+"""
+
+
+@query("part_supplier_variety", oracle=_SUPPLIER_VARIETY_SQL)
+def part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many qualified suppliers can deliver each
+    (brand, size) bucket — distinct-pair dedup, a NOT-IN exclusion
+    list, and a COUNT(DISTINCT) rollup.
+
+    Adaptation (module header): lineitem's observed (partkey, suppkey)
+    pairs stand in for partsupp; "complaint" suppliers are those with
+    negative s_acctbal.
+
+    Plan: the pair-dedup is ONE combinable distinct on (partkey,
+    suppkey) — the fact collapses before anything joins; part and the
+    exclusion list are broadcast (dim-sized), the NOT-IN is a
+    left_anti (no nulls in s_suppkey, so NOT IN = anti), and the final
+    COUNT(DISTINCT suppkey) re-shuffles only the deduped pair table.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    sup = table(spark, sf_dir, "supplier")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    bad = sup.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        pairs.join(F.broadcast(bad), pairs["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(
+            F.broadcast(
+                part.filter(
+                    (F.col("p_type") != "PROMO")
+                    & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+                ).select("p_partkey", "p_brand", "p_size")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+# --- Q20 adapted: dominant suppliers of a part family ------------------------
+
+# No partsupp.ps_availqty: Q20's "available quantity exceeds half the
+# shipped quantity" becomes "this supplier shipped more than half of the
+# part's total 1996 volume" — the same correlated-aggregate semi-join
+# chain, expressed over what the schema records.
+
+_DOMINANT_SUPPLIER_SQL = """
+WITH shipped AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS supp_qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-01-01'
+  GROUP BY l_partkey, l_suppkey
+),
+dominant AS (
+  SELECT l_partkey, l_suppkey
+  FROM (SELECT l_partkey, l_suppkey, supp_qty,
+               SUM(supp_qty) OVER (PARTITION BY l_partkey) AS part_qty
+        FROM shipped)
+  WHERE supp_qty * 2 > part_qty
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+)
+SELECT s_suppkey, s_name, count(*) AS n_dominated_parts
+FROM dominant JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_suppkey, s_name
+"""
+
+
+@query("dominant_part_suppliers", oracle=_DOMINANT_SUPPLIER_SQL)
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who dominate supply of a part family
+    — the correlated-aggregate semi-join chain (inner agg per
+    (part, supplier), compared against a per-part total, semi-joined
+    up to supplier).
+
+    Adaptation (module header): no ps_availqty, so dominance =
+    "shipped more than half the part's total 1996 volume"; the part
+    family filter is a name prefix.
+
+    Plan: ONE shuffle on (partkey, suppkey) builds the inner
+    aggregate; the per-part total comes from a window over that
+    already-aggregated (small) frame — it re-shuffles only aggregate
+    rows, never the fact. The `small%` prefix filter broadcasts as a
+    dim semi-join, and supp_qty*2 > part_qty stays exact decimal
+    (never a 0.5 double). Supplier is broadcast for the final name
+    join.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).alias("supp_qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        shipped.withColumn("part_qty", F.sum("supp_qty").over(w))
+        .filter(F.col("supp_qty") * 2 > F.col("part_qty"))
+        .join(
+            F.broadcast(
+                part.filter(F.col("p_name").like("small%")).select("p_partkey")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+    )
+    return (
+        dominant.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("n_dominated_parts"))
     )

@@ -959,3 +959,42 @@ def test_events_ewma_single_shuffle_jvm_only(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_forecast_revenue_pushes_all_predicates(spark, sf_dir):
+    """Q6 is the pure pushdown showcase: date/discount/quantity filters
+    must reach the parquet scan, and the plan has no join at all."""
+    plan = _plan(spark, sf_dir, "forecast_revenue_change")
+    assert "PushedFilters:" in plan
+    assert "l_quantity" in plan.split("PushedFilters:")[1][:400]
+    assert "Join" not in plan
+
+
+def test_late_priority_filter_below_fact_join(spark, sf_dir):
+    """Q12's 1996 ship-date filter must sit below the orderkey join
+    (scan-level), so the fact⋈fact shuffle moves only the year slice."""
+    plan = _plan(spark, sf_dir, "late_priority_lines")
+    pushed = plan.split("PushedFilters:")[1][:400] if "PushedFilters:" in plan else ""
+    assert "l_shipdate" in pushed
+    assert "CartesianProduct" not in plan
+
+
+def test_part_supplier_variety_broadcasts_dims(spark, sf_dir):
+    """Q16: exclusion list is a broadcast anti-join and part a broadcast
+    inner — the only shuffles belong to the pair-distinct and the
+    final count-distinct rollup."""
+    plan = _plan(spark, sf_dir, "part_supplier_variety")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dominant_suppliers_window_above_aggregate(spark, sf_dir):
+    """Q20: the per-part total window must run over the (partkey,
+    suppkey) AGGREGATE, not the raw fact — exactly one exchange may
+    carry fact-width rows (the inner groupBy)."""
+    plan = _plan(spark, sf_dir, "dominant_part_suppliers")
+    assert "Window" in plan
+    # window input is the aggregated frame: its exchange partitions by
+    # l_partkey alone and sits above a HashAggregate
+    assert "BroadcastHashJoin" in plan  # part-family semi + supplier name
+    assert "SortMergeJoin" not in plan
