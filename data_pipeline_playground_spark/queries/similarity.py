@@ -1436,3 +1436,109 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mn").cast("double").alias("min_v"),
         F.col("mx").cast("double").alias("max_v"),
     )
+
+
+# --- int8 scalar-quantization audit ------------------------------------------
+
+_INT8_AUDIT_SQL = """
+WITH c AS (
+  SELECT u.dim AS dim, u.xd AS xd FROM (
+    SELECT unnest(list_transform(embedding, (x, i) -> {
+             'dim': CAST(i - 1 AS BIGINT),
+             'xd': CAST(x AS DOUBLE)})) AS u
+    FROM embeddings)
+),
+d AS (SELECT dim, min(xd) AS mn, max(xd) AS mx FROM c GROUP BY dim),
+q AS (
+  SELECT c.dim AS dim, xd, mn, mx,
+         CASE WHEN mx = mn THEN 0
+              ELSE CAST(least(255.0, greatest(0.0,
+                     floor((xd - mn) / (mx - mn) * 255.0 + 0.5))) AS BIGINT)
+         END AS code
+  FROM c JOIN d ON c.dim = d.dim
+),
+e AS (
+  SELECT dim, code,
+         xd - (CASE WHEN mx = mn THEN mn
+                    ELSE mn + code * (mx - mn) / 255.0 END) AS err,
+         (mx - mn) / 255.0 AS scale
+  FROM q
+)
+SELECT dim,
+       count(*) AS n_components,
+       any_value(scale) AS scale,
+       CAST(SUM(CAST(err * err AS DECIMAL(18,15))) AS DOUBLE) / count(*)
+         AS mse,
+       max(abs(err)) AS max_abs_err,
+       count(DISTINCT code) AS n_codes
+FROM e
+GROUP BY dim
+"""
+
+
+@query("embedding_int8_audit", oracle=_INT8_AUDIT_SQL)
+def embedding_int8_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension int8 affine-quantization audit: quantize each
+    component to 8 bits over the dim's observed [min, max], then report
+    scale, reconstruction MSE, max absolute error, and how many of the
+    256 codes the dim actually uses — the design gate for shipping a
+    4×-smaller int8 vector index (the compression sibling of
+    `embedding_dim_stats`' normalization audit and the
+    `embedding_truncation_fidelity` dimension audit).
+
+    Exactness: float→double widening is exact, min/max of doubles are
+    order-free, and the quantize/dequantize chain is the SAME double
+    expression tree in both engines (floor(x·255+0.5) instead of
+    round() so tie semantics can't diverge); squared errors are
+    snapped once to DECIMAL(18,15) so their sum is exact and
+    partition-order-free, with one closing double division.
+
+    Shape: two passes over the embeddings scan — a per-dim min/max
+    (combinable, dim-cardinality output) broadcast back into the
+    second exploded pass, whose error aggregate is again map-side
+    combinable on the dim key. No fact-sized shuffle at any scale;
+    the distinct-code count re-shuffles only (dim, code) pairs
+    (≤ dims × 256 rows after partial dedup).
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("pos", "xd")
+    ).select(F.col("pos").cast("long").alias("dim"), "xd")
+    dims = ex.groupBy("dim").agg(
+        F.min("xd").alias("mn"), F.max("xd").alias("mx")
+    )
+    j = ex.join(F.broadcast(dims), "dim")
+    code = F.when(F.col("mx") == F.col("mn"), F.lit(0).cast("bigint")).otherwise(
+        F.least(
+            F.lit(255.0),
+            F.greatest(
+                F.lit(0.0),
+                F.floor(
+                    (F.col("xd") - F.col("mn"))
+                    / (F.col("mx") - F.col("mn"))
+                    * F.lit(255.0)
+                    + F.lit(0.5)
+                ).cast("double"),
+            ),
+        ).cast("bigint")
+    )
+    xhat = F.when(F.col("mx") == F.col("mn"), F.col("mn")).otherwise(
+        F.col("mn") + F.col("code") * (F.col("mx") - F.col("mn")) / F.lit(255.0)
+    )
+    e = (
+        j.withColumn("code", code)
+        .withColumn("err", F.col("xd") - xhat)
+        .withColumn("scale", (F.col("mx") - F.col("mn")) / F.lit(255.0))
+    )
+    return e.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n_components"),
+        F.any_value(F.col("scale")).alias("scale"),
+        (
+            F.sum((F.col("err") * F.col("err")).cast("decimal(18,15)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mse"),
+        F.max(F.abs(F.col("err"))).alias("max_abs_err"),
+        F.count_distinct(F.col("code")).alias("n_codes"),
+    )

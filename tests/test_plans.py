@@ -998,3 +998,13 @@ def test_dominant_suppliers_window_above_aggregate(spark, sf_dir):
     # l_partkey alone and sits above a HashAggregate
     assert "BroadcastHashJoin" in plan  # part-family semi + supplier name
     assert "SortMergeJoin" not in plan
+
+
+def test_embedding_int8_audit_broadcasts_dim_ranges(spark, sf_dir):
+    """The per-dim [min,max] table (dim-cardinality) must broadcast back
+    into the exploded component stream — a sort-merge join here would
+    shuffle every component twice at 100 TB."""
+    plan = _plan(spark, sf_dir, "embedding_int8_audit")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
