@@ -815,3 +815,113 @@ def parts_bought_together(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("support"), "part_a", "part_b")
         .limit(BASKET_TOP_K)
     )
+
+
+# --- A/B experiment readout ----------------------------------------------------
+
+AB_SALT = "ab:"  # deterministic assignment salt (never RNG)
+
+
+def _ab_test_sql() -> str:
+    from data_pipeline_playground_spark.functions.text import sql_rolling_hash
+
+    key = "'" + AB_SALT + "' || CAST(user_id AS VARCHAR)"
+    arm = f"{sql_rolling_hash(key)} % 2"
+    return f"""
+WITH arms AS (
+  SELECT DISTINCT user_id, {arm} AS arm FROM events
+),
+totals AS (
+  SELECT
+    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c
+  FROM arms
+),
+conv AS (
+  SELECT e.event_type,
+         CAST(count(DISTINCT CASE WHEN a.arm = 1 THEN e.user_id END) AS BIGINT) AS x_t,
+         CAST(count(DISTINCT CASE WHEN a.arm = 0 THEN e.user_id END) AS BIGINT) AS x_c
+  FROM events e JOIN arms a ON e.user_id = a.user_id
+  GROUP BY e.event_type
+)
+SELECT event_type, n_t, n_c, x_t, x_c,
+       CAST((x_t * n_c - x_c * n_t) AS DOUBLE) * 100.0
+         / CAST(n_t * n_c AS DOUBLE) AS lift_pp,
+       CASE WHEN (x_t + x_c) = 0 OR (x_t + x_c) = (n_t + n_c) THEN 0.0
+            ELSE CAST((x_t * n_c - x_c * n_t) * (x_t * n_c - x_c * n_t)
+                      * (n_t + n_c) AS DOUBLE)
+                 / CAST((x_t + x_c) * (n_t + n_c - x_t - x_c)
+                        * n_t * n_c AS DOUBLE)
+       END AS z_squared
+FROM conv CROSS JOIN totals
+"""
+
+
+@query("ab_test_lift", oracle=_ab_test_sql())
+def ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users are deterministically split into
+    treatment/control by salted hash parity (never RNG — the
+    `dataset_split` assignment playbook), and for each event type the
+    query reports per-arm conversion counts, lift in percentage
+    points, and the two-proportion pooled z² statistic.
+
+    Transcendental-free determinism: z² is algebraically reduced to a
+    ratio of INTEGER products — z² = (x_t·n_c − x_c·n_t)²·N /
+    (x·(N−x)·n_t·n_c) — so both engines compute exact int64 values
+    (every factor < 2^63 at tested SFs; beyond that, emit the four
+    sufficient statistics and combine downstream) and divide ONCE in
+    doubles. int64→double is correctly rounded in both engines, so
+    the statistic is bit-identical with zero rounding slack.
+
+    Shape: arm assignment is a distinct on user_id (combinable);
+    conversion counts reuse the same user-keyed frame; the 2-row arm
+    totals attach by broadcast cross join. One user_id shuffle + one
+    event_type-cardinality aggregate at any scale.
+    """
+    from data_pipeline_playground_spark.functions.text import rolling_hash
+
+    events = table(spark, sf_dir, "events")
+    arm = (
+        rolling_hash(F.concat(F.lit(AB_SALT), F.col("user_id").cast("string"))) % 2
+    ).alias("arm")
+    arms = events.select("user_id").distinct().select("user_id", arm)
+    totals = arms.agg(
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_t"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_c"),
+    )
+    conv = (
+        events.select("event_type", "user_id")
+        .join(arms, "user_id")
+        .groupBy("event_type")
+        .agg(
+            F.count_distinct(
+                F.when(F.col("arm") == 1, F.col("user_id"))
+            ).alias("x_t"),
+            F.count_distinct(
+                F.when(F.col("arm") == 0, F.col("user_id"))
+            ).alias("x_c"),
+        )
+    )
+    j = conv.crossJoin(F.broadcast(totals))
+    num_lift = F.col("x_t") * F.col("n_c") - F.col("x_c") * F.col("n_t")
+    x = F.col("x_t") + F.col("x_c")
+    n = F.col("n_t") + F.col("n_c")
+    z2 = F.when((x == 0) | (x == n), F.lit(0.0)).otherwise(
+        (num_lift * num_lift * n).cast("double")
+        / (x * (n - x) * F.col("n_t") * F.col("n_c")).cast("double")
+    )
+    return j.select(
+        "event_type",
+        "n_t",
+        "n_c",
+        "x_t",
+        "x_c",
+        (num_lift.cast("double") * F.lit(100.0) / (F.col("n_t") * F.col("n_c")).cast("double")).alias(
+            "lift_pp"
+        ),
+        z2.alias("z_squared"),
+    )

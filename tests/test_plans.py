@@ -1029,3 +1029,14 @@ def test_basket_pairs_takeordered_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_ab_test_lift_broadcasts_totals(spark, sf_dir):
+    """The 1-row arm totals must attach by broadcast (nested-loop with a
+    1-row build side is the intended fan-out); the statistic itself is
+    pure JVM arithmetic — no Python anywhere."""
+    plan = _plan(spark, sf_dir, "ab_test_lift")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
