@@ -481,7 +481,7 @@ WITH base AS (
   FROM events
 ),
 dev AS (
-  SELECT user_id, event_id, n_u,
+  SELECT user_id, event_id, ts, n_u,
          SUM(CAST(n_u * v AS DECIMAL(30,6)) - s_u
              - CAST(n_u * {CUSUM_SLACK} AS DECIMAL(30,6)))
            OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -491,9 +491,9 @@ dev AS (
 s AS (
   SELECT user_id, event_id, n_u, cum,
          least(CAST(0 AS DECIMAL(38,6)),
-               min(cum) OVER (PARTITION BY user_id ORDER BY user_id, event_id
+               min(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING)) AS floor_c
-  FROM (SELECT user_id, event_id, n_u, cum FROM dev)
+  FROM (SELECT user_id, event_id, ts, n_u, cum FROM dev)
 )
 SELECT user_id, event_id,
        CAST(CAST(cum - floor_c AS DECIMAL(18,6)) AS DOUBLE)
@@ -527,17 +527,17 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact DECIMAL(38,6) in both. Headroom: |n_u·v| ≤ 1e24 per term —
     bounded per user-key, not by corpus size.
 
-    NOTE the prefix-min intentionally orders by (user_id, event_id)
-    within the partition: with PARTITION BY user_id the leading key is
-    constant, and event_ids are assigned in ts order in this dataset,
-    so it equals the ts ordering while staying unambiguous under ties.
+    The cumsum and prefix-min share the (ts, event_id) ordering, so
+    the closed form equals the sequential recurrence unconditionally
+    (no assumption about event_id assignment order) — pinned against
+    both a pure-Python replay and the streaming twin.
     """
     events = table(spark, sf_dir, "events")
     wu = Window.partitionBy("user_id")
     worder = wu.orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    wmin = wu.orderBy("user_id", "event_id").rowsBetween(
+    wmin = wu.orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     v = F.col("value").cast("decimal(18,6)")
@@ -557,6 +557,7 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     dev = base.select(
         "user_id",
         "event_id",
+        "ts",
         "n_u",
         F.sum(dprime).over(worder).alias("cum"),
     )

@@ -484,3 +484,90 @@ def streaming_cms_counters(events: DataFrame) -> DataFrame:
         .groupBy("d", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+
+
+def cusum_baseline(events: DataFrame) -> DataFrame:
+    """Per-user CUSUM baseline (n_u, Σv) as int64-scaled exacts — the
+    batch-computed side input `streaming_cusum` monitors against (in
+    production a nightly job refreshes this table; the stream-static
+    join picks it up per micro-batch)."""
+    v6 = F.col("value").cast("decimal(18,6)")
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_u"),
+        (F.sum(v6) * F.lit(1_000_000)).cast("long").alias("s_u_scaled"),
+    )
+
+
+def streaming_cusum(events: DataFrame, baseline: DataFrame) -> DataFrame:
+    """Streaming twin of queries/timeseries.events_cusum_drift: Page's
+    one-sided CUSUM per user against a precomputed baseline, as keyed
+    state S = max(0, S + d) — ONE int64 per user, the textbook
+    minimal-state streaming monitor (vs the batch tier's closed-form
+    cumsum − prefix-min over the same recurrence).
+
+    Exactness: values are scaled to millionths ON THE JVM SIDE
+    (decimal cast → ×1e6 → long), so Python state arithmetic is pure
+    int64 — d' = n_u·v₆ − Σv₆ − n_u·κ·1e6 — and the final
+    double statistic divides the SAME integers the batch tier's
+    DECIMAL(18,6)→double path rounds, giving bit-identical output
+    (pinned by the batch-equivalence test). Headroom: |cum| ≤
+    n_u·max|d'| — int64-safe to ~1e5 events/user at 1e6-unit values;
+    the batch tier holds the wide-decimal guarantees beyond that.
+
+    Event-time semantics assume per-key in-order arrival across
+    micro-batches (same caveat as streaming_throttle — a watermark
+    reorder buffer is the standard front stage otherwise).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from data_pipeline_playground_spark.queries.timeseries import (
+        CUSUM_ALARM,
+        CUSUM_SLACK,
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        s = state.get[0] if state.exists else 0
+        rows = pd.concat(list(pdf_iter)).sort_values(["ts", "event_id"])
+        n_u = int(rows["n_u"].iloc[0])
+        s_u = int(rows["s_u_scaled"].iloc[0])
+        out_stat, out_alarm = [], []
+        alarm_at = n_u * CUSUM_ALARM * 1_000_000
+        for v in rows["v_scaled"]:
+            d = n_u * int(v) - s_u - n_u * CUSUM_SLACK * 1_000_000
+            s = max(0, s + d)
+            out_stat.append((s / 1e6) / n_u)
+            out_alarm.append(s > alarm_at)
+        state.update((int(s),))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out_stat),
+                "event_id": rows["event_id"].to_list(),
+                "cusum": out_stat,
+                "is_alarm": out_alarm,
+            }
+        )
+
+    joined = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.col("value").cast("decimal(18,6)") * F.lit(1_000_000))
+        .cast("long")
+        .alias("v_scaled"),
+    ).join(baseline, "user_id")
+    return joined.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_id", T.LongType()),
+                T.StructField("cusum", T.DoubleType()),
+                T.StructField("is_alarm", T.BooleanType()),
+            ]
+        ),
+        stateStructType=T.StructType([T.StructField("s_scaled", T.LongType())]),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

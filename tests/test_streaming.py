@@ -622,3 +622,62 @@ def test_streaming_dedup_within_watermark_matches_plain(spark, sf_dir, events_st
     ids = [r.event_id for r in got]
     n_distinct_src = table(spark, sf_dir, "events").select("event_id").distinct().count()
     assert len(ids) == len(set(ids)) == n_distinct_src
+
+
+def test_streaming_cusum_matches_batch(spark, sf_dir, tmp_path):
+    """The keyed-state CUSUM (true sequential recurrence, one int64 per
+    user) must reproduce the batch closed-form events_cusum_drift
+    BIT-EXACTLY — including the double statistic — when events are
+    replayed in event-time order across micro-batches against the same
+    batch-computed baseline."""
+    import json as _json
+    import time
+
+    from data_pipeline_playground_spark.registry import all_queries
+    from data_pipeline_playground_spark.streaming.events_stream import (
+        cusum_baseline,
+        read_events_stream,
+        run_stream_to_memory,
+        streaming_cusum,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    rows = ev.orderBy("ts", "event_id").collect()
+    n = len(rows)
+    d = tmp_path / "ordered_cusum"
+    d.mkdir()
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        with open(d / f"part-{i:03d}.json", "w") as f:
+            for r in rows[cuts[i]:cuts[i + 1]]:
+                f.write(
+                    _json.dumps(
+                        {
+                            "event_id": r.event_id,
+                            "ts": r.ts.strftime("%Y-%m-%dT%H:%M:%S.%f"),
+                            "user_id": r.user_id,
+                            "event_type": r.event_type,
+                            "value": r.value,
+                            "props": r.props,
+                        }
+                    )
+                    + "\n"
+                )
+        time.sleep(1.1)  # distinct mtimes → deterministic file order
+
+    baseline = cusum_baseline(ev)
+    stream = read_events_stream(spark, str(d), max_files_per_trigger=1)
+    run_stream_to_memory(
+        streaming_cusum(stream, baseline), "cusum_sink", output_mode="append"
+    )
+    got = {
+        (r.user_id, r.event_id): (r.cusum, r.is_alarm)
+        for r in spark.sql("SELECT * FROM cusum_sink").collect()
+    }
+    want = {
+        (r.user_id, r.event_id): (r.cusum, r.is_alarm)
+        for r in all_queries()["events_cusum_drift"](spark, sf_dir).collect()
+    }
+    assert got == want  # exact, including the float statistic

@@ -112,3 +112,46 @@ def test_range_join_counts_bounded(spark, sf_dir):
     assert len({r.error_id for r in res}) == n_errors
     for r in res:
         assert 0 <= r.n_prior_5m < per_user[r.user_id]
+
+
+def test_cusum_closed_form_equals_sequential_recurrence(spark, sf_dir):
+    """The distributed closed form S_i = C_i − min(0, prefix-min C)
+    must reproduce Page's sequential recurrence S_i = max(0, S_{i-1} +
+    d_i) replayed in pure Python over the same (ts, event_id) order —
+    for every event, exactly."""
+    from decimal import Decimal
+
+    from data_pipeline_playground_spark.queries.timeseries import (
+        CUSUM_ALARM,
+        CUSUM_SLACK,
+    )
+    from data_pipeline_playground_spark.tables import table as _table
+
+    got = {
+        (r.user_id, r.event_id): (r.cusum, r.is_alarm)
+        for r in _QUERIES["events_cusum_drift"](spark, sf_dir).collect()
+    }
+    ev = (
+        _table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", "value")
+        .collect()
+    )
+    by_user = {}
+    for r in sorted(ev, key=lambda r: (r.ts, r.event_id)):
+        by_user.setdefault(r.user_id, []).append(r)
+    n_checked = 0
+    for uid, rows in by_user.items():
+        n_u = len(rows)
+        s_u = sum(Decimal(str(r.value)).quantize(Decimal("0.000001")) for r in rows)
+        s = Decimal(0)
+        for r in rows:
+            v = Decimal(str(r.value)).quantize(Decimal("0.000001"))
+            d = n_u * v - s_u - n_u * CUSUM_SLACK
+            s = max(Decimal(0), s + d)
+            want_stat = float(s) / n_u
+            want_alarm = s > n_u * CUSUM_ALARM
+            stat, alarm = got[(uid, r.event_id)]
+            assert alarm == want_alarm, (uid, r.event_id)
+            assert abs(stat - want_stat) < 1e-9, (uid, r.event_id, stat, want_stat)
+            n_checked += 1
+    assert n_checked == len(got) and n_checked > 0
