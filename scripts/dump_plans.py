@@ -78,6 +78,11 @@ SHOWCASE = [
      "(approx tiers, incl. the multi-probe query-side fan-out); hit "
      "counting is three broadcast left joins + one hash aggregate — "
      "no cartesian, no Python."),
+    ("events_cusum_drift", "a sequential changepoint statistic with "
+     "NO sequential stage: the recurrence's closed form is three "
+     "stacked Windows (per-user totals, ordered cumsum, prefix-min) "
+     "all partitioned by user_id — exactly ONE hash exchange in the "
+     "whole plan, no join, no Python."),
 ]
 
 
