@@ -309,3 +309,82 @@ def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n") > 1) & (F.abs(z) > ANOMALY_Z))
         .select("event_type", "hour_start", "cnt", F.round(z, 4).alias("z"))
     )
+
+
+# --- clickstream path mining ---------------------------------------------------
+
+PATH_TOP_K = 20
+
+_PATH_TRIGRAMS_SQL = f"""
+WITH seq AS (
+  SELECT user_id, list(event_type ORDER BY ts, event_id) AS types
+  FROM events GROUP BY user_id
+),
+tri AS (
+  SELECT user_id,
+         unnest(list_transform(range(1, len(types) - 1),
+                i -> types[i] || ' > ' || types[i + 1] || ' > ' || types[i + 2]))
+           AS path
+  FROM seq WHERE len(types) >= 3
+)
+SELECT path, count(*) AS n_occurrences,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM tri GROUP BY path
+ORDER BY n_occurrences DESC, path
+LIMIT {PATH_TOP_K}
+"""
+
+
+@query("user_path_trigrams", oracle=_PATH_TRIGRAMS_SQL)
+def user_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path mining: the top event-type trigrams users
+    actually walk (e.g. `view > click > purchase`), with occurrence
+    and distinct-user counts — the journey-analysis primitive behind
+    funnel DISCOVERY (vs `funnel_users`, which checks one known
+    funnel).
+
+    Shape: one user_id shuffle builds each user's ordered type
+    sequence (sort_array over (ts, event_id, type) structs — per-key
+    bounded state, the sessionize assumption); the trigram explode is
+    a narrow map (JVM higher-order functions, no Python), counting is
+    map-side combinable on the path string, and the top-k is
+    TakeOrdered. Per-user sequence length bounds the fan-out at
+    len−2 trigrams — linear, never quadratic.
+    """
+    events = table(spark, sf_dir, "events")
+    seq = (
+        events.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("evs")
+        )
+        .select(
+            "user_id",
+            F.transform("evs", lambda e: e["event_type"]).alias("types"),
+        )
+        .filter(F.size("types") >= 3)
+    )
+    tri = seq.select(
+        "user_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("types") - 2),
+                lambda i: F.concat_ws(
+                    " > ",
+                    F.element_at("types", i),
+                    F.element_at("types", i + 1),
+                    F.element_at("types", i + 2),
+                ),
+            )
+        ).alias("path"),
+    )
+    return (
+        tri.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.desc("n_occurrences"), "path")
+        .limit(PATH_TOP_K)
+    )

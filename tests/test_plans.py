@@ -1040,3 +1040,13 @@ def test_ab_test_lift_broadcasts_totals(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_path_trigrams_takeordered_no_python(spark, sf_dir):
+    """Path mining must stay JVM-side (higher-order trigram transform,
+    not a Python UDF) with a TakeOrdered top-k, never a global sort."""
+    plan = _plan(spark, sf_dir, "user_path_trigrams")
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
