@@ -321,3 +321,23 @@ def test_css_select_finds_exactly_marked_nodes(tree):
     if len(div_targets) != 1:
         assert got is None
     # a unique match returns its (possibly empty->None) text
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-10**9, max_value=10**9), min_size=1, max_size=60
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_cusum_closed_form_identity(devs):
+    """Algebraic core of events_cusum_drift: for ANY deviation sequence,
+    max(0, S + d) recursion == C_i − min(0, prefix-min of C). Exact
+    integers, so this pins the identity itself, independent of Spark."""
+    s = 0
+    cum = 0
+    mn = 0
+    for d in devs:
+        s = max(0, s + d)
+        cum += d
+        mn = min(mn, cum)
+        assert s == cum - min(0, mn)
