@@ -582,3 +582,73 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_alarm"
         ),
     )
+
+
+# --- naive-seasonal forecast backtest ----------------------------------------
+
+_BACKTEST_SQL = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+  FROM orders GROUP BY 1
+),
+scored AS (
+  SELECT day, revenue,
+         lag(revenue, 7) OVER (ORDER BY day) AS forecast
+  FROM daily
+),
+ape AS (
+  SELECT CAST(date_trunc('month', day) AS DATE) AS month,
+         CAST(CAST(abs(revenue - forecast) AS DOUBLE)
+              / CAST(revenue AS DOUBLE) AS DECIMAL(14,11)) AS ape
+  FROM scored WHERE forecast IS NOT NULL
+)
+SELECT month, count(*) AS n_days,
+       CAST(SUM(ape) AS DOUBLE) * 100.0 / count(*) AS mape_pct
+FROM ape GROUP BY month
+"""
+
+
+@query("daily_revenue_backtest", oracle=_BACKTEST_SQL)
+def daily_revenue_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtesting: score the naive seasonal forecast
+    (revenue of the same weekday last week) against actuals, reporting
+    per-month MAPE — the evaluation loop any production forecast gets
+    graded by, runnable before a model exists (the baseline every
+    model must beat).
+
+    Exactness: daily revenue and |actual − forecast| are exact
+    decimals; each day's APE is ONE double division of exact inputs,
+    snapped to DECIMAL(14,11) (≤ 12 significant digits — inside the
+    double→decimal round-trip-identical band for both engines) so the
+    month sum is order-free; the closing ×100/n is a shared double
+    expression. Shape: the corpus-sized work is one combinable
+    groupBy(day); the lag-7 window runs over the bounded
+    post-aggregate daily frame (same argument as daily_revenue_wow),
+    then a |months|-row aggregate.
+    """
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date(F.date_trunc("day", "o_orderdate")).alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue")
+    )
+    w = Window.orderBy("day")
+    scored = daily.select(
+        "day", "revenue", F.lag("revenue", 7).over(w).alias("forecast")
+    ).filter(F.col("forecast").isNotNull())
+    ape = scored.select(
+        F.to_date(F.date_trunc("month", "day")).alias("month"),
+        (
+            F.abs(F.col("revenue") - F.col("forecast")).cast("double")
+            / F.col("revenue").cast("double")
+        )
+        .cast("decimal(14,11)")
+        .alias("ape"),
+    )
+    return ape.groupBy("month").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        (F.sum("ape").cast("double") * F.lit(100.0) / F.count(F.lit(1))).alias(
+            "mape_pct"
+        ),
+    )

@@ -1050,3 +1050,13 @@ def test_path_trigrams_takeordered_no_python(spark, sf_dir):
     assert "rangepartitioning" not in plan.lower()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_backtest_window_over_daily_frame(spark, sf_dir):
+    """The lag-7 forecast window must run over the post-aggregate daily
+    frame — the plan's only fact-width exchange is the groupBy(day)
+    partial aggregate; no Python anywhere."""
+    plan = _plan(spark, sf_dir, "daily_revenue_backtest")
+    assert plan.count("Exchange hashpartitioning") <= 2  # day agg + month agg
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
