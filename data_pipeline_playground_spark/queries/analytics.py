@@ -925,3 +925,163 @@ def ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         z2.alias("z_squared"),
     )
+
+
+# --- skyline (Pareto frontier) ----------------------------------------------
+
+_SKYLINE_SQL = """
+WITH pp AS (
+  SELECT p_retailprice, max(p_size) AS mx FROM part GROUP BY p_retailprice
+),
+run AS (
+  SELECT p_retailprice, mx,
+         max(mx) OVER (ORDER BY p_retailprice
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1
+  FROM pp
+)
+SELECT p.p_partkey, p.p_retailprice, p.p_size
+FROM part p JOIN run r USING (p_retailprice)
+WHERE (r.m1 IS NULL OR r.m1 < p.p_size) AND r.mx = p.p_size
+"""
+
+
+@query("skyline_parts", oracle=_SKYLINE_SQL)
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-frontier query (Börzsönyi, Kossmann & Stocker,
+    ICDE 2001): parts not dominated under (minimize p_retailprice,
+    maximize p_size). Part x is dominated iff some y has price <= x's
+    AND size >= x's with at least one strict inequality; equal
+    (price, size) twins are both on the frontier.
+
+    The classic sort-filter skyline: collapse to one row per distinct
+    price (max size), take a strict-prefix running max over prices
+    ascending, then a part is on the frontier iff its size beats every
+    strictly-cheaper part's max AND matches its own price group's max.
+
+    Scale: the aggregate shuffles on price; the window runs over
+    DISTINCT prices only (dimension-sized). For a fact-sized skyline
+    key, split the running max two-level exactly like
+    customer_spend_quartiles_ranked (per-partition prefix max on
+    range-partitioned prices + broadcast cross-partition offsets).
+    """
+    parts = table(spark, sf_dir, "part")
+    pp = parts.groupBy("p_retailprice").agg(F.max("p_size").alias("mx"))
+    w = (
+        Window.orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = pp.withColumn("m1", F.max("mx").over(w))
+    return (
+        parts.join(run, "p_retailprice")
+        .where(
+            (F.col("m1").isNull() | (F.col("m1") < F.col("p_size")))
+            & (F.col("mx") == F.col("p_size"))
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+    )
+
+
+# --- item-item collaborative-filtering neighbors ----------------------------
+
+_ITEM_ITEM_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+cnt AS (SELECT l_partkey, count(*) AS c FROM op GROUP BY l_partkey),
+pair AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS cab
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+),
+sym AS (
+  SELECT pa AS item, pb AS neighbor, cab FROM pair
+  UNION ALL
+  SELECT pb AS item, pa AS neighbor, cab FROM pair
+),
+sc AS (
+  SELECT s.item, s.neighbor, CAST(s.cab AS BIGINT) AS co_orders,
+         CAST(s.cab AS DOUBLE) / sqrt(CAST(ca.c * cb.c AS DOUBLE)) AS cosine
+  FROM sym s
+  JOIN cnt ca ON ca.l_partkey = s.item
+  JOIN cnt cb ON cb.l_partkey = s.neighbor
+  WHERE s.cab >= 2
+)
+SELECT item, neighbor, co_orders, cosine FROM (
+  SELECT sc.*, row_number() OVER (
+    PARTITION BY item ORDER BY cosine DESC, neighbor) AS rn
+  FROM sc
+) t WHERE rn <= 3
+"""
+
+
+@query("item_item_neighbors", oracle=_ITEM_ITEM_SQL)
+def item_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering (Sarwar et al., WWW 2001):
+    top-3 nearest neighbors per part under co-occurrence cosine
+    cos(a,b) = |orders with both| / sqrt(|orders with a|·|orders with b|),
+    the normalized refinement of `parts_bought_together`'s raw pair
+    counts. Supports "customers who bought X also bought Y".
+
+    Determinism: counts are exact ints; the int64 product stays
+    < 2^53 so the double conversion is exact, and cosine is ONE shared
+    double expression tree (sqrt is IEEE-correctly-rounded) — bit
+    parity with the oracle without any rounding. Ties break by
+    neighbor id.
+
+    Scale: pairs come from a self-equi-join on l_orderkey (never
+    all-pairs; fan-out bounded by per-order basket size), the count
+    joins are dimension-sized, and the top-3 window partitions by
+    item. The cab >= 2 floor prunes the long noise tail before the
+    window shuffle.
+    """
+    op = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    cnt = op.groupBy("l_partkey").agg(F.count("*").alias("c"))
+    a = op.alias("a")
+    b = op.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count("*").alias("cab"))
+    )
+    sym = pair.select(
+        F.col("pa").alias("item"), F.col("pb").alias("neighbor"), "cab"
+    ).unionAll(
+        pair.select(
+            F.col("pb").alias("item"), F.col("pa").alias("neighbor"), "cab"
+        )
+    )
+    ca = cnt.select(
+        F.col("l_partkey").alias("item"), F.col("c").alias("c_item")
+    )
+    cb = cnt.select(
+        F.col("l_partkey").alias("neighbor"), F.col("c").alias("c_nb")
+    )
+    sc = (
+        sym.where(F.col("cab") >= 2)
+        .join(ca, "item")
+        .join(cb, "neighbor")
+        .select(
+            "item",
+            "neighbor",
+            F.col("cab").cast("bigint").alias("co_orders"),
+            (
+                F.col("cab").cast("double")
+                / F.sqrt((F.col("c_item") * F.col("c_nb")).cast("double"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(F.desc("cosine"), F.asc("neighbor"))
+    return (
+        sc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("item", "neighbor", "co_orders", "cosine")
+    )

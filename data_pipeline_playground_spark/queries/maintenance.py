@@ -510,3 +510,91 @@ def lineitem_supplier_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     # orderBy+limit compiles to TakeOrderedAndProject — per-partition
     # top-N then a driver-side merge of N·P rows, never a global sort
     return prof.orderBy(F.desc("cnt"), F.asc("l_suppkey")).limit(SKEW_TOP_N)
+
+
+# --- Benford first-digit audit ----------------------------------------------
+
+# log10(1 + 1/d) to 6 dp; the nine values sum to exactly 1.000000.
+_BENFORD_P6 = {
+    1: "0.301030", 2: "0.176091", 3: "0.124939", 4: "0.096910",
+    5: "0.079181", 6: "0.066947", 7: "0.057992", 8: "0.051153",
+    9: "0.045757",
+}
+
+_BENFORD_CASE = "CASE s.digit " + " ".join(
+    f"WHEN {d} THEN CAST({p} AS DECIMAL(7,6))" for d, p in _BENFORD_P6.items()
+) + " END"
+
+_BENFORD_SQL = f"""
+WITH obs AS (
+  SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1)
+              AS BIGINT) AS digit,
+         CAST(count(*) AS BIGINT) AS n_obs
+  FROM orders GROUP BY 1
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders),
+spine AS (SELECT unnest(generate_series(1, 9)) AS digit)
+SELECT s.digit,
+       COALESCE(o.n_obs, 0) AS n_obs,
+       CAST(COALESCE(o.n_obs, 0) AS DOUBLE) / CAST(t.n AS DOUBLE)
+         AS observed_share,
+       CAST({_BENFORD_CASE} AS DOUBLE) AS benford_share,
+       (CAST(COALESCE(o.n_obs, 0) AS DOUBLE) / CAST(t.n AS DOUBLE)
+        - CAST({_BENFORD_CASE} AS DOUBLE)) * 100.0 AS excess_pp
+FROM spine s LEFT JOIN obs o ON o.digit = s.digit CROSS JOIN tot t
+"""
+
+
+@query("benford_audit", oracle=_BENFORD_SQL)
+def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the classic
+    fraud / data-quality screen: organically-grown money amounts
+    follow P(d) = log10(1 + 1/d); synthetic or truncated data does
+    not. Output: per digit 1..9, observed count, observed share,
+    Benford share, and the excess in percentage points.
+
+    Transcendental-free (memory rule): the nine log10 constants are
+    hard-coded 6-dp DECIMAL literals (they sum to exactly 1.000000),
+    and every double is derived from exact integers / decimals in one
+    shared expression tree — no log10() call, no engine ulp drift.
+    First digit comes from the decimal's string form, not
+    floor(x/10^floor(log10 x)).
+
+    Scale: one hash agg on a 9-value key + a broadcast scalar total;
+    the digit spine is a 9-row literal frame.
+    """
+    orders = table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+    ).cast("bigint")
+    obs = orders.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").alias("n_obs")
+    )
+    tot = orders.agg(F.count("*").alias("n"))
+    spine = spark.range(1, 10).select(F.col("id").alias("digit"))
+    benford = F.element_at(
+        F.create_map(
+            *[
+                c
+                for d, p in _BENFORD_P6.items()
+                for c in (F.lit(d).cast("bigint"),
+                          F.lit(p).cast("decimal(7,6)"))
+            ]
+        ),
+        F.col("digit"),
+    )
+    n_obs = F.coalesce(F.col("n_obs"), F.lit(0).cast("bigint"))
+    observed = n_obs.cast("double") / F.col("n").cast("double")
+    return (
+        spine.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            n_obs.alias("n_obs"),
+            observed.alias("observed_share"),
+            benford.cast("double").alias("benford_share"),
+            ((observed - benford.cast("double")) * F.lit(100.0)).alias(
+                "excess_pp"
+            ),
+        )
+    )

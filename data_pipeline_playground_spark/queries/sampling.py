@@ -15,8 +15,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_pipeline_playground_spark.functions.text import (
+    ROLL_BASE,
+    ROLL_MOD,
     rolling_hash,
     sql_rolling_hash,
+    tokenize,
 )
 from data_pipeline_playground_spark.registry import query
 from data_pipeline_playground_spark.tables import table
@@ -595,4 +598,137 @@ def corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"stack({len(_FUNNEL_STAGES)}, {stack_args}) "
             "AS (stage_idx, stage, n_docs, n_chars)"
         )
+    )
+
+
+# --- DSIR-style importance selection ----------------------------------------
+
+DSIR_BUCKETS = 64
+DSIR_TARGET_SOURCE = "src0"
+DSIR_TOP_K = 50
+
+_DSIR_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, source, unnest({_DECON_TOKENS}) AS t FROM documents
+),
+b AS (
+  SELECT doc_id, source,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(regexp_split_to_array(t, ''),
+                          c -> CAST(ascii(c) AS BIGINT))),
+           (acc, ch) -> (acc * {{base}} + ch) % {{mod}}) % {DSIR_BUCKETS}
+           AS bkt
+  FROM tok
+),
+tcnt AS (
+  SELECT bkt, CAST(count(*) AS BIGINT) AS c FROM b
+  WHERE source = '{DSIR_TARGET_SOURCE}' GROUP BY bkt
+),
+rcnt AS (
+  SELECT bkt, CAST(count(*) AS BIGINT) AS c FROM b
+  WHERE source <> '{DSIR_TARGET_SOURCE}' GROUP BY bkt
+),
+tot AS (
+  SELECT CAST(sum(CASE WHEN source = '{DSIR_TARGET_SOURCE}'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+         CAST(sum(CASE WHEN source <> '{DSIR_TARGET_SOURCE}'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS nr
+  FROM b
+),
+w AS (
+  SELECT s.bkt,
+         COALESCE(t.c, 0) * tot.nr - COALESCE(r.c, 0) * tot.nt AS w
+  FROM (SELECT unnest(generate_series(0, {DSIR_BUCKETS - 1})) AS bkt) s
+  LEFT JOIN tcnt t ON t.bkt = s.bkt
+  LEFT JOIN rcnt r ON r.bkt = s.bkt
+  CROSS JOIN tot
+),
+score AS (
+  SELECT b.doc_id, CAST(sum(w.w) AS BIGINT) AS score
+  FROM b JOIN w ON w.bkt = b.bkt
+  WHERE b.source <> '{DSIR_TARGET_SOURCE}'
+  GROUP BY b.doc_id
+)
+SELECT doc_id, score FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+  FROM score
+) t WHERE rn <= {DSIR_TOP_K}
+"""
+
+
+@query(
+    "dsir_select",
+    oracle=_DSIR_SQL.format(base=ROLL_BASE, mod=ROLL_MOD),
+)
+def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling, linear surrogate
+    (after Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling"): score each candidate document by how much
+    its hashed-unigram profile resembles a target domain (here source
+    'src0') versus the raw pool, and keep the top-K.
+
+    DSIR proper scores sum_t log(p_tgt(b_t)/p_raw(b_t)); logs are
+    transcendental, so for bit-parity we use the linear surrogate
+    sum_t (p_tgt(b_t) - p_raw(b_t)) cross-multiplied into pure int64:
+    w_b = cnt_tgt[b]·N_raw - cnt_raw[b]·N_tgt, doc score = Σ w_b over
+    token occurrences — exact integers end to end, same ranking
+    semantics (monotone in the per-bucket probability gap). At
+    trillion-token scale the cross-product outgrows int64: rescale the
+    per-bucket counts to per-million DECIMAL(30,0) first (same memory
+    rule as the CUSUM sums).
+
+    Plan: tokenize+hash is map-only; two hash aggs build the 64-bucket
+    histograms; the per-doc score join BROADCASTS the 64-row weight
+    table; one agg per doc_id; TakeOrdered for the final top-K — no
+    global sort, no UDF.
+    """
+    docs = table(spark, sf_dir, "documents")
+    is_tgt = F.col("source") == DSIR_TARGET_SOURCE
+    b = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                tokenize("text"),
+                lambda t: F.aggregate(
+                    F.split(t, ""),
+                    F.lit(0).cast("long"),
+                    lambda acc, c: (acc * ROLL_BASE + F.ascii(c).cast("long"))
+                    % ROLL_MOD,
+                )
+                % DSIR_BUCKETS,
+            )
+        ).alias("bkt"),
+    )
+    hist = b.groupBy("bkt").agg(
+        F.sum(F.when(is_tgt, 1).otherwise(0)).cast("bigint").alias("tc"),
+        F.sum(F.when(~is_tgt, 1).otherwise(0)).cast("bigint").alias("rc"),
+    )
+    tot = b.agg(
+        F.sum(F.when(is_tgt, 1).otherwise(0)).cast("bigint").alias("nt"),
+        F.sum(F.when(~is_tgt, 1).otherwise(0)).cast("bigint").alias("nr"),
+    )
+    spine = spark.range(DSIR_BUCKETS).select(F.col("id").alias("bkt"))
+    w = (
+        spine.join(hist, "bkt", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bkt",
+            (
+                F.coalesce(F.col("tc"), F.lit(0)) * F.col("nr")
+                - F.coalesce(F.col("rc"), F.lit(0)) * F.col("nt")
+            ).alias("w"),
+        )
+    )
+    score = (
+        b.where(~is_tgt)
+        .join(F.broadcast(w), "bkt")
+        .groupBy("doc_id")
+        .agg(F.sum("w").cast("bigint").alias("score"))
+    )
+    return (
+        score.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(DSIR_TOP_K)
+        .select("doc_id", "score")
     )

@@ -652,3 +652,96 @@ def daily_revenue_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mape_pct"
         ),
     )
+
+
+# --- time-weighted average (TWAP) -------------------------------------------
+
+_TWAP_SQL = """
+WITH e AS (
+  SELECT user_id,
+         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+         CAST(value AS DECIMAL(28,6)) AS v,
+         event_id
+  FROM events
+),
+iv AS (
+  SELECT user_id, v,
+         lead(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id)
+           - sec AS dt
+  FROM e
+),
+agg AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_intervals,
+         CAST(sum(dt) AS BIGINT) AS total_sec,
+         sum(CAST(v * CAST(dt AS DECIMAL(28,0)) AS DECIMAL(30,6))) AS wv
+  FROM iv WHERE dt IS NOT NULL
+  GROUP BY user_id
+)
+SELECT user_id, n_intervals, total_sec,
+       CAST(wv AS DOUBLE) / CAST(total_sec AS DOUBLE) AS twap
+FROM agg WHERE total_sec > 0
+"""
+
+
+@query("twap_user_value", oracle=_TWAP_SQL)
+def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP — the standard
+    financial/telemetry aggregate when observations are irregularly
+    spaced: each reading holds until the next one, so its weight is
+    the seconds until the user's next event; the final open-ended
+    reading is excluded).
+
+    Parity recipe (memory rules): epoch seconds via second-truncation
+    both sides; value snapped to DECIMAL(28,6) (≤ 12 significant
+    digits → double→decimal rounds identically in both engines);
+    value × Δt as decimal×decimal forced into int128 (28,6)×(28,0);
+    each summand downcast to DECIMAL(30,6) so BOTH engines widen the
+    SUM to an exact DECIMAL(38,6) (DuckDB silently accumulates
+    DECIMAL(38,·) sums in DOUBLE); one final shared double division.
+    The scaled weighted sum stays below 2^63 while Σ value·Δt <
+    9.2e12 per user — comfortably true at any per-user event density
+    here; beyond that, rebase values (subtract the per-user min) the
+    way the CUSUM query rebases epochs.
+
+    Plan: ONE hash exchange on user_id feeds both the lead() window
+    and the aggregate (sort within partitions, no second shuffle).
+    Users with a single event (or zero elapsed time) drop out in both
+    engines.
+    """
+    events = table(spark, sf_dir, "events")
+    sec = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    iv = events.select(
+        "user_id",
+        sec.alias("sec"),
+        F.col("value").cast("decimal(28,6)").alias("v"),
+        "event_id",
+    ).select(
+        "user_id",
+        "v",
+        (F.lead("sec").over(w) - F.col("sec")).alias("dt"),
+    )
+    agg = (
+        iv.where(F.col("dt").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_intervals"),
+            F.sum("dt").cast("bigint").alias("total_sec"),
+            F.sum(
+                (F.col("v") * F.col("dt").cast("decimal(28,0)")).cast(
+                    "decimal(30,6)"
+                )
+            ).alias("wv"),
+        )
+    )
+    return agg.where(F.col("total_sec") > 0).select(
+        "user_id",
+        "n_intervals",
+        "total_sec",
+        (F.col("wv").cast("double") / F.col("total_sec").cast("double")).alias(
+            "twap"
+        ),
+    )

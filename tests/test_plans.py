@@ -1060,3 +1060,68 @@ def test_backtest_window_over_daily_frame(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") <= 2  # day agg + month agg
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_winnow_fingerprints_map_only(spark, sf_dir):
+    """Winnowing extraction promises ZERO shuffles: tokenize, hash,
+    and window-select all happen inside array higher-order functions;
+    the only operators above the scan are project/filter/generate."""
+    plan = _plan(spark, sf_dir, "winnow_fingerprints")
+    assert "Exchange" not in plan
+    assert "Generate explode" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_winnow_matches_joins_on_fingerprint(spark, sf_dir):
+    """The match self-join must key on the fingerprint value (hash
+    join), never a cartesian/all-pairs stage."""
+    plan = _plan(spark, sf_dir, "winnow_matches")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_skyline_window_over_distinct_prices(spark, sf_dir):
+    """The running max runs above the per-price aggregate (distinct
+    prices), not over the raw part table."""
+    plan = _plan(spark, sf_dir, "skyline_parts")
+    assert "Window" in plan
+    # plans print top-down: the Window's INPUT (printed after it) is the
+    # price-level HashAggregate, so the raw scan never feeds the window
+    assert plan.index("Window") < plan.index("HashAggregate")
+
+
+def test_item_item_no_cartesian_topk_window(spark, sf_dir):
+    """Pair generation is a self-equi-join on l_orderkey; top-3 is a
+    per-item window — no cartesian, no global sort."""
+    plan = _plan(spark, sf_dir, "item_item_neighbors")
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    assert "Sort [co" not in plan  # no global sort on cosine
+
+
+def test_benford_single_digit_agg(spark, sf_dir):
+    """One 9-key hash agg + broadcast scalar total; the orders scan
+    reads only o_totalprice."""
+    plan = _plan(spark, sf_dir, "benford_audit")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    m = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert any(s.strip() == "o_totalprice:double" for s in m)
+
+
+def test_dsir_broadcasts_bucket_weights(spark, sf_dir):
+    """The 64-row bucket-weight table must broadcast into the per-doc
+    score join; the final top-K compiles to TakeOrdered (no global
+    sort)."""
+    plan = _plan(spark, sf_dir, "dsir_select")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_twap_single_exchange(spark, sf_dir):
+    """lead() window and the per-user aggregate share ONE user_id
+    exchange, all JVM-side."""
+    plan = _plan(spark, sf_dir, "twap_user_value")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
