@@ -1085,3 +1085,185 @@ def item_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .select("item", "neighbor", "co_orders", "cosine")
     )
+
+
+# --- association rules (support / confidence / lift) ------------------------
+
+_RULES_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM op),
+cnt AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS c FROM op
+        GROUP BY l_partkey),
+pair AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+         CAST(count(*) AS BIGINT) AS cab
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+),
+rule AS (
+  SELECT pa AS antecedent, pb AS consequent, cab FROM pair
+  UNION ALL
+  SELECT pb AS antecedent, pa AS consequent, cab FROM pair
+),
+sc AS (
+  SELECT r.antecedent, r.consequent, r.cab AS co_orders,
+         CAST(r.cab AS DOUBLE) / CAST(n.n_orders AS DOUBLE) AS support,
+         CAST(r.cab AS DOUBLE) / CAST(ca.c AS DOUBLE) AS confidence,
+         CAST(r.cab * n.n_orders AS DOUBLE) / CAST(ca.c * cb.c AS DOUBLE)
+           AS lift
+  FROM rule r
+  JOIN cnt ca ON ca.l_partkey = r.antecedent
+  JOIN cnt cb ON cb.l_partkey = r.consequent
+  CROSS JOIN n
+  WHERE r.cab >= 3
+)
+SELECT antecedent, consequent, co_orders, support, confidence, lift
+FROM sc ORDER BY lift DESC, antecedent, consequent LIMIT 30
+"""
+
+
+@query("basket_rules", oracle=_RULES_SQL)
+def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over order baskets (Agrawal & Srikant's
+    Apriori, VLDB 1994, restricted to 2-itemsets): for each rule
+    a -> b with co-order count >= 3, emit support = P(a,b),
+    confidence = P(b|a), lift = P(a,b)/(P(a)P(b)) — the 'frequently
+    bought together' readout with the statistics a merchandiser
+    actually ranks by.
+
+    Determinism: all three ratios are single double expressions over
+    exact int64 counts (cab·N and c_a·c_b stay < 2^53), so both
+    engines produce bit-identical doubles; final ordering ties break
+    on the part ids.
+
+    Plan: the same bounded self-equi-join on l_orderkey as
+    parts_bought_together, two dimension-sized count joins, a
+    broadcast scalar N, and a TakeOrdered top-30 — no global sort.
+    """
+    op = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = op.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    cnt = op.groupBy("l_partkey").agg(F.count("*").alias("c"))
+    a = op.alias("a")
+    b = op.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count("*").alias("cab"))
+        .where(F.col("cab") >= 3)
+    )
+    rule = pair.select(
+        F.col("pa").alias("antecedent"), F.col("pb").alias("consequent"), "cab"
+    ).unionAll(
+        pair.select(
+            F.col("pb").alias("antecedent"), F.col("pa").alias("consequent"),
+            "cab",
+        )
+    )
+    ca = cnt.select(F.col("l_partkey").alias("antecedent"),
+                    F.col("c").alias("c_a"))
+    cb = cnt.select(F.col("l_partkey").alias("consequent"),
+                    F.col("c").alias("c_b"))
+    sc = (
+        rule.join(ca, "antecedent")
+        .join(cb, "consequent")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("cab").alias("co_orders"),
+            (F.col("cab").cast("double") / F.col("n_orders").cast("double"))
+            .alias("support"),
+            (F.col("cab").cast("double") / F.col("c_a").cast("double"))
+            .alias("confidence"),
+            (
+                (F.col("cab") * F.col("n_orders")).cast("double")
+                / (F.col("c_a") * F.col("c_b")).cast("double")
+            ).alias("lift"),
+        )
+    )
+    return sc.orderBy(
+        F.desc("lift"), F.asc("antecedent"), F.asc("consequent")
+    ).limit(30)
+
+
+# --- weekly top-N movers ----------------------------------------------------
+
+_MOVERS_SQL = """
+WITH wk AS (
+  SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS week, l_partkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+              * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+  FROM lineitem GROUP BY 1, 2
+),
+rk AS (
+  SELECT week, l_partkey, revenue,
+         CAST(row_number() OVER (
+           PARTITION BY week ORDER BY revenue DESC, l_partkey) AS BIGINT)
+           AS rnk
+  FROM wk
+),
+lag_rk AS (
+  SELECT week, l_partkey, revenue, rnk,
+         lag(rnk) OVER (PARTITION BY l_partkey ORDER BY week) AS prev_rnk
+  FROM rk
+)
+SELECT week, l_partkey, revenue, rnk,
+       prev_rnk, prev_rnk - rnk AS rank_gain
+FROM lag_rk WHERE rnk <= 10
+"""
+
+
+@query("part_weekly_movers", oracle=_MOVERS_SQL)
+def part_weekly_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly top-10 parts by discounted revenue with rank movement vs
+    the part's previous ranked week (the 'trending items' board:
+    rank_gain > 0 is a climber, NULL prev_rnk is a new entry).
+
+    Revenue uses the repo's exact-decimal money idiom (DECIMAL(18,2) ×
+    (1 − DECIMAL(4,2) discount), summed exactly, ONE final double
+    cast) so ranking is bit-stable; both rank ties and revenue ties
+    break on l_partkey; date_trunc('week') is Monday-anchored in both
+    engines.
+
+    Plan: one hash agg on (week, part), a per-week ranking window,
+    then a per-part lag window — the rank filter applies before the
+    output so the lag window's state is per-part tiny. At 100 TB the
+    weekly aggregate is partial-combinable map-side and each window
+    partitions on a bounded key (weeks, parts).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    wk = (
+        li.groupBy(
+            F.to_date(F.date_trunc("week", "l_shipdate")).alias("week"),
+            "l_partkey",
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+    w_rank = Window.partitionBy("week").orderBy(
+        F.desc("revenue"), F.asc("l_partkey")
+    )
+    rk = wk.withColumn("rnk", F.row_number().over(w_rank).cast("bigint"))
+    w_lag = Window.partitionBy("l_partkey").orderBy("week")
+    out = rk.withColumn("prev_rnk", F.lag("rnk").over(w_lag))
+    return out.where(F.col("rnk") <= 10).select(
+        "week",
+        "l_partkey",
+        "revenue",
+        "rnk",
+        "prev_rnk",
+        (F.col("prev_rnk") - F.col("rnk")).alias("rank_gain"),
+    )

@@ -1125,3 +1125,20 @@ def test_twap_single_exchange(spark, sf_dir):
     plan = _plan(spark, sf_dir, "twap_user_value")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_basket_rules_takeordered_broadcast_total(spark, sf_dir):
+    """Top-30-by-lift compiles to TakeOrdered; the scalar order total
+    broadcasts; pair generation stays an equi-join (no cartesian)."""
+    plan = _plan(spark, sf_dir, "basket_rules")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_weekly_movers_two_windows_one_agg(spark, sf_dir):
+    """Weekly agg feeds a per-week rank window then a per-part lag
+    window; no global sort and no Python."""
+    plan = _plan(spark, sf_dir, "part_weekly_movers")
+    assert plan.count("Window") == 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
