@@ -817,3 +817,125 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("oov_rate"),
     )
+
+
+# --- RAKE keyword extraction -------------------------------------------------
+
+RAKE_TOP_K = 3
+_RAKE_SCALE = 1_000_000
+
+_SQL_STOP_IN = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+_RAKE_SQL = f"""
+WITH tok AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+ph AS (
+  SELECT doc_id, trim(p) AS phrase
+  FROM (
+    SELECT doc_id,
+           unnest(string_split(array_to_string(
+             list_transform(toks, t ->
+               CASE WHEN t IN ({_SQL_STOP_IN}) THEN '|' ELSE t END), ' '),
+             '|')) AS p
+    FROM tok)
+  WHERE trim(p) <> ''
+),
+pw AS (
+  SELECT doc_id, phrase,
+         unnest(string_split(phrase, ' ')) AS word,
+         len(string_split(phrase, ' ')) AS wlen
+  FROM ph
+),
+ws AS (
+  SELECT doc_id, word,
+         (CAST(sum(wlen) AS BIGINT) * {_RAKE_SCALE})
+           // CAST(count(*) AS BIGINT) AS score_micro
+  FROM pw GROUP BY doc_id, word
+),
+phd AS (SELECT DISTINCT doc_id, phrase FROM ph),
+pwd AS (
+  SELECT doc_id, phrase, unnest(string_split(phrase, ' ')) AS word FROM phd
+),
+sc AS (
+  SELECT p.doc_id, p.phrase,
+         CAST(sum(w.score_micro) AS BIGINT) AS score_micro
+  FROM pwd p JOIN ws w ON w.doc_id = p.doc_id AND w.word = p.word
+  GROUP BY p.doc_id, p.phrase
+)
+SELECT doc_id, phrase, score FROM (
+  SELECT doc_id, phrase,
+         CAST(score_micro AS DOUBLE) / CAST({_RAKE_SCALE} AS DOUBLE) AS score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_micro DESC, phrase) AS rn
+  FROM sc) t
+WHERE rn <= {RAKE_TOP_K}
+"""
+
+
+@query("rake_keywords", oracle=_RAKE_SQL)
+def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose, Engel, Cramer & Cowley 2010):
+    candidate phrases are maximal stopword-free token runs; each
+    word's score is degree/frequency where freq counts the word's
+    phrase occurrences and degree sums the lengths of the phrases it
+    occurs in; a phrase scores the sum of its words' scores. Top-3
+    phrases per document.
+
+    Determinism: degree and frequency are exact ints, and the ratio is
+    fixed-point — (deg · 1e6) DIV freq, integer floor division in both
+    engines — so phrase scores are exact BIGINT sums (order-free, no
+    float summation anywhere); ranking ties break on the phrase text
+    and the single final /1e6 double division is shared.
+
+    Plan: phrase splitting is a pure map (stopwords → '|' sentinel
+    inside array transforms, then split); two hash aggs build word
+    stats; the phrase re-score joins on (doc_id, word); top-3 is a
+    per-doc window. All JVM-side.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    marked = F.transform(
+        toks,
+        lambda t: F.when(t.isin(*STOPWORDS), F.lit("|")).otherwise(t),
+    )
+    phrases = F.filter(
+        F.transform(
+            F.split(F.concat_ws(" ", marked), "\\|"), lambda p: F.trim(p)
+        ),
+        lambda p: p != F.lit(""),
+    )
+    ph = docs.select("doc_id", F.explode(phrases).alias("phrase"))
+    words = F.split(F.col("phrase"), " ")
+    pw = ph.select(
+        "doc_id",
+        "phrase",
+        F.size(words).alias("wlen"),
+        F.explode(words).alias("word"),
+    )
+    ws = pw.groupBy("doc_id", "word").agg(
+        F.expr(
+            f"(CAST(sum(wlen) AS BIGINT) * {_RAKE_SCALE}) DIV "
+            "CAST(count(*) AS BIGINT)"
+        ).alias("score_micro")
+    )
+    phd = ph.distinct()
+    pwd = phd.select("doc_id", "phrase", F.explode(words).alias("word"))
+    sc = (
+        pwd.join(ws, ["doc_id", "word"])
+        .groupBy("doc_id", "phrase")
+        .agg(F.sum("score_micro").cast("bigint").alias("score_micro"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_micro"), F.asc("phrase")
+    )
+    return (
+        sc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= RAKE_TOP_K)
+        .select(
+            "doc_id",
+            "phrase",
+            (
+                F.col("score_micro").cast("double")
+                / F.lit(_RAKE_SCALE).cast("double")
+            ).alias("score"),
+        )
+    )

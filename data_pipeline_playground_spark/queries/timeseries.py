@@ -745,3 +745,103 @@ def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "twap"
         ),
     )
+
+
+# --- weekday seasonal decomposition (trend + seasonal + residual) -----------
+
+_DECOMP_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1
+),
+ma AS (
+  SELECT day, rev,
+         SUM(rev) OVER w AS m7,
+         count(*) OVER w AS n7
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+valid AS (
+  SELECT day, rev, CASE WHEN n7 = 7 THEN m7 END AS m7,
+         CAST(isodow(day) AS BIGINT) AS iso_dow
+  FROM ma
+),
+seas AS (
+  SELECT iso_dow,
+         CAST(7 * SUM(CASE WHEN m7 IS NOT NULL THEN rev END)
+              - SUM(m7) AS DOUBLE)
+           / CAST(7 * count(m7) AS DOUBLE) AS seasonal
+  FROM valid GROUP BY iso_dow
+)
+SELECT v.day, CAST(v.rev AS DOUBLE) AS revenue,
+       CAST(v.m7 AS DOUBLE) / CAST(7 AS DOUBLE) AS trend,
+       v.iso_dow, s.seasonal,
+       CAST(v.rev AS DOUBLE) - CAST(v.m7 AS DOUBLE) / CAST(7 AS DOUBLE)
+         - s.seasonal AS residual
+FROM valid v JOIN seas s ON s.iso_dow = v.iso_dow
+"""
+
+
+@query("revenue_seasonal_decompose", oracle=_DECOMP_SQL)
+def revenue_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of daily revenue
+    (the moving-average step of STL's ancestor, Macaulay 1931):
+    trend = centered 7-day moving average (only where the full 7-day
+    frame exists), weekday seasonal index = mean detrended revenue per
+    ISO weekday, residual = revenue − trend − seasonal. The anomaly
+    baseline a forecaster subtracts first.
+
+    Parity: daily revenue and the 7-day window SUM stay exact
+    DECIMAL; the seasonal mean avoids float summation entirely via
+    (7·Σrev − Σm7) / (7·n) — two exact decimal sums combined in ONE
+    shared double expression (the memory transcendental-free rule);
+    trend and residual are single double trees per row. Weekday via
+    ISO day-of-week (Mon=1) in both engines.
+
+    Plan: one hash agg to the daily frame, then a single-partition
+    ROWS window — bounded by |days|, the same post-aggregate-frame
+    argument as daily_revenue_backtest — a 7-row seasonal aggregate,
+    and a broadcast join back.
+    """
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    ma = daily.select(
+        "day",
+        "rev",
+        F.sum("rev").over(w).alias("m7_raw"),
+        F.count("*").over(w).alias("n7"),
+    )
+    valid = ma.select(
+        "day",
+        "rev",
+        F.when(F.col("n7") == 7, F.col("m7_raw")).alias("m7"),
+        (F.weekday("day") + F.lit(1)).cast("bigint").alias("iso_dow"),
+    )
+    seas = valid.groupBy("iso_dow").agg(
+        (
+            (
+                F.lit(7)
+                * F.sum(F.when(F.col("m7").isNotNull(), F.col("rev")))
+                - F.sum("m7")
+            ).cast("double")
+            / (F.lit(7) * F.count("m7")).cast("double")
+        ).alias("seasonal")
+    )
+    trend = F.col("m7").cast("double") / F.lit(7).cast("double")
+    return (
+        valid.join(F.broadcast(seas), "iso_dow")
+        .select(
+            "day",
+            F.col("rev").cast("double").alias("revenue"),
+            trend.alias("trend"),
+            "iso_dow",
+            "seasonal",
+            (F.col("rev").cast("double") - trend - F.col("seasonal")).alias(
+                "residual"
+            ),
+        )
+    )

@@ -1142,3 +1142,21 @@ def test_weekly_movers_two_windows_one_agg(spark, sf_dir):
     plan = _plan(spark, sf_dir, "part_weekly_movers")
     assert plan.count("Window") == 2
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rake_all_jvm_no_cartesian(spark, sf_dir):
+    """RAKE phrase splitting is array-transform map work; scoring is
+    hash aggs + an equi-join on (doc_id, word) — no Python stage, no
+    cartesian."""
+    plan = _plan(spark, sf_dir, "rake_keywords")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_seasonal_decompose_windows_above_daily_agg(spark, sf_dir):
+    """The 7-day MA window must run over the DAILY aggregate (bounded
+    frame), and the weekday index joins back via broadcast."""
+    plan = _plan(spark, sf_dir, "revenue_seasonal_decompose")
+    assert "BroadcastHashJoin" in plan
+    # window over the aggregated daily frame, printed above its input agg
+    assert plan.index("Window") < plan.index("HashAggregate")
