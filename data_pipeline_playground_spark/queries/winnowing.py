@@ -77,58 +77,84 @@ def _token_hashes(text_col: str) -> Column:
     )
 
 
+def _once(expr: Column, body) -> Column:
+    """Evaluate ``expr`` exactly ONCE and bind it as a lambda variable.
+
+    Catalyst's CollapseProject inlines a projected alias into every
+    use site of the next projection — with ~10 references to the
+    token-hash / gram arrays in the winnowing predicate, that
+    re-executed the whole tokenize→hash chain per reference
+    (measured 98 s for 5 000 docs at sf0.1, ~14× expression blow-up
+    visible in the plan). Wrapping the expression in a one-element
+    array and going through ``transform`` turns every downstream
+    reference into a cheap lambda-variable lookup.
+    """
+    return F.element_at(F.transform(F.array(expr), body), 1)
+
+
+def _fingerprint_col() -> Column:
+    """array<struct<pos,fp>> of winnowed fingerprints for ``text``."""
+
+    def grams(th: Column) -> Column:
+        # gram hash at i (1-based, i in 1..len-K+1): 3-token fold.
+        return F.when(
+            F.size(th) >= K,
+            F.transform(
+                F.sequence(F.lit(1), F.size(th) - (K - 1)),
+                lambda i: (
+                    (F.element_at(th, i) * ROLL_BASE + F.element_at(th, i + 1))
+                    % ROLL_MOD
+                    * ROLL_BASE
+                    + F.element_at(th, i + 2)
+                )
+                % ROLL_MOD,
+            ),
+        )
+
+    def winnow(g: Column) -> Column:
+        m = F.size(g)
+
+        def nb(j: Column, off: int) -> Column:
+            # 0-based get → NULL out of bounds (never an ANSI error).
+            return F.get(g, j + F.lit(off - 1))
+
+        def sel(j: Column) -> Column:
+            h = F.element_at(g, j)
+            c = lambda x: F.coalesce(x, F.lit(False))  # noqa: E731
+            l1 = c(nb(j, -1) >= h)
+            l2 = l1 & c(nb(j, -2) >= h)
+            l3 = l2 & c(nb(j, -3) >= h)
+            r1 = c(nb(j, 1) > h)
+            r2 = r1 & c(nb(j, 2) > h)
+            r3 = r2 & c(nb(j, 3) > h)
+            lmax = l1.cast("int") + l2.cast("int") + l3.cast("int")
+            rmax = r1.cast("int") + r2.cast("int") + r3.cast("int")
+            need = F.greatest(F.lit(0), j + (W - 1) - m, F.lit(W - 1) - rmax)
+            have = F.least(F.lit(W - 1), j - 1, lmax)
+            return need <= have
+
+        return F.transform(
+            F.filter(F.sequence(F.lit(1), m), sel),
+            lambda j: F.struct(
+                j.cast("long").alias("pos"), F.element_at(g, j).alias("fp")
+            ),
+        )
+
+    return _once(
+        _token_hashes("text"), lambda th: _once(grams(th), winnow)
+    )
+
+
 def _with_fingerprints(docs: DataFrame) -> DataFrame:
-    """doc_id, pos (gram index, 1-based), fp (winnowed gram hash)."""
-    th = _token_hashes("text")
-    # gram hash at i (1-based, i in 1..len-K+1): 3-token polynomial fold.
-    g = F.when(
-        F.size(th) >= K,
-        F.transform(
-            F.sequence(F.lit(1), F.size(th) - (K - 1)),
-            lambda i: (
-                (F.element_at(th, i) * ROLL_BASE + F.element_at(th, i + 1))
-                % ROLL_MOD
-                * ROLL_BASE
-                + F.element_at(th, i + 2)
-            )
-            % ROLL_MOD,
-        ),
-    )
-    docs = docs.select("doc_id", g.alias("g"))
-    g = F.col("g")
-    m = F.size(g)
+    """doc_id, pos (gram index, 1-based), fp (winnowed gram hash).
 
-    def nb(j: Column, off: int) -> Column:
-        # 0-based get → NULL out of bounds (never an ANSI error).
-        return F.get(g, j + F.lit(off - 1))
-
-    def sel(j: Column) -> Column:
-        h = F.element_at(g, j)
-        c = lambda x: F.coalesce(x, F.lit(False))  # noqa: E731
-        l1 = c(nb(j, -1) >= h)
-        l2 = l1 & c(nb(j, -2) >= h)
-        l3 = l2 & c(nb(j, -3) >= h)
-        r1 = c(nb(j, 1) > h)
-        r2 = r1 & c(nb(j, 2) > h)
-        r3 = r2 & c(nb(j, 3) > h)
-        lmax = l1.cast("int") + l2.cast("int") + l3.cast("int")
-        rmax = r1.cast("int") + r2.cast("int") + r3.cast("int")
-        need = F.greatest(F.lit(0), j + (W - 1) - m, F.lit(W - 1) - rmax)
-        have = F.least(F.lit(W - 1), j - 1, lmax)
-        return need <= have
-
-    picks = F.filter(F.sequence(F.lit(1), m), sel)
-    fps = F.transform(
-        picks,
-        lambda j: F.struct(
-            j.cast("long").alias("pos"), F.element_at(g, j).alias("fp")
-        ),
-    )
-    return (
-        docs.where(m >= W)
-        .select("doc_id", F.explode(fps).alias("s"))
-        .select("doc_id", "s.pos", "s.fp")
-    )
+    Docs with fewer than W grams select nothing (the window-existence
+    term of the predicate), so the explode drops them — no explicit
+    length filter needed.
+    """
+    return docs.select(
+        "doc_id", F.explode(_fingerprint_col()).alias("s")
+    ).select("doc_id", "s.pos", "s.fp")
 
 
 # Shared oracle CTE chain: tokens → token hashes → gram hashes →
