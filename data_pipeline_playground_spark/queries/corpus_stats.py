@@ -652,3 +652,180 @@ def feature_hash_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("freq_in_bucket").cast("double")
         ).alias("freq_collision_share"),
     )
+
+
+# --- per-document n-gram novelty --------------------------------------------
+
+NOVELTY_N = 3
+
+_NOVELTY_SQL = f"""
+WITH tok AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, len(toks) - {NOVELTY_N - 1}),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gram
+  FROM tok WHERE len(toks) >= {NOVELTY_N}
+),
+first AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram),
+per_doc AS (
+  SELECT g.doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_novel
+  FROM g JOIN first f ON f.gram = g.gram
+  GROUP BY g.doc_id
+)
+SELECT doc_id, n_grams, n_novel,
+       CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE) AS novelty_ratio
+FROM per_doc
+"""
+
+
+@query("ngram_novelty", oracle=_NOVELTY_SQL)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-growth novelty curve: for each document (in doc_id
+    arrival order), the fraction of its distinct word 3-grams that no
+    earlier document contains — the marginal-content audit a crawl
+    pipeline uses to decide when a source has stopped contributing
+    new text (novelty decays toward pure-duplicate sources).
+
+    First occurrence is min(doc_id) per gram — an order-free
+    combinable aggregate, NOT a running scan, so 'seen before' needs
+    no sequential pass. Ratio is one double division of exact counts.
+
+    Plan: distinct-gram explode (map) → min-agg keyed on the gram →
+    join back on the gram (co-partitioned with the agg) → per-doc
+    count. Every shuffle keys on gram or doc_id; at 100 TB the gram
+    key becomes its xxhash64 like duplicate_spans.
+    """
+    docs = table(spark, sf_dir, "documents")
+    from data_pipeline_playground_spark.functions.text import word_ngrams
+
+    g = docs.select(
+        "doc_id",
+        F.explode(word_ngrams(tokenize(F.col("text")), NOVELTY_N)).alias(
+            "gram"
+        ),
+    )
+    first = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        g.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_novel",
+        (F.col("n_novel").cast("double") / F.col("n_grams").cast("double"))
+        .alias("novelty_ratio"),
+    )
+
+
+# --- χ² term-class association (feature selection) --------------------------
+
+CHI2_TARGET_LANG = "es"
+CHI2_MIN_DF = 5
+CHI2_TOP_K = 20
+
+_CHI2_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(list_distinct({_SQL_TOKENS})) AS term
+  FROM documents
+),
+tot AS (
+  SELECT CAST(count(DISTINCT CASE WHEN lang = '{CHI2_TARGET_LANG}'
+                                  THEN doc_id END) AS BIGINT) AS n_t,
+         CAST(count(DISTINCT CASE WHEN lang <> '{CHI2_TARGET_LANG}'
+                                  THEN doc_id END) AS BIGINT) AS n_o
+  FROM documents
+),
+df AS (
+  SELECT term,
+         CAST(sum(CASE WHEN lang = '{CHI2_TARGET_LANG}'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+         CAST(sum(CASE WHEN lang <> '{CHI2_TARGET_LANG}'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n10
+  FROM tok GROUP BY term
+),
+sc AS (
+  SELECT d.term, d.n11, d.n10,
+         CAST(t.n_t + t.n_o AS DOUBLE)
+           * CAST(d.n11 * (t.n_o - d.n10) - d.n10 * (t.n_t - d.n11)
+                  AS DOUBLE)
+           * CAST(d.n11 * (t.n_o - d.n10) - d.n10 * (t.n_t - d.n11)
+                  AS DOUBLE)
+           / (CAST(d.n11 + d.n10 AS DOUBLE)
+              * CAST(t.n_t + t.n_o - d.n11 - d.n10 AS DOUBLE)
+              * CAST(t.n_t AS DOUBLE) * CAST(t.n_o AS DOUBLE)) AS chi2
+  FROM df d CROSS JOIN tot t
+  WHERE d.n11 + d.n10 >= {CHI2_MIN_DF}
+)
+SELECT term, n11, n10, chi2 FROM sc
+ORDER BY chi2 DESC, term LIMIT {CHI2_TOP_K}
+"""
+
+
+@query("term_lang_chi2", oracle=_CHI2_SQL)
+def term_lang_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² feature selection (the standard text-classification feature
+    ranker, e.g. Yang & Pedersen 1997): terms most associated with
+    the target language's documents via the 2×2 contingency
+    χ² = N(n11·n00 − n10·n01)² / ((n11+n10)(n01+n00)(n1·)(n0·)),
+    document-frequency based, min-df floor, top-20.
+
+    Determinism: all contingency cells are exact int64 document
+    counts; χ² is ONE shared double expression (each factor converted
+    from an exact int — products < 2^53 at every tested SF; at
+    billion-doc scale the squared term needs the DECIMAL(30) rescale
+    noted for CUSUM). Ties break on the term.
+
+    Plan: distinct (doc, term) explode → one term-keyed agg → scalar
+    totals broadcast (BNLJ on a 1-row build side) → TakeOrdered.
+    """
+    docs = table(spark, sf_dir, "documents")
+    is_t = F.col("lang") == CHI2_TARGET_LANG
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.array_distinct(tokenize(F.col("text")))).alias("term"),
+    )
+    tot = docs.agg(
+        F.count_distinct(F.when(is_t, F.col("doc_id"))).alias("n_t"),
+        F.count_distinct(F.when(~is_t, F.col("doc_id"))).alias("n_o"),
+    )
+    df_ = tok.groupBy("term").agg(
+        F.sum(F.when(is_t, 1).otherwise(0)).cast("bigint").alias("n11"),
+        F.sum(F.when(~is_t, 1).otherwise(0)).cast("bigint").alias("n10"),
+    )
+    diff = (
+        F.col("n11") * (F.col("n_o") - F.col("n10"))
+        - F.col("n10") * (F.col("n_t") - F.col("n11"))
+    ).cast("double")
+    chi2 = (
+        (F.col("n_t") + F.col("n_o")).cast("double")
+        * diff
+        * diff
+        / (
+            (F.col("n11") + F.col("n10")).cast("double")
+            * (F.col("n_t") + F.col("n_o") - F.col("n11") - F.col("n10")).cast(
+                "double"
+            )
+            * F.col("n_t").cast("double")
+            * F.col("n_o").cast("double")
+        )
+    )
+    sc = (
+        df_.where(F.col("n11") + F.col("n10") >= CHI2_MIN_DF)
+        .crossJoin(F.broadcast(tot))
+        .select("term", "n11", "n10", chi2.alias("chi2"))
+    )
+    return sc.orderBy(F.desc("chi2"), F.asc("term")).limit(CHI2_TOP_K)

@@ -1160,3 +1160,19 @@ def test_seasonal_decompose_windows_above_daily_agg(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     # window over the aggregated daily frame, printed above its input agg
     assert plan.index("Window") < plan.index("HashAggregate")
+
+
+def test_ngram_novelty_gram_keyed_join(spark, sf_dir):
+    """First-occurrence is a min-agg joined back on the gram key —
+    hash joins only, no Python, no cartesian."""
+    plan = _plan(spark, sf_dir, "ngram_novelty")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_term_chi2_broadcast_totals_takeordered(spark, sf_dir):
+    """Scalar totals broadcast (1-row build side) and the top-20
+    compiles to TakeOrdered — no global sort of the vocabulary."""
+    plan = _plan(spark, sf_dir, "term_lang_chi2")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
