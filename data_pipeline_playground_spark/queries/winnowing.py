@@ -50,6 +50,7 @@ from pyspark.sql import functions as F
 from data_pipeline_playground_spark.functions.text import (
     ROLL_BASE,
     ROLL_MOD,
+    once,
     tokenize,
 )
 from data_pipeline_playground_spark.registry import query
@@ -75,21 +76,6 @@ def _token_hashes(text_col: str) -> Column:
             lambda acc, c: (acc * ROLL_BASE + F.ascii(c).cast("long")) % ROLL_MOD,
         ),
     )
-
-
-def _once(expr: Column, body) -> Column:
-    """Evaluate ``expr`` exactly ONCE and bind it as a lambda variable.
-
-    Catalyst's CollapseProject inlines a projected alias into every
-    use site of the next projection — with ~10 references to the
-    token-hash / gram arrays in the winnowing predicate, that
-    re-executed the whole tokenize→hash chain per reference
-    (measured 98 s for 5 000 docs at sf0.1, ~14× expression blow-up
-    visible in the plan). Wrapping the expression in a one-element
-    array and going through ``transform`` turns every downstream
-    reference into a cheap lambda-variable lookup.
-    """
-    return F.element_at(F.transform(F.array(expr), body), 1)
 
 
 def _fingerprint_col() -> Column:
@@ -140,8 +126,8 @@ def _fingerprint_col() -> Column:
             ),
         )
 
-    return _once(
-        _token_hashes("text"), lambda th: _once(grams(th), winnow)
+    return once(
+        _token_hashes("text"), lambda th: once(grams(th), winnow)
     )
 
 
