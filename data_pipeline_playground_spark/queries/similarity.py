@@ -1542,3 +1542,223 @@ def embedding_int8_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.abs(F.col("err"))).alias("max_abs_err"),
         F.count_distinct(F.col("code")).alias("n_codes"),
     )
+
+
+# --- top principal component via unrolled power iteration -------------------
+
+PC_D = 8  # leading Matryoshka block (see embedding_truncation_fidelity)
+PC_ITERS = 5
+_PC_EPS = "1e-300"  # division guard; parses to the same double everywhere
+
+
+def _pc_cov_sql() -> str:
+    """DuckDB CTEs producing the 1-row pivoted covariance (c_ab)."""
+    t = ", ".join(
+        f"CAST(SUM(CAST(CAST(embedding[{a}] AS DOUBLE) AS DECIMAL(12,6))) "
+        f"AS DOUBLE) AS t{a}"
+        for a in range(1, PC_D + 1)
+    )
+    s = ", ".join(
+        f"CAST(SUM(CAST(CAST(CAST(embedding[{a}] AS DOUBLE) AS DECIMAL(12,6))"
+        f" * CAST(CAST(embedding[{b}] AS DOUBLE) AS DECIMAL(12,6))"
+        f" AS DECIMAL(26,12))) AS DOUBLE) AS s{a}_{b}"
+        for a in range(1, PC_D + 1)
+        for b in range(a, PC_D + 1)
+    )
+    c = ", ".join(
+        f"n * s{min(a, b)}_{max(a, b)} - t{a} * t{b} AS c{a}_{b}"
+        for a in range(1, PC_D + 1)
+        for b in range(1, PC_D + 1)
+    )
+    return (
+        f"s AS (SELECT CAST(count(*) AS DOUBLE) AS n, {t}, {s} "
+        "FROM embeddings), "
+        f"c AS (SELECT {c} FROM s)"
+    )
+
+
+def _pc_iter_sql() -> str:
+    """CTE chain i1..iN carrying the normalized vector components."""
+    parts = []
+    prev = "c"
+    v = {a: "CAST(1 AS DOUBLE)" for a in range(1, PC_D + 1)}
+    for it in range(1, PC_ITERS + 1):
+        w = {
+            a: " + ".join(f"c{a}_{b} * ({v[b]})" for b in range(1, PC_D + 1))
+            for a in range(1, PC_D + 1)
+        }
+        wcols = ", ".join(f"{w[a]} AS w{a}" for a in range(1, PC_D + 1))
+        parts.append(f"w{it} AS (SELECT *, {wcols} FROM {prev})")
+        m = ", ".join(f"ABS(w{a})" for a in range(1, PC_D + 1))
+        vcols = ", ".join(
+            f"w{a} / GREATEST({m}, CAST({_PC_EPS} AS DOUBLE)) AS v{a}"
+            for a in range(1, PC_D + 1)
+        )
+        parts.append(
+            f"i{it} AS (SELECT " + ", ".join(
+                f"c{a}_{b}" for a in range(1, PC_D + 1)
+                for b in range(1, PC_D + 1)
+            ) + f", {vcols} FROM w{it})"
+        )
+        prev = f"i{it}"
+        v = {a: f"v{a}" for a in range(1, PC_D + 1)}
+    # final matvec for the Rayleigh quotient
+    w = {
+        a: " + ".join(f"c{a}_{b} * v{b}" for b in range(1, PC_D + 1))
+        for a in range(1, PC_D + 1)
+    }
+    num = " + ".join(f"v{a} * ({w[a]})" for a in range(1, PC_D + 1))
+    den = " + ".join(f"v{a} * v{a}" for a in range(1, PC_D + 1))
+    parts.append(
+        f"f AS (SELECT *, ({num}) / ({den}) AS ray FROM {prev})"
+    )
+    return ", ".join(parts)
+
+
+_TOP_PC_SQL = (
+    "WITH " + _pc_cov_sql() + ", " + _pc_iter_sql() + " "
+    + " UNION ALL ".join(
+        f"SELECT CAST({a} AS BIGINT) AS dim, v{a} AS loading, "
+        "ray AS rayleigh FROM f"
+        for a in range(1, PC_D + 1)
+    )
+)
+
+
+@query("embedding_top_pc", oracle=_TOP_PC_SQL)
+def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal component of the leading 8-dim Matryoshka
+    block of the embedding table, by PC_ITERS unrolled power
+    iterations on the pivoted covariance matrix — the spectral health
+    check behind 'is one direction eating the embedding space'
+    (anisotropy; Mu & Viswanath 2018 'All-but-the-Top'). Output: the
+    max-normalized loading per dimension plus the Rayleigh quotient
+    (top eigenvalue of the unnormalized scatter).
+
+    Determinism end to end: inputs snap to DECIMAL(12,6); scatter
+    moments are exact decimal sums (summands ≤ DECIMAL(26,12), both
+    engines widen exactly; scaled values stay < 2^63 through ~1e8
+    rows — beyond that, shard the sums); covariance n·Σxy − ΣxΣy and
+    every iteration are ONE shared double expression tree with
+    left-associated 8-term matvecs and max-norm (no sqrt), so both
+    engines produce bit-identical doubles. The whole iteration runs
+    on a ONE-ROW frame — the only data-sized work is the single-pass
+    44-column aggregate (partial-combinable map-side).
+
+    Catalyst note: the iteration binds the covariance array and each
+    intermediate vector via once() — without it, inlining grows the
+    expression tree ~8× per unrolled iteration.
+    """
+    from functools import reduce
+
+    from data_pipeline_playground_spark.functions.text import once
+
+    embs = table(spark, sf_dir, "embeddings")
+
+    def x(a: int) -> Column:
+        return (
+            F.element_at(F.col("embedding"), a)
+            .cast("double")
+            .cast("decimal(12,6)")
+        )
+
+    aggs = [F.count("*").cast("double").alias("n")]
+    aggs += [
+        F.sum(x(a)).cast("double").alias(f"t{a}") for a in range(1, PC_D + 1)
+    ]
+    aggs += [
+        F.sum((x(a) * x(b)).cast("decimal(26,12)"))
+        .cast("double")
+        .alias(f"s{a}_{b}")
+        for a in range(1, PC_D + 1)
+        for b in range(a, PC_D + 1)
+    ]
+    agg = embs.agg(*aggs)
+
+    def cov(a: int, b: int) -> Column:
+        lo, hi = min(a, b), max(a, b)
+        return F.col("n") * F.col(f"s{lo}_{hi}") - F.col(f"t{a}") * F.col(
+            f"t{b}"
+        )
+
+    c_arr = F.array(
+        *[
+            F.array(*[cov(a, b) for b in range(1, PC_D + 1)])
+            for a in range(1, PC_D + 1)
+        ]
+    )
+
+    def matvec(C: Column, v) -> Column:
+        """v: callable b -> Column (1-based). Left-associated 8-term
+        dot products — the same tree as the oracle's ``+`` chain."""
+        return F.array(
+            *[
+                reduce(
+                    lambda acc, term: acc + term,
+                    [
+                        F.element_at(F.element_at(C, a), b) * v(b)
+                        for b in range(1, PC_D + 1)
+                    ],
+                )
+                for a in range(1, PC_D + 1)
+            ]
+        )
+
+    eps = F.expr(f"CAST({_PC_EPS} AS DOUBLE)")
+
+    def normalize(w: Column) -> Column:
+        m = F.greatest(
+            *[F.abs(F.element_at(w, a)) for a in range(1, PC_D + 1)], eps
+        )
+        return F.transform(w, lambda e: e / m)
+
+    def iterate(C: Column, v_expr: Column, rounds: int) -> Column:
+        if rounds == 0:
+            return v_expr
+        nxt = once(
+            v_expr,
+            lambda v: once(
+                matvec(C, lambda b: F.element_at(v, b)), normalize
+            ),
+        )
+        return iterate(C, nxt, rounds - 1)
+
+    def result(C: Column) -> Column:
+        v0 = F.array(*[F.lit(1.0) for _ in range(PC_D)])
+        vfin = iterate(C, v0, PC_ITERS)
+        return once(
+            vfin,
+            lambda v: once(
+                matvec(C, lambda b: F.element_at(v, b)),
+                lambda w: F.array(
+                    *[
+                        F.struct(
+                            F.lit(a).cast("bigint").alias("dim"),
+                            F.element_at(v, a).alias("loading"),
+                            (
+                                reduce(
+                                    lambda acc, t: acc + t,
+                                    [
+                                        F.element_at(v, i)
+                                        * F.element_at(w, i)
+                                        for i in range(1, PC_D + 1)
+                                    ],
+                                )
+                                / reduce(
+                                    lambda acc, t: acc + t,
+                                    [
+                                        F.element_at(v, i)
+                                        * F.element_at(v, i)
+                                        for i in range(1, PC_D + 1)
+                                    ],
+                                )
+                            ).alias("rayleigh"),
+                        )
+                        for a in range(1, PC_D + 1)
+                    ]
+                ),
+            ),
+        )
+
+    out = agg.select(F.explode(once(c_arr, result)).alias("r"))
+    return out.select("r.dim", "r.loading", "r.rayleigh")

@@ -1176,3 +1176,15 @@ def test_term_chi2_broadcast_totals_takeordered(spark, sf_dir):
     plan = _plan(spark, sf_dir, "term_lang_chi2")
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_top_pc_single_pass_agg_no_python(spark, sf_dir):
+    """The PCA power iteration must be ONE single-pass aggregate over
+    the embeddings scan (44 moment columns, partial-combinable) plus
+    scalar expression work on the 1-row result — no Python stage, no
+    join, no second scan."""
+    plan = _plan(spark, sf_dir, "embedding_top_pc")
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
