@@ -1551,78 +1551,84 @@ PC_ITERS = 5
 _PC_EPS = "1e-300"  # division guard; parses to the same double everywhere
 
 
-def _pc_cov_sql() -> str:
-    """DuckDB CTEs producing the 1-row pivoted covariance (c_ab)."""
+def _pc_sql(elem, src: str, final: str = "union") -> str:
+    """Generate the ENTIRE power-iteration query for either dialect.
+
+    ``elem(a)`` renders 1-based access to embedding component a
+    (DuckDB ``embedding[a]``, Spark ``element_at(embedding, a)`` —
+    Spark's ``[]`` is 0-based); everything else — decimal moment
+    sums, covariance pivot, unrolled iterations, Rayleigh quotient —
+    is textually IDENTICAL in both engines, which is what makes the
+    result bit-exact: same literals, same operators, same
+    associativity, evaluated by two SQL engines over the same doubles.
+
+    Emitting SQL text (rather than composing PySpark Columns) also
+    matters operationally: building the ~3000-node expression through
+    the Column API cost ~9 s of Py4J round-trips per invocation;
+    one spark.sql() call parses it in milliseconds.
+    """
+    dims = range(1, PC_D + 1)
+
+    def dec(a):
+        return f"CAST(CAST({elem(a)} AS DOUBLE) AS DECIMAL(12,6))"
+
     t = ", ".join(
-        f"CAST(SUM(CAST(CAST(embedding[{a}] AS DOUBLE) AS DECIMAL(12,6))) "
-        f"AS DOUBLE) AS t{a}"
-        for a in range(1, PC_D + 1)
+        f"CAST(SUM({dec(a)}) AS DOUBLE) AS t{a}" for a in dims
     )
-    s = ", ".join(
-        f"CAST(SUM(CAST(CAST(CAST(embedding[{a}] AS DOUBLE) AS DECIMAL(12,6))"
-        f" * CAST(CAST(embedding[{b}] AS DOUBLE) AS DECIMAL(12,6))"
-        f" AS DECIMAL(26,12))) AS DOUBLE) AS s{a}_{b}"
-        for a in range(1, PC_D + 1)
-        for b in range(a, PC_D + 1)
+    sm = ", ".join(
+        f"CAST(SUM(CAST({dec(a)} * {dec(b)} AS DECIMAL(26,12))) "
+        f"AS DOUBLE) AS s{a}_{b}"
+        for a in dims for b in range(a, PC_D + 1)
     )
     c = ", ".join(
         f"n * s{min(a, b)}_{max(a, b)} - t{a} * t{b} AS c{a}_{b}"
-        for a in range(1, PC_D + 1)
-        for b in range(1, PC_D + 1)
+        for a in dims for b in dims
     )
-    return (
-        f"s AS (SELECT CAST(count(*) AS DOUBLE) AS n, {t}, {s} "
-        "FROM embeddings), "
-        f"c AS (SELECT {c} FROM s)"
-    )
-
-
-def _pc_iter_sql() -> str:
-    """CTE chain i1..iN carrying the normalized vector components."""
-    parts = []
+    parts = [
+        f"s AS (SELECT CAST(count(*) AS DOUBLE) AS n, {t}, {sm} FROM {src})",
+        f"c AS (SELECT {c} FROM s)",
+    ]
     prev = "c"
-    v = {a: "CAST(1 AS DOUBLE)" for a in range(1, PC_D + 1)}
+    v = {a: "CAST(1 AS DOUBLE)" for a in dims}
+    ccols = ", ".join(f"c{a}_{b}" for a in dims for b in dims)
     for it in range(1, PC_ITERS + 1):
         w = {
-            a: " + ".join(f"c{a}_{b} * ({v[b]})" for b in range(1, PC_D + 1))
-            for a in range(1, PC_D + 1)
+            a: " + ".join(f"c{a}_{b} * ({v[b]})" for b in dims) for a in dims
         }
-        wcols = ", ".join(f"{w[a]} AS w{a}" for a in range(1, PC_D + 1))
+        wcols = ", ".join(f"{w[a]} AS w{a}" for a in dims)
         parts.append(f"w{it} AS (SELECT *, {wcols} FROM {prev})")
-        m = ", ".join(f"ABS(w{a})" for a in range(1, PC_D + 1))
+        m = ", ".join(f"ABS(w{a})" for a in dims)
         vcols = ", ".join(
             f"w{a} / GREATEST({m}, CAST({_PC_EPS} AS DOUBLE)) AS v{a}"
-            for a in range(1, PC_D + 1)
+            for a in dims
         )
-        parts.append(
-            f"i{it} AS (SELECT " + ", ".join(
-                f"c{a}_{b}" for a in range(1, PC_D + 1)
-                for b in range(1, PC_D + 1)
-            ) + f", {vcols} FROM w{it})"
-        )
+        parts.append(f"i{it} AS (SELECT {ccols}, {vcols} FROM w{it})")
         prev = f"i{it}"
-        v = {a: f"v{a}" for a in range(1, PC_D + 1)}
-    # final matvec for the Rayleigh quotient
-    w = {
-        a: " + ".join(f"c{a}_{b} * v{b}" for b in range(1, PC_D + 1))
-        for a in range(1, PC_D + 1)
-    }
-    num = " + ".join(f"v{a} * ({w[a]})" for a in range(1, PC_D + 1))
-    den = " + ".join(f"v{a} * v{a}" for a in range(1, PC_D + 1))
-    parts.append(
-        f"f AS (SELECT *, ({num}) / ({den}) AS ray FROM {prev})"
-    )
-    return ", ".join(parts)
+        v = {a: f"v{a}" for a in dims}
+    w = {a: " + ".join(f"c{a}_{b} * v{b}" for b in dims) for a in dims}
+    num = " + ".join(f"v{a} * ({w[a]})" for a in dims)
+    den = " + ".join(f"v{a} * v{a}" for a in dims)
+    parts.append(f"f AS (SELECT *, ({num}) / ({den}) AS ray FROM {prev})")
+    if final == "union":
+        tail = " UNION ALL ".join(
+            f"SELECT CAST({a} AS BIGINT) AS dim, v{a} AS loading, "
+            "ray AS rayleigh FROM f"
+            for a in dims
+        )
+    else:
+        # Spark: UNION ALL branches each re-execute the CTE pipeline
+        # (8 FileScans of the fact table); inline() explodes an array
+        # of structs from ONE scan instead. Values are identical.
+        structs = ", ".join(
+            f"struct(CAST({a} AS BIGINT) AS dim, v{a} AS loading, "
+            "ray AS rayleigh)"
+            for a in dims
+        )
+        tail = f"SELECT inline(array({structs})) FROM f"
+    return "WITH " + ", ".join(parts) + " " + tail
 
 
-_TOP_PC_SQL = (
-    "WITH " + _pc_cov_sql() + ", " + _pc_iter_sql() + " "
-    + " UNION ALL ".join(
-        f"SELECT CAST({a} AS BIGINT) AS dim, v{a} AS loading, "
-        "ray AS rayleigh FROM f"
-        for a in range(1, PC_D + 1)
-    )
-)
+_TOP_PC_SQL = _pc_sql(lambda a: f"embedding[{a}]", "embeddings")
 
 
 @query("embedding_top_pc", oracle=_TOP_PC_SQL)
@@ -1639,126 +1645,19 @@ def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     moments are exact decimal sums (summands ≤ DECIMAL(26,12), both
     engines widen exactly; scaled values stay < 2^63 through ~1e8
     rows — beyond that, shard the sums); covariance n·Σxy − ΣxΣy and
-    every iteration are ONE shared double expression tree with
+    every iteration are ONE shared expression TEXT (see _pc_sql) with
     left-associated 8-term matvecs and max-norm (no sqrt), so both
     engines produce bit-identical doubles. The whole iteration runs
     on a ONE-ROW frame — the only data-sized work is the single-pass
-    44-column aggregate (partial-combinable map-side).
-
-    Catalyst note: the iteration binds the covariance array and each
-    intermediate vector via once() — without it, inlining grows the
-    expression tree ~8× per unrolled iteration.
+    45-column moment aggregate (partial-combinable map-side).
     """
-    from functools import reduce
-
-    from data_pipeline_playground_spark.functions.text import once
-
-    embs = table(spark, sf_dir, "embeddings")
-
-    def x(a: int) -> Column:
-        return (
-            F.element_at(F.col("embedding"), a)
-            .cast("double")
-            .cast("decimal(12,6)")
-        )
-
-    aggs = [F.count("*").cast("double").alias("n")]
-    aggs += [
-        F.sum(x(a)).cast("double").alias(f"t{a}") for a in range(1, PC_D + 1)
-    ]
-    aggs += [
-        F.sum((x(a) * x(b)).cast("decimal(26,12)"))
-        .cast("double")
-        .alias(f"s{a}_{b}")
-        for a in range(1, PC_D + 1)
-        for b in range(a, PC_D + 1)
-    ]
-    agg = embs.agg(*aggs)
-
-    def cov(a: int, b: int) -> Column:
-        lo, hi = min(a, b), max(a, b)
-        return F.col("n") * F.col(f"s{lo}_{hi}") - F.col(f"t{a}") * F.col(
-            f"t{b}"
-        )
-
-    c_arr = F.array(
-        *[
-            F.array(*[cov(a, b) for b in range(1, PC_D + 1)])
-            for a in range(1, PC_D + 1)
-        ]
+    table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "_embeddings_pc"
     )
-
-    def matvec(C: Column, v) -> Column:
-        """v: callable b -> Column (1-based). Left-associated 8-term
-        dot products — the same tree as the oracle's ``+`` chain."""
-        return F.array(
-            *[
-                reduce(
-                    lambda acc, term: acc + term,
-                    [
-                        F.element_at(F.element_at(C, a), b) * v(b)
-                        for b in range(1, PC_D + 1)
-                    ],
-                )
-                for a in range(1, PC_D + 1)
-            ]
+    return spark.sql(
+        _pc_sql(
+            lambda a: f"element_at(embedding, {a})",
+            "_embeddings_pc",
+            final="inline",
         )
-
-    eps = F.expr(f"CAST({_PC_EPS} AS DOUBLE)")
-
-    def normalize(w: Column) -> Column:
-        m = F.greatest(
-            *[F.abs(F.element_at(w, a)) for a in range(1, PC_D + 1)], eps
-        )
-        return F.transform(w, lambda e: e / m)
-
-    def iterate(C: Column, v_expr: Column, rounds: int) -> Column:
-        if rounds == 0:
-            return v_expr
-        nxt = once(
-            v_expr,
-            lambda v: once(
-                matvec(C, lambda b: F.element_at(v, b)), normalize
-            ),
-        )
-        return iterate(C, nxt, rounds - 1)
-
-    def result(C: Column) -> Column:
-        v0 = F.array(*[F.lit(1.0) for _ in range(PC_D)])
-        vfin = iterate(C, v0, PC_ITERS)
-        return once(
-            vfin,
-            lambda v: once(
-                matvec(C, lambda b: F.element_at(v, b)),
-                lambda w: F.array(
-                    *[
-                        F.struct(
-                            F.lit(a).cast("bigint").alias("dim"),
-                            F.element_at(v, a).alias("loading"),
-                            (
-                                reduce(
-                                    lambda acc, t: acc + t,
-                                    [
-                                        F.element_at(v, i)
-                                        * F.element_at(w, i)
-                                        for i in range(1, PC_D + 1)
-                                    ],
-                                )
-                                / reduce(
-                                    lambda acc, t: acc + t,
-                                    [
-                                        F.element_at(v, i)
-                                        * F.element_at(v, i)
-                                        for i in range(1, PC_D + 1)
-                                    ],
-                                )
-                            ).alias("rayleigh"),
-                        )
-                        for a in range(1, PC_D + 1)
-                    ]
-                ),
-            ),
-        )
-
-    out = agg.select(F.explode(once(c_arr, result)).alias("r"))
-    return out.select("r.dim", "r.loading", "r.rayleigh")
+    )
