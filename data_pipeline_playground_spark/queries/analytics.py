@@ -1267,3 +1267,103 @@ def part_weekly_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev_rnk",
         (F.col("prev_rnk") - F.col("rnk")).alias("rank_gain"),
     )
+
+
+# --- RFM customer segmentation ----------------------------------------------
+
+_RFM_SQL = """
+WITH ref AS (SELECT max(CAST(o_orderdate AS DATE)) AS ref_day FROM orders),
+c AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', max(CAST(o_orderdate AS DATE)),
+                        (SELECT ref_day FROM ref)) AS BIGINT) AS recency_days,
+         CAST(count(*) AS BIGINT) AS frequency,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+sc AS (
+  SELECT o_custkey, recency_days, frequency,
+         CAST(monetary AS DOUBLE) AS monetary,
+         5 - ntile(4) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+         5 - ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+         5 - ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+  FROM c
+)
+SELECT o_custkey, recency_days, frequency, monetary,
+       CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+       CAST(m_score AS INT) AS m_score,
+       CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS segment
+FROM sc
+"""
+
+
+@query("customer_rfm_segments", oracle=_RFM_SQL)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (Hughes 1994 — the classic marketing
+    scorecard): per customer, quartile scores for Recency (days since
+    last order vs the corpus max date), Frequency (order count) and
+    Monetary (exact-decimal spend), each 4 = best, composed into a
+    3-digit segment (444 = champions, 111 = lost).
+
+    The oracle states the semantics with three ntile(4) windows; the
+    Spark side computes the SAME buckets with the scale path —
+    operators/ranking.global_rank (range-partition + per-bucket
+    row_number + broadcast offsets, the two-level scheme promoted
+    from customer_spend_quartiles_ranked) + exact_ntile integer
+    bucket math, once per dimension (descending dims rank on the
+    negated key). No single-partition sort of the customer frame
+    anywhere; equivalence to the window formulation is certified by
+    the shared oracle every run.
+    """
+    from data_pipeline_playground_spark.operators.ranking import (
+        exact_ntile,
+        global_rank,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    ref = o.agg(F.max(F.to_date("o_orderdate")).alias("ref_day"))
+    c = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_day"),
+            F.count("*").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                "monetary"
+            ),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "o_custkey",
+            F.datediff("ref_day", "last_day").cast("bigint").alias(
+                "recency_days"
+            ),
+            "frequency",
+            "monetary",
+            (-F.col("frequency")).alias("neg_f"),
+            (-F.col("monetary")).alias("neg_m"),
+        )
+    )
+    for dim, keys in [
+        ("r", ["recency_days", "o_custkey"]),
+        ("f", ["neg_f", "o_custkey"]),
+        ("m", ["neg_m", "o_custkey"]),
+    ]:
+        c = global_rank(c, keys, rank_name="_rank", total_name="_n")
+        c = c.withColumn(
+            f"{dim}_score",
+            (F.lit(5) - exact_ntile(F.col("_rank"), F.col("_n"), 4)).cast(
+                "int"
+            ),
+        ).drop("_rank", "_n")
+    return c.select(
+        "o_custkey",
+        "recency_days",
+        F.col("frequency").cast("bigint").alias("frequency"),
+        F.col("monetary").cast("double").alias("monetary"),
+        "r_score",
+        "f_score",
+        "m_score",
+        (
+            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+        ).cast("int").alias("segment"),
+    )

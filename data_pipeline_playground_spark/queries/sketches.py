@@ -244,3 +244,168 @@ def bloom_blocklist_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("no_false_neg"),
         )
     )
+
+
+# --- deterministic bootstrap CI for the median -------------------------------
+
+CI_SAMPLE_N = 400
+CI_B = 100  # resamples; CI = 3rd / 98th order stats (~95% percentile CI)
+_CI_MULT = 2654435761  # Knuth multiplicative constant
+_CI_MOD = 1_000_000_007
+
+_MEDIAN_CI_SQL = f"""
+WITH ev AS (
+  SELECT event_type, event_id, value,
+         (event_id * {_CI_MULT}) % {_CI_MOD} AS h
+  FROM events WHERE value IS NOT NULL
+),
+samp AS (
+  SELECT event_type, v, idx FROM (
+    SELECT event_type, value AS v,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY h, event_id) AS idx
+    FROM ev) t
+  WHERE idx <= {CI_SAMPLE_N}
+),
+info AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_sample,
+         {sql_rolling_hash("event_type")} AS th
+  FROM samp GROUP BY event_type
+),
+d1 AS (
+  SELECT event_type, n_sample, th,
+         unnest(generate_series(1, {CI_B})) AS b
+  FROM info
+),
+d2 AS (
+  SELECT event_type, n_sample, th, b,
+         unnest(generate_series(1, n_sample)) AS i
+  FROM d1
+),
+dr AS (
+  SELECT event_type, b, i,
+         1 + (((th * 131 + b) % {_CI_MOD}) * 131 + i) % {_CI_MOD} % n_sample
+           AS pick
+  FROM d2
+),
+j AS (
+  SELECT d.event_type, d.b, d.i, s.v
+  FROM dr d JOIN samp s ON s.event_type = d.event_type AND s.idx = d.pick
+),
+m1 AS (
+  SELECT event_type, b, v,
+         row_number() OVER (PARTITION BY event_type, b ORDER BY v, i) AS r
+  FROM j
+),
+meds AS (
+  SELECT m1.event_type, m1.b, m1.v AS med
+  FROM m1 JOIN info USING (event_type)
+  WHERE m1.r = (info.n_sample + 1) // 2
+),
+mr AS (
+  SELECT event_type, b, med,
+         row_number() OVER (PARTITION BY event_type ORDER BY med, b) AS r
+  FROM meds
+),
+ci AS (
+  SELECT event_type,
+         max(CASE WHEN r = 3 THEN med END) AS ci_lo,
+         max(CASE WHEN r = {CI_B - 2} THEN med END) AS ci_hi
+  FROM mr GROUP BY event_type
+),
+sm AS (
+  SELECT event_type, v AS sample_median FROM (
+    SELECT s.event_type, s.v,
+           row_number() OVER (PARTITION BY s.event_type
+                              ORDER BY s.v, s.idx) AS r,
+           i.n_sample
+    FROM samp s JOIN info i USING (event_type)) t
+  WHERE r = (n_sample + 1) // 2
+)
+SELECT i.event_type, i.n_sample, sm.sample_median, ci.ci_lo, ci.ci_hi
+FROM info i JOIN sm USING (event_type) JOIN ci USING (event_type)
+"""
+
+
+@query("event_value_median_ci", oracle=_MEDIAN_CI_SQL)
+def event_value_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap ~95% confidence interval for the per-type median
+    event value (Efron 1979), fully deterministic: the B = 100
+    resamples are indexed by a portable integer hash of
+    (type, resample, draw), never an RNG, so both engines — and any
+    two cluster runs — materialize the SAME resamples. CI bounds are
+    the 3rd and 98th order statistics of the resample medians; every
+    output is a SELECTED raw double (order statistics, no
+    interpolation), making parity exact by construction.
+
+    Scale: medians bootstrap over a deterministic hash-ordered
+    subsample of CI_SAMPLE_N per type (the estimator a 100 TB
+    pipeline would actually use), so the draw matrix is
+    |types|·B·n — independent of fact size; the sampled frame
+    broadcasts into the draw join; per-(type, b) medians are
+    window order statistics over ≤ n rows.
+    """
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    h = (F.col("event_id") * F.lit(_CI_MULT)) % F.lit(_CI_MOD)
+    from pyspark.sql import Window
+
+    w_s = Window.partitionBy("event_type").orderBy(h.asc(), F.col("event_id"))
+    samp = (
+        ev.select("event_type", F.col("value").alias("v"), "event_id")
+        .withColumn("idx", F.row_number().over(w_s))
+        .where(F.col("idx") <= CI_SAMPLE_N)
+        .select("event_type", "v", "idx")
+    )
+    info = samp.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_sample")
+    ).withColumn("th", rolling_hash("event_type"))
+    d1 = info.select(
+        "event_type",
+        "n_sample",
+        "th",
+        F.explode(F.sequence(F.lit(1), F.lit(CI_B))).alias("b"),
+    )
+    d2 = d1.select(
+        "event_type",
+        "n_sample",
+        "th",
+        "b",
+        F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("n_sample"))).alias("i"),
+    )
+    pick = (
+        F.lit(1)
+        + ((F.col("th") * 131 + F.col("b")) % _CI_MOD * 131 + F.col("i"))
+        % _CI_MOD
+        % F.col("n_sample")
+    )
+    dr = d2.select("event_type", "b", "i", pick.alias("pick"))
+    j = dr.join(
+        F.broadcast(samp),
+        (dr["event_type"] == samp["event_type"]) & (samp["idx"] == dr["pick"]),
+    ).select(dr["event_type"], "b", "i", "v")
+    w_m = Window.partitionBy("event_type", "b").orderBy("v", "i")
+    m1 = j.withColumn("r", F.row_number().over(w_m))
+    meds = (
+        m1.join(F.broadcast(info.select("event_type", "n_sample")), "event_type")
+        .where(F.col("r") == F.expr("(n_sample + 1) div 2"))
+        .select("event_type", "b", F.col("v").alias("med"))
+    )
+    w_c = Window.partitionBy("event_type").orderBy("med", "b")
+    mr = meds.withColumn("r", F.row_number().over(w_c))
+    ci = mr.groupBy("event_type").agg(
+        F.max(F.when(F.col("r") == 3, F.col("med"))).alias("ci_lo"),
+        F.max(F.when(F.col("r") == CI_B - 2, F.col("med"))).alias("ci_hi"),
+    )
+    w_f = Window.partitionBy("event_type").orderBy("v", "idx")
+    sm = (
+        samp.join(F.broadcast(info.select("event_type", "n_sample")), "event_type")
+        .withColumn("r", F.row_number().over(w_f))
+        .where(F.col("r") == F.expr("(n_sample + 1) div 2"))
+        .select("event_type", F.col("v").alias("sample_median"))
+    )
+    return (
+        info.select("event_type", "n_sample")
+        .join(sm, "event_type")
+        .join(ci, "event_type")
+        .select("event_type", "n_sample", "sample_median", "ci_lo", "ci_hi")
+    )

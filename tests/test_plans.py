@@ -1188,3 +1188,21 @@ def test_top_pc_single_pass_agg_no_python(spark, sf_dir):
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_rfm_no_single_partition_customer_sort(spark, sf_dir):
+    """RFM ranks three dimensions via the two-level range scheme —
+    the customer frame must never pass through a SinglePartition
+    exchange (only the <=P-row offsets frames may)."""
+    plan = _plan(spark, sf_dir, "customer_rfm_segments")
+    assert "rangepartitioning" in plan
+    main = plan.split("BroadcastExchange")[0]
+    assert "SinglePartition" not in main
+
+
+def test_median_ci_broadcast_sample_join(spark, sf_dir):
+    """The draw matrix joins the per-type sample via broadcast (the
+    sample is |types|*N rows by construction); no cartesian."""
+    plan = _plan(spark, sf_dir, "event_value_median_ci")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
