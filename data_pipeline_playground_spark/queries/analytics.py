@@ -1367,3 +1367,152 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
         ).cast("int").alias("segment"),
     )
+
+
+# --- Gini coefficient of customer spend -------------------------------------
+
+_GINI_SQL = """
+WITH spend AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+  FROM orders GROUP BY o_custkey
+),
+rk AS (
+  SELECT x, CAST(row_number() OVER (ORDER BY x, o_custkey) AS BIGINT) AS i
+  FROM spend
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         SUM(CAST(x AS DECIMAL(30,2))) AS sx,
+         SUM(CAST(i * x AS DECIMAL(30,2))) AS six
+  FROM rk
+)
+SELECT n,
+       CAST(sx AS DOUBLE) AS total_spend,
+       (2.0 * CAST(six AS DOUBLE) - (CAST(n AS DOUBLE) + 1.0)
+        * CAST(sx AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) AS gini
+FROM s
+"""
+
+
+@query("revenue_gini", oracle=_GINI_SQL)
+def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend — the standard revenue-
+    concentration KPI (0 = equal, →1 = one whale). Uses the
+    rank-sum identity G = (2Σi·x_i − (n+1)Σx)/(nΣx) over spends
+    sorted ascending (ties broken by custkey).
+
+    The oracle states it with a global row_number; the Spark side
+    ranks via operators/ranking.global_rank (range partition +
+    broadcast offsets — no single-partition sort of the customer
+    frame). Σx and Σi·x are exact decimal sums (summands ≤
+    DECIMAL(30,2); scaled values < 2^63 through ~1e7 customers —
+    rebase spends beyond that); the final Gini is one shared double
+    expression.
+    """
+    from data_pipeline_playground_spark.operators.ranking import global_rank
+
+    o = table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x")
+    )
+    rk = global_rank(spend, ["x", "o_custkey"], rank_name="i")
+    s = rk.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("x").cast("decimal(30,2)")).alias("sx"),
+        F.sum((F.col("i") * F.col("x")).cast("decimal(30,2)")).alias("six"),
+    )
+    n_d = F.col("n").cast("double")
+    sx_d = F.col("sx").cast("double")
+    six_d = F.col("six").cast("double")
+    return s.select(
+        "n",
+        sx_d.alias("total_spend"),
+        (
+            (F.lit(2.0) * six_d - (n_d + F.lit(1.0)) * sx_d) / (n_d * sx_d)
+        ).alias("gini"),
+    )
+
+
+# --- Herfindahl–Hirschman concentration index -------------------------------
+
+_HHI_SQL = """
+WITH rev AS (
+  SELECT n.n_name, l.l_suppkey,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS r
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  GROUP BY n.n_name, l.l_suppkey
+),
+d AS (
+  -- floor-dollar revenue via exact decimal modulo (decimal→int CASTs
+  -- would diverge: Spark truncates, DuckDB rounds). Keeps squares
+  -- inside DECIMAL(30) so both engines sum exactly, and scaled sums
+  -- below 2^63
+  SELECT n_name, CAST(r - (r % 1) AS DECIMAL(15,0)) AS rd
+  FROM rev
+),
+s AS (
+  SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+         SUM(CAST(rd AS DECIMAL(30,0))) AS sr,
+         SUM(CAST(rd * rd AS DECIMAL(30,0))) AS sr2
+  FROM d GROUP BY n_name
+)
+SELECT n_name, n_suppliers,
+       CAST(sr AS DOUBLE) AS nation_revenue,
+       10000.0 * CAST(sr2 AS DOUBLE)
+         / (CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE)) AS hhi
+FROM s WHERE sr > 0
+"""
+
+
+@query("nation_supplier_hhi", oracle=_HHI_SQL)
+def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman index of supplier revenue concentration
+    per nation — the antitrust-style market-structure KPI (10000 =
+    monopoly; < 1500 unconcentrated). HHI = 10000·Σs² with s the
+    revenue shares, computed float-summation-free as
+    10000·Σr²/(Σr)² from exact decimal sums.
+
+    Parity engineering: revenues floor to whole dollars via exact
+    decimal modulo (r − r%1 — decimal→int CASTs would diverge: Spark
+    truncates, DuckDB rounds) so squares fit
+    DECIMAL(30,0) — the bound both engines sum exactly — and scaled
+    sums stay below 2^63 (DuckDB's int128→double cast is 1-ulp off
+    above it).
+
+    Plan: supplier and nation broadcast into the lineitem scan; one
+    (nation, supplier) agg then a 25-key rollup.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier")
+    nat = table(spark, sf_dir, "nation")
+    rev = (
+        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .groupBy("n_name", "l_suppkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+            ).alias("r")
+        )
+    )
+    rd = (F.col("r") - F.col("r") % 1).cast("decimal(15,0)")
+    d = rev.select("n_name", rd.alias("rd"))
+    s = d.groupBy("n_name").agg(
+        F.count("*").cast("bigint").alias("n_suppliers"),
+        F.sum(F.col("rd").cast("decimal(30,0)")).alias("sr"),
+        F.sum((F.col("rd") * F.col("rd")).cast("decimal(30,0)")).alias("sr2"),
+    )
+    sr_d = F.col("sr").cast("double")
+    return s.where(F.col("sr") > 0).select(
+        "n_name",
+        "n_suppliers",
+        sr_d.alias("nation_revenue"),
+        (F.lit(10000.0) * F.col("sr2").cast("double") / (sr_d * sr_d)).alias(
+            "hhi"
+        ),
+    )

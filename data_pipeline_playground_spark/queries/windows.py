@@ -388,3 +388,98 @@ def user_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "path")
         .limit(PATH_TOP_K)
     )
+
+
+# --- Markov stationary distribution of the event chain ----------------------
+
+MARKOV_TYPES = ["click", "error", "purchase", "signup", "view"]
+MARKOV_ITERS = 6
+
+
+def _markov_sql(src: str, final: str) -> str:
+    """Shared SQL text for both engines (same trick as similarity's
+    _pc_sql): transition counts pivot to ONE row of 25 cells, rows
+    normalize with a left-associated sum, and MARKOV_ITERS power
+    iterations of pi' = pi·P unroll as a fixed expression tree —
+    bit-identical doubles in both engines. ``final`` = 'union'
+    (DuckDB) or 'inline' (Spark — UNION branches would re-execute the
+    pipeline once per state)."""
+    T = MARKOV_TYPES
+    n = len(T)
+    idx = range(1, n + 1)
+    cells = ", ".join(
+        f"CAST(SUM(CASE WHEN prev = '{T[i - 1]}' AND cur = '{T[j - 1]}' "
+        f"THEN 1 ELSE 0 END) AS DOUBLE) AS c{i}_{j}"
+        for i in idx
+        for j in idx
+    )
+    rowsums = {
+        i: " + ".join(f"c{i}_{j}" for j in idx) for i in idx
+    }
+    pcols = ", ".join(
+        f"c{i}_{j} / GREATEST({rowsums[i]}, CAST(1 AS DOUBLE)) AS p{i}_{j}"
+        for i in idx
+        for j in idx
+    )
+    parts = [
+        "tr AS (SELECT prev, cur FROM (SELECT lag(event_type) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS prev, "
+        f"event_type AS cur FROM {src}) t WHERE prev IS NOT NULL)",
+        f"m AS (SELECT CAST(count(*) AS BIGINT) AS n_transitions, {cells} "
+        "FROM tr)",
+        f"p AS (SELECT n_transitions, {pcols} FROM m)",
+    ]
+    pall = ", ".join(f"p{i}_{j}" for i in idx for j in idx)
+    v = {j: "CAST(0.2 AS DOUBLE)" for j in idx}
+    prev = "p"
+    for it in range(1, MARKOV_ITERS + 1):
+        vcols = ", ".join(
+            " + ".join(f"({v[i]}) * p{i}_{j}" for i in idx) + f" AS v{j}"
+            for j in idx
+        )
+        parts.append(
+            f"i{it} AS (SELECT n_transitions, {pall}, {vcols} FROM {prev})"
+        )
+        prev = f"i{it}"
+        v = {j: f"v{j}" for j in idx}
+    if final == "union":
+        tail = " UNION ALL ".join(
+            f"SELECT '{T[j - 1]}' AS event_type, n_transitions, "
+            f"v{j} AS stationary_prob FROM {prev}"
+            for j in idx
+        )
+    else:
+        structs = ", ".join(
+            f"struct('{T[j - 1]}' AS event_type, "
+            f"n_transitions, v{j} AS stationary_prob)"
+            for j in idx
+        )
+        tail = f"SELECT inline(array({structs})) FROM {prev}"
+    return "WITH " + ", ".join(parts) + " " + tail
+
+
+_MARKOV_SQL = _markov_sql("events", "union")
+
+
+@query("events_markov_stationary", oracle=_MARKOV_SQL)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the user-behavior Markov chain: the
+    5×5 event-type transition matrix (per-user lag pairs), row-
+    normalized, iterated pi' = pi·P six times from uniform — the
+    long-run share of attention each event type captures, the
+    PageRank-style summary of user_path_trigrams' raw transition
+    counts.
+
+    Determinism: transition counts are exact ints; probabilities and
+    every unrolled iteration form ONE shared double expression TEXT
+    (left-associated 5-term dot products, GREATEST(row, 1) guard for
+    absorbing rows) evaluated by both engines — bit parity without
+    decimal snapping. The chain here mixes fast (uniform-ish P), so
+    six iterations sit well inside double precision of the fixpoint.
+
+    Plan: one user_id window for the lag pairs, ONE 26-column
+    conditional aggregate (partial-combinable), then scalar work on a
+    1-row frame; inline() emits the 5 output rows from a single scan.
+    """
+    table(spark, sf_dir, "events").createOrReplaceTempView("_events_markov")
+    return spark.sql(_markov_sql("_events_markov", "inline"))

@@ -1206,3 +1206,29 @@ def test_median_ci_broadcast_sample_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "event_value_median_ci")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_gini_ranks_without_global_sort(spark, sf_dir):
+    """Gini ranks spend via the two-level scheme — the customer frame
+    must not cross a SinglePartition exchange before the 1-row
+    moment aggregate."""
+    plan = _plan(spark, sf_dir, "revenue_gini")
+    assert "rangepartitioning" in plan
+
+
+def test_hhi_broadcast_dims_two_aggs(spark, sf_dir):
+    """Supplier and nation broadcast into the lineitem scan; the HHI
+    rollup is two hash aggregates, no Python, no cartesian."""
+    plan = _plan(spark, sf_dir, "nation_supplier_hhi")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_markov_single_conditional_agg(spark, sf_dir):
+    """The 5x5 transition pivot is ONE conditional aggregate above the
+    lag window; the iteration is scalar work — exactly one window,
+    no join, no Python."""
+    plan = _plan(spark, sf_dir, "events_markov_stationary")
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
