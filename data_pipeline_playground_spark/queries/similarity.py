@@ -1661,3 +1661,138 @@ def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
             final="inline",
         )
     )
+
+
+# --- triplet-margin embedding audit -----------------------------------------
+
+TRIPLET_MARGIN = "0.05"  # shared literal, parses to the same double
+TRIPLET_ANCHOR_MOD = 5  # anchors: vec_id % MOD == 0
+
+_TRIPLET_SQL = f"""
+WITH e AS (SELECT vec_id, {_SQL_V} AS v, label FROM embeddings),
+nl AS (SELECT CAST(max(label) + 1 AS INT) AS n_labels FROM e),
+anchors AS (
+  SELECT vec_id AS a_id, v AS av, label
+  FROM e WHERE vec_id % {TRIPLET_ANCHOR_MOD} = 0
+),
+pos AS (
+  SELECT a.a_id,
+         coalesce(min(CASE WHEN s.vec_id > a.a_id THEN s.vec_id END),
+                  min(s.vec_id)) AS p_id
+  FROM anchors a JOIN e s
+    ON s.label = a.label AND s.vec_id <> a.a_id
+  GROUP BY a.a_id
+),
+negl AS (
+  SELECT label AS neg_label, min(vec_id) AS n_id FROM e GROUP BY label
+),
+tri AS (
+  SELECT a.a_id, p.p_id, ng.n_id, a.av
+  FROM anchors a
+  JOIN pos p ON p.a_id = a.a_id
+  CROSS JOIN nl
+  JOIN negl ng ON ng.neg_label = (a.label + 1) % nl.n_labels
+),
+sc AS (
+  SELECT t.a_id, t.p_id, t.n_id,
+         round({_SQL_DOT.format(a="t.av", b="pe.v")}
+               / greatest({_SQL_NORM.format(a="t.av")}
+                          * {_SQL_NORM.format(a="pe.v")}, 1e-12), 6)
+           AS cos_pos,
+         round({_SQL_DOT.format(a="t.av", b="ne.v")}
+               / greatest({_SQL_NORM.format(a="t.av")}
+                          * {_SQL_NORM.format(a="ne.v")}, 1e-12), 6)
+           AS cos_neg
+  FROM tri t
+  JOIN e pe ON pe.vec_id = t.p_id
+  JOIN e ne ON ne.vec_id = t.n_id
+)
+SELECT a_id, p_id, n_id, cos_pos, cos_neg,
+       cos_pos < cos_neg + CAST({TRIPLET_MARGIN} AS DOUBLE) AS violated
+FROM sc
+"""
+
+
+@query("triplet_margin_audit", oracle=_TRIPLET_SQL)
+def triplet_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triplet-margin health check of the embedding space (the metric-
+    learning acceptance test, Schroff et al. 2015 FaceNet): for each
+    anchor (every {MOD}th vector), a deterministic positive (next
+    same-label id, wrap-around) and a deterministic probe negative
+    (the adjacent label class's min id); flag violations
+    cos(a,p) < cos(a,n) + margin.
+
+    Parity: cosines use the repo's sequential-fold dot/norm (bit-
+    identical in DuckDB's list_reduce), rounded at 6 dp like the rest
+    of the similarity family; margin and the violation boolean are a
+    shared double comparison.
+
+    Scale: positives come from a label-equi join (fan-out bounded by
+    label-group size — salt labels if a class dominates); negatives
+    join a |labels|-row broadcast, NOT a per-anchor sweep; the two
+    vector fetches are equi-joins on vec_id.
+    """
+    e = _embed_double(spark, sf_dir)
+    nl = e.agg((F.max("label") + 1).cast("int").alias("n_labels"))
+    anchors = e.where(F.col("vec_id") % TRIPLET_ANCHOR_MOD == 0).select(
+        F.col("vec_id").alias("a_id"), F.col("v").alias("av"), "label"
+    )
+    s = e.select(F.col("vec_id").alias("s_id"), F.col("label").alias("s_label"))
+    pos = (
+        anchors.join(
+            s,
+            (F.col("s_label") == F.col("label"))
+            & (F.col("s_id") != F.col("a_id")),
+        )
+        .groupBy("a_id")
+        .agg(
+            F.coalesce(
+                F.min(F.when(F.col("s_id") > F.col("a_id"), F.col("s_id"))),
+                F.min("s_id"),
+            ).alias("p_id")
+        )
+    )
+    negl = e.groupBy(F.col("label").alias("neg_label")).agg(
+        F.min("vec_id").alias("n_id")
+    )
+    tri = (
+        anchors.join(pos, "a_id")
+        .crossJoin(F.broadcast(nl))
+        .join(
+            F.broadcast(negl),
+            F.col("neg_label")
+            == (F.col("label") + 1) % F.col("n_labels"),
+        )
+        .select("a_id", "p_id", "n_id", "av")
+    )
+    pe = e.select(F.col("vec_id").alias("p_id"), F.col("v").alias("pv"))
+    ne = e.select(F.col("vec_id").alias("n_id"), F.col("v").alias("nv"))
+    guard = F.lit(1e-12)
+    sc = (
+        tri.join(pe, "p_id")
+        .join(ne, "n_id")
+        .select(
+            "a_id",
+            "p_id",
+            "n_id",
+            F.round(
+                dot(F.col("av"), F.col("pv"))
+                / F.greatest(norm(F.col("av")) * norm(F.col("pv")), guard),
+                6,
+            ).alias("cos_pos"),
+            F.round(
+                dot(F.col("av"), F.col("nv"))
+                / F.greatest(norm(F.col("av")) * norm(F.col("nv")), guard),
+                6,
+            ).alias("cos_neg"),
+        )
+    )
+    margin = F.expr(f"CAST({TRIPLET_MARGIN} AS DOUBLE)")
+    return sc.select(
+        "a_id",
+        "p_id",
+        "n_id",
+        "cos_pos",
+        "cos_neg",
+        (F.col("cos_pos") < F.col("cos_neg") + margin).alias("violated"),
+    )

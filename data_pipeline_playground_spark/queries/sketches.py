@@ -409,3 +409,112 @@ def event_value_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ci, "event_type")
         .select("event_type", "n_sample", "sample_median", "ci_lo", "ci_hi")
     )
+
+
+# --- exact two-sample Kolmogorov–Smirnov drift statistic ---------------------
+
+KS_TYPE_A = "click"
+KS_TYPE_B = "purchase"
+# Smirnov critical coefficient c(alpha=0.05); 6-dp literal, shared text
+_KS_C05 = "1.358"
+
+_KS_SQL = f"""
+WITH pooled AS (
+  SELECT value AS v, CASE WHEN event_type = '{KS_TYPE_A}' THEN 1 ELSE 0 END
+           AS is_a, event_id
+  FROM events
+  WHERE event_type IN ('{KS_TYPE_A}', '{KS_TYPE_B}') AND value IS NOT NULL
+),
+n AS (
+  SELECT CAST(sum(is_a) AS BIGINT) AS n1,
+         CAST(sum(1 - is_a) AS BIGINT) AS n2
+  FROM pooled
+),
+r AS (
+  SELECT is_a,
+         CAST(sum(is_a) OVER w AS BIGINT) AS c1,
+         CAST(sum(1 - is_a) OVER w AS BIGINT) AS c2
+  FROM pooled
+  WINDOW w AS (ORDER BY v, is_a, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+d AS (
+  SELECT CAST(max(abs(c1 * n.n2 - c2 * n.n1)) AS BIGINT) AS d_num
+  FROM r CROSS JOIN n
+)
+SELECT n.n1, n.n2,
+       CAST(d.d_num AS DOUBLE) / (CAST(n.n1 AS DOUBLE) * CAST(n.n2 AS DOUBLE))
+         AS ks_d,
+       CAST(d.d_num AS DOUBLE) / (CAST(n.n1 AS DOUBLE) * CAST(n.n2 AS DOUBLE))
+         > CAST({_KS_C05} AS DOUBLE)
+           * sqrt((CAST(n.n1 AS DOUBLE) + CAST(n.n2 AS DOUBLE))
+                  / (CAST(n.n1 AS DOUBLE) * CAST(n.n2 AS DOUBLE)))
+         AS reject_05
+FROM d CROSS JOIN n
+"""
+
+
+@query("value_ks_drift", oracle=_KS_SQL)
+def value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between the
+    '{A}' and '{B}' value distributions (the standard drift /
+    same-distribution test a feature pipeline runs between snapshots),
+    plus the alpha=0.05 Smirnov decision.
+
+    Exactness: D = sup|F1 − F2| is maximized over pooled order
+    positions as max|c1·n2 − c2·n1| — PURE INT64 (no float ECDF), one
+    final double division; the critical-value comparison is a shared
+    double tree (sqrt is correctly rounded).
+
+    The oracle states the cumulative counts with a single global
+    window; the Spark side computes them scale-safe with THREE
+    two-level rankings (operators/ranking.global_rank — pooled rank r
+    plus per-sample ranks): for an A row c1 = rank_A and
+    c2 = r − rank_A, symmetrically for B. No single-partition pass
+    over the fact table anywhere.
+    """
+    from data_pipeline_playground_spark.operators.ranking import global_rank
+
+    ev = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin(KS_TYPE_A, KS_TYPE_B)
+        & F.col("value").isNotNull()
+    )
+    pooled = ev.select(
+        F.col("value").alias("v"),
+        F.when(F.col("event_type") == KS_TYPE_A, 1).otherwise(0).alias(
+            "is_a"
+        ),
+        "event_id",
+    )
+    n = pooled.agg(
+        F.sum("is_a").cast("bigint").alias("n1"),
+        F.sum(F.lit(1) - F.col("is_a")).cast("bigint").alias("n2"),
+    )
+    keys = ["v", "is_a", "event_id"]
+    a_rk = global_rank(pooled.where(F.col("is_a") == 1), keys, "rsub")
+    b_rk = global_rank(pooled.where(F.col("is_a") == 0), keys, "rsub")
+    sub = a_rk.select(*keys, "rsub").unionAll(b_rk.select(*keys, "rsub"))
+    both = global_rank(sub, keys, "r")
+    c1 = F.when(F.col("is_a") == 1, F.col("rsub")).otherwise(
+        F.col("r") - F.col("rsub")
+    )
+    c2 = F.when(F.col("is_a") == 0, F.col("rsub")).otherwise(
+        F.col("r") - F.col("rsub")
+    )
+    d = (
+        both.crossJoin(F.broadcast(n))
+        .select(
+            F.abs(c1 * F.col("n2") - c2 * F.col("n1")).alias("dn")
+        )
+        .agg(F.max("dn").cast("bigint").alias("d_num"))
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    ks = F.col("d_num").cast("double") / (n1d * n2d)
+    crit = F.expr(f"CAST({_KS_C05} AS DOUBLE)") * F.sqrt(
+        (n1d + n2d) / (n1d * n2d)
+    )
+    return (
+        d.crossJoin(F.broadcast(n))
+        .select("n1", "n2", ks.alias("ks_d"), (ks > crit).alias("reject_05"))
+    )

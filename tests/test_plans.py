@@ -1232,3 +1232,26 @@ def test_markov_single_conditional_agg(spark, sf_dir):
     assert plan.count("FileScan") == 1
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ks_three_rankings_no_single_partition_fact(spark, sf_dir):
+    """KS cumulative counts come from two-level rankings — the pooled
+    event frame must never cross a SinglePartition exchange (only the
+    offsets/scalar frames may, below broadcasts)."""
+    plan = _plan(spark, sf_dir, "value_ks_drift")
+    assert "rangepartitioning" in plan
+    # the oracle needs a global cumulative window over the pooled
+    # values; the Spark plan may only contain the ranking operator's
+    # windows: per-bucket row_numbers (partitioned by _pid) and the
+    # <=P-row offsets scan (ordered by _pid). An UNPARTITIONED window
+    # ordered by the value key would be the single-partition scan we
+    # exist to avoid.
+    assert "windowspecdefinition(v#" not in plan
+
+
+def test_triplet_broadcast_negatives_no_cartesian(spark, sf_dir):
+    """Negatives join a |labels|-row broadcast; positives are a
+    label-equi join; vector fetches are id-equi joins."""
+    plan = _plan(spark, sf_dir, "triplet_margin_audit")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
