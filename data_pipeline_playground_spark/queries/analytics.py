@@ -116,59 +116,27 @@ def customer_spend_quartiles_ranked(spark: SparkSession, sf_dir: str) -> DataFra
     exact tier (SAME oracle as customer_spend_quartiles, so equivalence
     is certified per run; `_approx` remains the sketch tier).
 
-    Distributed ranking, the classic two-level scheme: range-partition
-    the per-customer aggregate on the total order key (range bounds
-    from Spark's sampler — ranks are exact wherever the bounds land,
-    because the key (spend, custkey) is a total order), row_number
-    WITHIN each range bucket, then add each bucket's broadcast
-    cumulative offset to get the global rank. Every stage is parallel:
-    the only single-partition work is the ≤ P-row offsets frame.
-    Exact ntile bucket from the global rank in integer arithmetic
-    (first n mod 4 buckets take ceil(n/4) rows — the SQL ntile rule).
+    Round 7: the two-level ranking that used to live inline here is
+    promoted to operators/ranking.py (global_rank + exact_ntile) and
+    shared with customer_rfm_segments, revenue_gini, and
+    value_ks_drift; this query is now just spend-agg → global_rank →
+    integer ntile → quartile rollup. Plan pin unchanged: the customer
+    frame never crosses a SinglePartition exchange.
     """
+    from data_pipeline_playground_spark.operators.ranking import (
+        exact_ntile,
+        global_rank,
+    )
+
     o = table(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
         F.sum(_dec2("o_totalprice")).alias("total_spend")
     )
-    ranged = (
-        spend.repartitionByRange(32, "total_spend", "o_custkey")
-        .withColumn("pid", F.spark_partition_id())
-    )
-    wb = Window.partitionBy("pid").orderBy("total_spend", "o_custkey")
-    # materialize ONCE: the offsets branch and the main branch must see
-    # the SAME range-bucket assignment — re-executing the range
-    # exchange in two subtrees would both double the work and bet on
-    # the range sampler placing identical bounds twice
-    local = ranged.withColumn("local_rn", F.row_number().over(wb)).cache()
-    local.count()
-    counts = local.groupBy("pid").agg(F.count(F.lit(1)).alias("n_pid"))
-    wo = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        F.col("pid").alias("opid"),
-        F.coalesce(F.sum("n_pid").over(wo), F.lit(0)).alias("offset"),
-        F.sum("n_pid").over(
-            Window.orderBy("pid").rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("n_total"),
-    )
-    # pure integer bucket math (ceil(a/b) = (a+b-1) div b): exact at
-    # any n, no double division anywhere near a bucket boundary
-    base = F.expr("n_total div 4")
-    rem = F.col("n_total") % 4
-    rank = F.col("offset") + F.col("local_rn")
-    big_span = rem * (base + 1)  # rows covered by the (base+1)-sized buckets
-    ceil_big = F.expr(
-        "(offset + local_rn + (n_total div 4)) div ((n_total div 4) + 1)"
-    )
-    ceil_small = F.expr(
-        "n_total % 4 + ((offset + local_rn - (n_total % 4) * ((n_total div 4) + 1))"
-        " + (n_total div 4) - 1) div (n_total div 4)"
-    )
-    quartile = F.when(rank <= big_span, ceil_big).otherwise(ceil_small).cast("int")
+    rk = global_rank(spend, ["total_spend", "o_custkey"], rank_name="rank")
     return (
-        local.join(F.broadcast(offsets), F.col("pid") == F.col("opid"))
-        .withColumn("quartile", quartile)
+        rk.withColumn(
+            "quartile", exact_ntile(F.col("rank"), F.col("n_total"), 4)
+        )
         .groupBy("quartile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
