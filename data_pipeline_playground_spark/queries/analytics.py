@@ -1484,3 +1484,155 @@ def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hhi"
         ),
     )
+
+
+# --- CUPED variance-reduced A/B readout --------------------------------------
+
+CUPED_SPLIT = "2024-01-16 00:00:00"  # pre-period: Jan 1-15, post: Jan 16-30
+
+
+def _cuped_sql() -> str:
+    from data_pipeline_playground_spark.functions.text import sql_rolling_hash
+
+    key = "'" + AB_SALT + "' || CAST(user_id AS VARCHAR)"
+    arm = f"{sql_rolling_hash(key)} % 2"
+    return f"""
+WITH u AS (
+  SELECT user_id, {arm} AS arm,
+         SUM(CASE WHEN ts < TIMESTAMP '{CUPED_SPLIT}'
+                  THEN CAST(value AS DECIMAL(12,2))
+                  ELSE CAST(0 AS DECIMAL(12,2)) END) AS x,
+         SUM(CASE WHEN ts >= TIMESTAMP '{CUPED_SPLIT}'
+                  THEN CAST(value AS DECIMAL(12,2))
+                  ELSE CAST(0 AS DECIMAL(12,2)) END) AS y
+  FROM events GROUP BY user_id
+),
+d AS (
+  SELECT arm, CAST(x AS DECIMAL(14,2)) AS x, CAST(y AS DECIMAL(14,2)) AS y
+  FROM u
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         SUM(CAST(x AS DECIMAL(30,2))) AS sx,
+         SUM(CAST(y AS DECIMAL(30,2))) AS sy,
+         SUM(CAST(x * y AS DECIMAL(30,4))) AS sxy,
+         SUM(CAST(x * x AS DECIMAL(30,4))) AS sxx,
+         CAST(sum(arm) AS BIGINT) AS n_t,
+         CAST(count(*) - sum(arm) AS BIGINT) AS n_c,
+         SUM(CASE WHEN arm = 1 THEN CAST(x AS DECIMAL(30,2))
+                  ELSE CAST(0 AS DECIMAL(30,2)) END) AS sx_t,
+         SUM(CASE WHEN arm = 1 THEN CAST(y AS DECIMAL(30,2))
+                  ELSE CAST(0 AS DECIMAL(30,2)) END) AS sy_t,
+         SUM(CASE WHEN arm = 0 THEN CAST(x AS DECIMAL(30,2))
+                  ELSE CAST(0 AS DECIMAL(30,2)) END) AS sx_c,
+         SUM(CASE WHEN arm = 0 THEN CAST(y AS DECIMAL(30,2))
+                  ELSE CAST(0 AS DECIMAL(30,2)) END) AS sy_c
+  FROM d
+)
+SELECT n_t, n_c,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS theta,
+       CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+         - CAST(sy_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS lift_raw,
+       (CAST(sy_t AS DOUBLE)
+        - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+          * (CAST(sx_t AS DOUBLE)
+             - CAST(n_t AS DOUBLE) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))))
+         / CAST(n_t AS DOUBLE)
+       - (CAST(sy_c AS DOUBLE)
+          - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+            * (CAST(sx_c AS DOUBLE)
+               - CAST(n_c AS DOUBLE)
+                 * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))))
+         / CAST(n_c AS DOUBLE) AS lift_cuped
+FROM m
+"""
+
+
+@query("ab_test_cuped", oracle=_cuped_sql())
+def ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng, Xu, Kohavi & Walker,
+    WSDM 2013 — the industry-standard experimentation estimator):
+    per-user PRE-period value (Jan 1-15) is the covariate X, the
+    POST-period value (Jan 16-30) the metric Y; the adjusted metric
+    Y − θ(X − X̄) with θ = cov(X,Y)/var(X) removes the variance X
+    explains, and the treatment lift is re-estimated on it. Arms are
+    the same salted-hash assignment as ab_test_lift.
+
+    Determinism: per-event values snap to DECIMAL(12,2); every moment
+    (ΣX, ΣY, ΣXY, ΣX², per-arm sums) is an exact decimal sum
+    (summands ≤ DECIMAL(30,·), scaled < 2^63 through ~1e5 users ×
+    ~1e5 value-sums — rebase beyond); θ and both lifts are one shared
+    double expression. ONE user_id aggregate then a 1-row moment
+    aggregate — two shuffles total, both partial-combinable.
+    """
+    from data_pipeline_playground_spark.functions.text import rolling_hash
+
+    ev = table(spark, sf_dir, "events")
+    arm = (
+        rolling_hash(
+            F.concat(F.lit(AB_SALT), F.col("user_id").cast("string"))
+        )
+        % 2
+    )
+    split = F.expr(f"TIMESTAMP_NTZ '{CUPED_SPLIT}'")
+    zero = F.lit("0").cast("decimal(12,2)")
+    vdec = F.col("value").cast("decimal(12,2)")
+    u = ev.groupBy("user_id").agg(
+        F.max(arm).alias("arm"),
+        F.sum(F.when(F.col("ts") < split, vdec).otherwise(zero)).alias("x0"),
+        F.sum(F.when(F.col("ts") >= split, vdec).otherwise(zero)).alias("y0"),
+    )
+    d = u.select(
+        "arm",
+        F.col("x0").cast("decimal(14,2)").alias("x"),
+        F.col("y0").cast("decimal(14,2)").alias("y"),
+    )
+    z30 = F.lit("0").cast("decimal(30,2)")
+    m = d.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("x").cast("decimal(30,2)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(30,2)")).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(30,4)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(30,4)")).alias("sxx"),
+        F.sum("arm").cast("bigint").alias("n_t"),
+        (F.count("*") - F.sum("arm")).cast("bigint").alias("n_c"),
+        F.sum(
+            F.when(F.col("arm") == 1, F.col("x").cast("decimal(30,2)"))
+            .otherwise(z30)
+        ).alias("sx_t"),
+        F.sum(
+            F.when(F.col("arm") == 1, F.col("y").cast("decimal(30,2)"))
+            .otherwise(z30)
+        ).alias("sy_t"),
+        F.sum(
+            F.when(F.col("arm") == 0, F.col("x").cast("decimal(30,2)"))
+            .otherwise(z30)
+        ).alias("sx_c"),
+        F.sum(
+            F.when(F.col("arm") == 0, F.col("y").cast("decimal(30,2)"))
+            .otherwise(z30)
+        ).alias("sy_c"),
+    )
+    D = lambda c: F.col(c).cast("double")  # noqa: E731
+    theta = (D("n") * D("sxy") - D("sx") * D("sy")) / (
+        D("n") * D("sxx") - D("sx") * D("sx")
+    )
+    xbar = D("sx") / D("n")
+    adj_t = (D("sy_t") - theta * (D("sx_t") - D("n_t") * xbar)) / D("n_t")
+    adj_c = (D("sy_c") - theta * (D("sx_c") - D("n_c") * xbar)) / D("n_c")
+    return m.select(
+        "n_t",
+        "n_c",
+        theta.alias("theta"),
+        (D("sy_t") / D("n_t") - D("sy_c") / D("n_c")).alias("lift_raw"),
+        (adj_t - adj_c).alias("lift_cuped"),
+    )

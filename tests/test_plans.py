@@ -1255,3 +1255,13 @@ def test_triplet_broadcast_negatives_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "triplet_margin_audit")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_cuped_two_combinable_aggs_no_join(spark, sf_dir):
+    """CUPED is one user_id aggregate + one 1-row moment aggregate —
+    no join, no window, no Python."""
+    plan = _plan(spark, sf_dir, "ab_test_cuped")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
