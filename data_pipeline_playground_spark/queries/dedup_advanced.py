@@ -623,3 +623,109 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("sim"), 6).alias("avg_sim"),
         )
     )
+
+
+# --- LSH candidate quality audit (precision/recall vs exact truth) ----------
+
+_PR_AUDIT_SQL = _MINHASH_CTES + f""",
+js AS (SELECT doc_id, {_sql_shingles(SHINGLE_N)} AS shs FROM documents),
+jex AS (SELECT doc_id, unnest(shs) AS sh FROM js),
+jsizes AS (SELECT doc_id, len(shs) AS n FROM js),
+jinter AS (
+  SELECT a.doc_id AS ci, b.doc_id AS cj, count(*) AS ninter
+  FROM jex a JOIN jex b ON a.sh = b.sh AND b.doc_id < a.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+truth AS (
+  SELECT i.ci, i.cj
+  FROM jinter i
+  JOIN jsizes sa ON sa.doc_id = i.ci
+  JOIN jsizes sb ON sb.doc_id = i.cj
+  WHERE i.ninter * 1.0 / (sa.n + sb.n - i.ninter) >= {{jt}}
+),
+pred AS (SELECT ci, cj FROM est WHERE sim >= {{st}}),
+m AS (
+  SELECT
+    CAST(sum(CASE WHEN p.ci IS NOT NULL AND t.ci IS NOT NULL
+             THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+    CAST(sum(CASE WHEN p.ci IS NOT NULL AND t.ci IS NULL
+             THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+    CAST(sum(CASE WHEN p.ci IS NULL AND t.ci IS NOT NULL
+             THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM pred p FULL OUTER JOIN truth t ON p.ci = t.ci AND p.cj = t.cj
+)
+SELECT tp, fp, fn,
+       CAST(tp AS DOUBLE) / CAST(NULLIF(tp + fp, 0) AS DOUBLE) AS precision_,
+       CAST(tp AS DOUBLE) / CAST(NULLIF(tp + fn, 0) AS DOUBLE) AS recall_,
+       CAST(2 * tp AS DOUBLE) / CAST(NULLIF(2 * tp + fp + fn, 0) AS DOUBLE)
+         AS f1
+FROM m
+"""
+
+
+@query(
+    "dedup_pr_audit",
+    oracle=_PR_AUDIT_SQL.format(jt=JACCARD_THRESHOLD, st=SIM_THRESHOLD),
+)
+def dedup_pr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-quality evaluation: precision / recall / F1 of the
+    MinHash-LSH candidate pairs (sim >= SIM_THRESHOLD) against the
+    EXACT-Jaccard ground truth (>= JACCARD_THRESHOLD, the PPJoin-
+    blocked exact pair set) — the acceptance gate you run before
+    trusting an approximate dedup config at 100 TB, and the operator
+    that turns the banding/threshold knobs into a measured tradeoff.
+
+    Counts are a full-outer pair join (tp/fp/fn exact ints); the
+    three ratios are single double divisions with NULLIF guards
+    mirrored on both sides. Both input pair sets reuse the memoized
+    signature/shingle pipelines, so the audit costs one extra join
+    over frames the dedup family already built.
+    """
+    pred = (
+        _minhash_est(spark, sf_dir)
+        .filter(F.col("sim") >= SIM_THRESHOLD)
+        .select("ci", "cj")
+    )
+    truth = dedup_jaccard_pairs(spark, sf_dir).select(
+        F.col("ci").alias("tci"), F.col("cj").alias("tcj")
+    )
+    m = (
+        pred.join(
+            truth,
+            (F.col("ci") == F.col("tci")) & (F.col("cj") == F.col("tcj")),
+            "full_outer",
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("ci").isNotNull() & F.col("tci").isNotNull(), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("tp"),
+            F.sum(
+                F.when(
+                    F.col("ci").isNotNull() & F.col("tci").isNull(), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("fp"),
+            F.sum(
+                F.when(
+                    F.col("ci").isNull() & F.col("tci").isNotNull(), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("fn"),
+        )
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    nz = lambda c: F.nullif(c, F.lit(0)).cast("double")  # noqa: E731
+    return m.select(
+        "tp",
+        "fp",
+        "fn",
+        (tp.cast("double") / nz(tp + fp)).alias("precision_"),
+        (tp.cast("double") / nz(tp + fn)).alias("recall_"),
+        ((2 * tp).cast("double") / nz(2 * tp + fp + fn)).alias("f1"),
+    )
