@@ -1265,3 +1265,12 @@ def test_cuped_two_combinable_aggs_no_join(spark, sf_dir):
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_pr_audit_fullouter_equi_join(spark, sf_dir):
+    """The tp/fp/fn counting is a full-outer EQUI join on the pair key
+    (sort-merge or hash), never a nested-loop."""
+    plan = _plan(spark, sf_dir, "dedup_pr_audit")
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

