@@ -83,6 +83,21 @@ SHOWCASE = [
      "stacked Windows (per-user totals, ordered cumsum, prefix-min) "
      "all partitioned by user_id — exactly ONE hash exchange in the "
      "whole plan, no join, no Python."),
+    ("winnow_fingerprints", "MOSS winnowing with ZERO exchanges: "
+     "tokenize → hash → window-select entirely inside array "
+     "higher-order functions (lambda-bound via once() so Catalyst "
+     "cannot re-inline the hash chain per reference); the only "
+     "operators above the scan are Project/Filter/Generate."),
+    ("embedding_top_pc", "power-iteration PCA as ONE single-pass "
+     "45-column moment aggregate (partial map-side combine) + scalar "
+     "expression work on the 1-row result; inline() emits the 8 "
+     "output rows from a single FileScan — no join, no Python, no "
+     "second scan."),
+    ("value_ks_drift", "an exact Kolmogorov-Smirnov statistic whose "
+     "oracle needs a global cumulative window — computed window-free "
+     "via three two-level rankings (rangepartitioning + per-bucket "
+     "row_number + broadcast offsets); no unpartitioned window over "
+     "the value key anywhere in the plan."),
 ]
 
 
