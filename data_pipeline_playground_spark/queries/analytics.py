@@ -1636,3 +1636,189 @@ def ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         (D("sy_t") / D("n_t") - D("sy_c") / D("n_c")).alias("lift_raw"),
         (adj_t - adj_c).alias("lift_cuped"),
     )
+
+
+# --- Lorenz curve deciles ---------------------------------------------------
+
+_LORENZ_SQL = """
+WITH spend AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+  FROM orders GROUP BY o_custkey
+),
+tiled AS (
+  SELECT x, ntile(10) OVER (ORDER BY x, o_custkey) AS decile FROM spend
+),
+d AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+         SUM(CAST(x AS DECIMAL(30,2))) AS dx
+  FROM tiled GROUP BY decile
+),
+c AS (
+  SELECT decile, n_customers, dx,
+         SUM(dx) OVER (ORDER BY decile
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cx,
+         SUM(dx) OVER () AS tx
+  FROM d
+)
+SELECT decile, n_customers, CAST(dx AS DOUBLE) AS decile_spend,
+       CAST(cx AS DOUBLE) / CAST(tx AS DOUBLE) AS cum_share
+FROM c
+"""
+
+
+@query("revenue_lorenz_deciles", oracle=_LORENZ_SQL)
+def revenue_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of customer spend by decile — the curve whose
+    area complement is revenue_gini: per spend decile (ascending),
+    customer count, decile revenue, and the cumulative revenue share
+    ('the bottom 50% of customers produce X% of revenue').
+
+    Deciles come from operators/ranking (exact_ntile over the
+    two-level global rank — no single-partition sort of the customer
+    frame); the cumulative share is a 10-row post-aggregate window
+    (bounded frame); shares are exact decimal sums with one double
+    division per row.
+    """
+    from data_pipeline_playground_spark.operators.ranking import (
+        exact_ntile,
+        global_rank,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(_dec2("o_totalprice")).alias("x")
+    )
+    rk = global_rank(spend, ["x", "o_custkey"], rank_name="rank")
+    d = (
+        rk.withColumn(
+            "decile", exact_ntile(F.col("rank"), F.col("n_total"), 10)
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.sum(F.col("x").cast("decimal(30,2)")).alias("dx"),
+        )
+    )
+    w_c = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    w_t = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return d.select(
+        "decile",
+        "n_customers",
+        F.col("dx").cast("double").alias("decile_spend"),
+        (
+            F.sum("dx").over(w_c).cast("double")
+            / F.sum("dx").over(w_t).cast("double")
+        ).alias("cum_share"),
+    )
+
+
+# --- degree assortativity of the co-purchase graph --------------------------
+
+_ASSORT_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pair AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING count(*) >= 2
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT pa AS node FROM pair UNION ALL SELECT pb AS node FROM pair
+  ) t GROUP BY node
+),
+sym AS (
+  SELECT da.d AS dx, db.d AS dy
+  FROM pair p JOIN deg da ON da.node = p.pa JOIN deg db ON db.node = p.pb
+  UNION ALL
+  SELECT db.d AS dx, da.d AS dy
+  FROM pair p JOIN deg da ON da.node = p.pa JOIN deg db ON db.node = p.pb
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS m2,
+         CAST(sum(dx) AS BIGINT) AS sx,
+         CAST(sum(dx * dx) AS BIGINT) AS sxx,
+         CAST(sum(dx * dy) AS BIGINT) AS sxy
+  FROM sym
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+SELECT n.n_nodes, CAST(m.m2 // 2 AS BIGINT) AS n_edges,
+       (CAST(m.m2 AS DOUBLE) * CAST(m.sxy AS DOUBLE)
+        - CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE))
+         / (CAST(m.m2 AS DOUBLE) * CAST(m.sxx AS DOUBLE)
+            - CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE)) AS assortativity
+FROM m CROSS JOIN n
+"""
+
+
+@query("copurchase_assortativity", oracle=_ASSORT_SQL)
+def copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the part co-purchase
+    graph (edges: pairs co-ordered >= 2 times): the Pearson
+    correlation of endpoint degrees over symmetrized edges —
+    positive = hubs buy with hubs (assortative catalog), negative =
+    hub-and-spoke.
+
+    All moments are exact int64 sums over the symmetrized edge list
+    (x and y marginals coincide, so the correlation needs only m, Σd,
+    Σd², Σdd'); the coefficient is one shared double expression.
+
+    Plan: the bounded per-order self-join from the basket family, a
+    degree aggregate, two dimension-sized degree joins, and a 1-row
+    moment aggregate — no cartesian, no window.
+    """
+    op = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = op.alias("a")
+    b = op.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count("*").alias("cab"))
+        .where(F.col("cab") >= 2)
+        .select("pa", "pb")
+    )
+    deg = (
+        pair.select(F.col("pa").alias("node"))
+        .unionAll(pair.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    da = deg.select(F.col("node").alias("pa"), F.col("d").alias("d_a"))
+    db = deg.select(F.col("node").alias("pb"), F.col("d").alias("d_b"))
+    e = pair.join(da, "pa").join(db, "pb")
+    sym = e.select(
+        F.col("d_a").alias("dx"), F.col("d_b").alias("dy")
+    ).unionAll(e.select(F.col("d_b").alias("dx"), F.col("d_a").alias("dy")))
+    m = sym.agg(
+        F.count("*").cast("bigint").alias("m2"),
+        F.sum("dx").cast("bigint").alias("sx"),
+        F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("sxy"),
+    )
+    n = deg.agg(F.count("*").cast("bigint").alias("n_nodes"))
+    D = lambda c: F.col(c).cast("double")  # noqa: E731
+    r = (D("m2") * D("sxy") - D("sx") * D("sx")) / (
+        D("m2") * D("sxx") - D("sx") * D("sx")
+    )
+    return (
+        m.crossJoin(F.broadcast(n))
+        .select(
+            "n_nodes",
+            F.expr("m2 div 2").alias("n_edges"),
+            r.alias("assortativity"),
+        )
+    )

@@ -982,3 +982,101 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_suppkey", "s_name")
         .agg(F.count(F.lit(1)).alias("n_dominated_parts"))
     )
+
+
+# --- SPC p-chart on late shipments ------------------------------------------
+
+PCHART_LATE_DAYS = 100  # a line is 'late' if shipped > N days after order
+
+
+def _pchart_sql() -> str:
+    return f"""
+WITH j AS (
+  SELECT date_trunc('month', o.o_orderdate) AS month,
+         CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                             CAST(l.l_shipdate AS DATE))
+                   > {PCHART_LATE_DAYS} THEN 1 ELSE 0 END AS late
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+m AS (
+  SELECT CAST(month AS DATE) AS month,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(late) AS BIGINT) AS n_late
+  FROM j GROUP BY month
+),
+pool AS (
+  SELECT CAST(sum(n_late) AS BIGINT) AS tl, CAST(sum(n_lines) AS BIGINT) AS tn
+  FROM m
+)
+SELECT m.month, m.n_lines, m.n_late,
+       CAST(m.n_late AS DOUBLE) / CAST(m.n_lines AS DOUBLE) AS p,
+       CAST(pool.tl AS DOUBLE) / CAST(pool.tn AS DOUBLE) AS p_bar,
+       CAST(pool.tl AS DOUBLE) / CAST(pool.tn AS DOUBLE)
+         + 3.0 * sqrt((CAST(pool.tl AS DOUBLE) / CAST(pool.tn AS DOUBLE))
+                      * (1.0 - CAST(pool.tl AS DOUBLE)
+                         / CAST(pool.tn AS DOUBLE))
+                      / CAST(m.n_lines AS DOUBLE)) AS ucl,
+       CAST(m.n_late AS DOUBLE) / CAST(m.n_lines AS DOUBLE)
+         > CAST(pool.tl AS DOUBLE) / CAST(pool.tn AS DOUBLE)
+           + 3.0 * sqrt((CAST(pool.tl AS DOUBLE) / CAST(pool.tn AS DOUBLE))
+                        * (1.0 - CAST(pool.tl AS DOUBLE)
+                           / CAST(pool.tn AS DOUBLE))
+                        / CAST(m.n_lines AS DOUBLE)) AS out_of_control
+FROM m CROSS JOIN pool
+"""
+
+
+@query("late_shipment_pchart", oracle=_pchart_sql())
+def late_shipment_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart p-chart (statistical process control) on the monthly
+    late-shipment proportion: per month, the fraction of lineitems
+    shipped more than PCHART_LATE_DAYS after the order, the pooled
+    center line p̄, the 3σ upper control limit p̄+3√(p̄(1−p̄)/n), and
+    the out-of-control flag — the ops-monitoring primitive behind
+    'did this month's lateness exceed common-cause variation'.
+
+    Determinism: counts are exact ints; every proportion / limit /
+    flag is one shared double expression (sqrt correctly rounded).
+
+    Plan: lineitem joins orders on the order key (both fact-sized:
+    a co-partitioned shuffle join, column-pruned to 2 columns each —
+    never a broadcast), one month-keyed aggregate, one broadcast
+    1-row pooled scalar — two combinable aggregates after the join.
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    late = (
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+        > PCHART_LATE_DAYS
+    ).cast("int")
+    m = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.to_date(F.date_trunc("month", "o_orderdate")).alias("month"),
+            late.alias("late"),
+        )
+        .groupBy("month")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum("late").cast("bigint").alias("n_late"),
+        )
+    )
+    pool = m.agg(
+        F.sum("n_late").cast("bigint").alias("tl"),
+        F.sum("n_lines").cast("bigint").alias("tn"),
+    )
+    D = lambda c: F.col(c).cast("double")  # noqa: E731
+    p = D("n_late") / D("n_lines")
+    pbar = D("tl") / D("tn")
+    ucl = pbar + F.lit(3.0) * F.sqrt(
+        pbar * (F.lit(1.0) - pbar) / D("n_lines")
+    )
+    return m.crossJoin(F.broadcast(pool)).select(
+        "month",
+        "n_lines",
+        "n_late",
+        p.alias("p"),
+        pbar.alias("p_bar"),
+        ucl.alias("ucl"),
+        (p > ucl).alias("out_of_control"),
+    )

@@ -1274,3 +1274,30 @@ def test_pr_audit_fullouter_equi_join(spark, sf_dir):
     assert "FullOuter" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lorenz_ranks_without_global_sort(spark, sf_dir):
+    """Lorenz deciles rank via the two-level scheme; the only windows
+    run over the 10-row decile frame."""
+    plan = _plan(spark, sf_dir, "revenue_lorenz_deciles")
+    assert "rangepartitioning" in plan
+
+
+def test_assortativity_no_cartesian_one_row_moments(spark, sf_dir):
+    """Edge moments are a 1-row aggregate over the symmetrized edge
+    list; pair generation stays the bounded per-order equi-join."""
+    plan = _plan(spark, sf_dir, "copurchase_assortativity")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_pchart_no_fact_broadcast(spark, sf_dir):
+    """orders is fact-sized: the lineitem-orders join must NOT force a
+    broadcast of orders via hint (AQE may still pick one at tiny test
+    scale); both scans prune to two columns."""
+    plan = _plan(spark, sf_dir, "late_shipment_pchart")
+    ms = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert any("o_orderkey" in s and "o_orderdate" in s and s.count(":") == 2
+               for s in ms)
+    assert any("l_orderkey" in s and "l_shipdate" in s and s.count(":") == 2
+               for s in ms)
