@@ -939,3 +939,61 @@ def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score"),
         )
     )
+
+
+# --- lexical diversity per source -------------------------------------------
+
+_LEXDIV_SQL = f"""
+WITH tok AS (
+  SELECT source, unnest({_SQL_TOKENS}) AS term FROM documents
+),
+tf AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+       FROM tok GROUP BY source, term)
+SELECT source,
+       CAST(sum(c) AS BIGINT) AS tokens,
+       CAST(count(*) AS BIGINT) AS types,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapaxes,
+       CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS ttr,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS hapax_ratio
+FROM tf GROUP BY source
+"""
+
+
+@query("lexical_diversity", oracle=_LEXDIV_SQL)
+def lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per source: token count, type (distinct
+    term) count, hapax legomena, type-token ratio, and hapax share —
+    the vocabulary-richness profile that separates template/boiler-
+    plate sources (low TTR, few hapaxes) from organic text, and the
+    empirical inputs to Heaps'-law vocabulary-growth estimates.
+
+    Counts are exact ints; both ratios are single double divisions.
+    Plan: explode → (source, term) agg → source rollup — two
+    combinable aggregates keyed on bounded keys.
+    """
+    docs = table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "source", F.explode(tokenize(F.col("text"))).alias("term")
+        )
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("c"))
+    )
+    out = tf.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("tokens"),
+        F.count("*").cast("bigint").alias("types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("hapaxes"),
+    )
+    return out.select(
+        "source",
+        "tokens",
+        "types",
+        "hapaxes",
+        (F.col("types").cast("double") / F.col("tokens").cast("double"))
+        .alias("ttr"),
+        (F.col("hapaxes").cast("double") / F.col("types").cast("double"))
+        .alias("hapax_ratio"),
+    )

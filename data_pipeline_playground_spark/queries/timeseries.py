@@ -845,3 +845,105 @@ def revenue_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- autocorrelation of daily revenue ---------------------------------------
+
+ACF_LAGS = [1, 7, 14, 28]
+
+_ACF_SQL = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev0
+  FROM orders GROUP BY 1
+),
+-- floor to whole dollars via exact decimal modulo so every moment is
+-- integral and the sums downcast to int64-backed DECIMAL(18,0) before
+-- the double cast (DuckDB's int128 decimal->double can be 1 ulp off
+-- even below 2^63)
+d2 AS (
+  SELECT day, CAST(rev0 - (rev0 % 1) AS DECIMAL(12,0)) AS rev FROM daily
+),
+lags AS (SELECT unnest([{", ".join(str(k) for k in ACF_LAGS)}]) AS lag),
+pairs AS (
+  SELECT l.lag, a.rev AS x, b.rev AS y
+  FROM lags l
+  JOIN d2 a ON true
+  JOIN d2 b ON b.day = a.day + CAST(l.lag AS INT)
+),
+m AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(30,0))) AS DECIMAL(18,0)) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(30,0))) AS DECIMAL(18,0)) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(30,0))) AS DECIMAL(18,0)) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(30,0))) AS DECIMAL(18,0)) AS sxx,
+         CAST(SUM(CAST(y * y AS DECIMAL(30,0))) AS DECIMAL(18,0)) AS syy
+  FROM pairs GROUP BY lag
+)
+SELECT lag, n,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS acf
+FROM m
+"""
+
+
+@query("revenue_acf", oracle=_ACF_SQL)
+def revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of daily revenue at lags 1/7/14/28 days (the
+    aligned-pairs Pearson form) — the seasonality detector that says
+    WHICH period revenue_seasonal_decompose should model (a spike at
+    lag 7 = weekly cycle).
+
+    Parity: daily revenues floor to whole dollars (decimal modulo, no
+    rounding mode involved); every moment is an exact integral decimal
+    sum DOWNCAST to int64-backed DECIMAL(18,0) before the double cast
+    (DuckDB's int128 decimal→double can be 1 ulp off even below 2^63 —
+    found here at lag 14/28); each coefficient is one shared double
+    tree (sqrt correctly rounded). Bounds: Σx² < 1e18 holds through
+    ~sf1-scale daily revenues; shard the sums beyond.
+
+    Plan: the lag self-join runs on the DAILY frame (dimension-sized
+    after the first aggregate) against a 4-row lag spine; moments are
+    one (lag)-keyed combinable aggregate.
+    """
+    orders = table(spark, sf_dir, "orders")
+    rev0 = F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        (rev0 - rev0 % 1).cast("decimal(12,0)").alias("rev")
+    )
+    lags = spark.createDataFrame(
+        [(k,) for k in ACF_LAGS], "lag INT"
+    )
+    a = daily.select(F.col("day").alias("d_a"), F.col("rev").alias("x"))
+    b = daily.select(F.col("day").alias("d_b"), F.col("rev").alias("y"))
+    pairs = (
+        F.broadcast(lags)
+        .crossJoin(a)
+        .join(b, F.col("d_b") == F.expr("date_add(d_a, lag)"))
+        .select("lag", "x", "y")
+    )
+    m = pairs.groupBy("lag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("x").cast("decimal(30,0)"))
+        .cast("decimal(18,0)").alias("sx"),
+        F.sum(F.col("y").cast("decimal(30,0)"))
+        .cast("decimal(18,0)").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(30,0)"))
+        .cast("decimal(18,0)").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(30,0)"))
+        .cast("decimal(18,0)").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(30,0)"))
+        .cast("decimal(18,0)").alias("syy"),
+    )
+    D = lambda c: F.col(c).cast("double")  # noqa: E731
+    acf = (D("n") * D("sxy") - D("sx") * D("sy")) / F.sqrt(
+        (D("n") * D("sxx") - D("sx") * D("sx"))
+        * (D("n") * D("syy") - D("sy") * D("sy"))
+    )
+    return m.select(
+        F.col("lag").cast("int").alias("lag"), "n", acf.alias("acf")
+    )

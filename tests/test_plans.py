@@ -1301,3 +1301,20 @@ def test_pchart_no_fact_broadcast(spark, sf_dir):
                for s in ms)
     assert any("l_orderkey" in s and "l_shipdate" in s and s.count(":") == 2
                for s in ms)
+
+
+def test_acf_lag_join_on_daily_frame(spark, sf_dir):
+    """The ACF self-join runs on the DAILY aggregate against a 4-row
+    lag spine — no window, no cartesian against the fact table (the
+    lag spine broadcast fan-out is the intended 4x)."""
+    plan = _plan(spark, sf_dir, "revenue_acf")
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_lexdiv_two_aggs_only(spark, sf_dir):
+    """Lexical diversity is explode -> (source,term) agg -> source
+    rollup: exactly two hash aggregate exchanges, nothing else."""
+    plan = _plan(spark, sf_dir, "lexical_diversity")
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Join" not in plan
