@@ -1822,3 +1822,136 @@ def copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             r.alias("assortativity"),
         )
     )
+
+
+# --- spend-quartile migration matrix ----------------------------------------
+
+MIGRATION_SPLIT_DATE = "1998-05-01"  # H1: before, H2: on/after (orders span 1995-01..2001-08)
+
+
+def _migration_sql() -> str:
+    def tile(alias: str, pred: str) -> str:
+        return f"""
+{alias} AS (
+  SELECT o_custkey,
+         ntile(4) OVER (ORDER BY spend, o_custkey) AS q
+  FROM (
+    SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+    FROM orders WHERE {pred} GROUP BY o_custkey) t
+)"""
+
+    return f"""
+WITH {tile("h1", f"o_orderdate < TIMESTAMP '{MIGRATION_SPLIT_DATE} 00:00:00'")},
+{tile("h2", f"o_orderdate >= TIMESTAMP '{MIGRATION_SPLIT_DATE} 00:00:00'")}
+SELECT h1.q AS q_before, h2.q AS q_after,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM h1 JOIN h2 ON h2.o_custkey = h1.o_custkey
+GROUP BY h1.q, h2.q
+"""
+
+
+@query("customer_quartile_migration", oracle=_migration_sql())
+def customer_quartile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer spend-quartile migration matrix between the two halves
+    of the order history (split at MIGRATION_SPLIT_DATE): how many
+    customers moved from quartile i to quartile j — the
+    upgrade/downgrade/churn-risk flow a CRM team reads (mass below
+    the diagonal = down-migration). Customers active in only one half
+    drop out (inner join), exactly as in the oracle.
+
+    Both half-period quartile assignments use operators/ranking
+    (two-level exact rank + integer ntile — no single-partition sort);
+    the oracle states them as plain ntile windows.
+    """
+    from data_pipeline_playground_spark.operators.ranking import (
+        exact_ntile,
+        global_rank,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    split = F.expr(f"TIMESTAMP_NTZ '{MIGRATION_SPLIT_DATE} 00:00:00'")
+
+    def tiles(pred, qname):
+        spend = (
+            o.where(pred)
+            .groupBy("o_custkey")
+            .agg(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                    "spend"
+                )
+            )
+        )
+        rk = global_rank(spend, ["spend", "o_custkey"], rank_name="rank")
+        return rk.select(
+            "o_custkey",
+            exact_ntile(F.col("rank"), F.col("n_total"), 4).alias(qname),
+        )
+
+    h1 = tiles(F.col("o_orderdate") < split, "q_before")
+    h2 = tiles(F.col("o_orderdate") >= split, "q_after")
+    return (
+        h1.join(h2, "o_custkey")
+        .groupBy("q_before", "q_after")
+        .agg(F.count("*").cast("bigint").alias("n_customers"))
+    )
+
+
+# --- pre/post event-rate shift test ------------------------------------------
+
+RATE_SPLIT = "2024-01-16 00:00:00"  # same split as ab_test_cuped
+_CHI2_CRIT_05 = "3.841459"  # chi2(1) alpha=0.05, 6-dp shared literal
+
+_RATE_SHIFT_SQL = f"""
+WITH c AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN ts < TIMESTAMP '{RATE_SPLIT}'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_pre,
+         CAST(sum(CASE WHEN ts >= TIMESTAMP '{RATE_SPLIT}'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_post
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n_pre, n_post,
+       CAST((n_post - n_pre) * (n_post - n_pre) AS DOUBLE)
+         / CAST(n_pre + n_post AS DOUBLE) AS z_squared,
+       CAST((n_post - n_pre) * (n_post - n_pre) AS DOUBLE)
+         / CAST(n_pre + n_post AS DOUBLE)
+         > CAST({_CHI2_CRIT_05} AS DOUBLE) AS shifted_05
+FROM c WHERE n_pre + n_post > 0
+"""
+
+
+@query("event_rate_shift", oracle=_RATE_SHIFT_SQL)
+def event_rate_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre/post event-rate shift test per event type (equal-length
+    windows around RATE_SPLIT): under H0 the count split is
+    Binomial(n, 1/2), so z² = (n_post − n_pre)²/(n_pre + n_post) is
+    χ²(1) — the volume counterpart of value_ks_drift's distribution
+    test. Flag at α = 0.05 (critical value as a shared 6-dp literal —
+    transcendental-free).
+
+    One conditional-count aggregate per type; the statistic and flag
+    are integer-derived single double expressions.
+    """
+    ev = table(spark, sf_dir, "events")
+    split = F.expr(f"TIMESTAMP_NTZ '{RATE_SPLIT}'")
+    c = ev.groupBy("event_type").agg(
+        F.sum(F.when(F.col("ts") < split, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pre"),
+        F.sum(F.when(F.col("ts") >= split, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_post"),
+    )
+    diff = F.col("n_post") - F.col("n_pre")
+    z2 = (diff * diff).cast("double") / (
+        F.col("n_pre") + F.col("n_post")
+    ).cast("double")
+    return c.where(F.col("n_pre") + F.col("n_post") > 0).select(
+        "event_type",
+        "n_pre",
+        "n_post",
+        z2.alias("z_squared"),
+        (z2 > F.expr(f"CAST({_CHI2_CRIT_05} AS DOUBLE)")).alias(
+            "shifted_05"
+        ),
+    )

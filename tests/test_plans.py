@@ -1318,3 +1318,20 @@ def test_lexdiv_two_aggs_only(spark, sf_dir):
     plan = _plan(spark, sf_dir, "lexical_diversity")
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "Join" not in plan
+
+
+def test_migration_two_rankings_no_global_sort(spark, sf_dir):
+    """Both half-period quartile assignments use the two-level ranking
+    (range partitioning); the migration matrix is an equi-join +
+    16-key aggregate."""
+    plan = _plan(spark, sf_dir, "customer_quartile_migration")
+    assert plan.count("rangepartitioning") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_rate_shift_single_conditional_agg(spark, sf_dir):
+    """One conditional-count aggregate over one scan; pure JVM."""
+    plan = _plan(spark, sf_dir, "event_rate_shift")
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
