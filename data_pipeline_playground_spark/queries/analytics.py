@@ -1955,3 +1955,80 @@ def event_rate_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shifted_05"
         ),
     )
+
+
+# --- quantity-weighted median price per brand --------------------------------
+
+_WMEDIAN_SQL = """
+WITH li AS (
+  SELECT p.p_brand AS brand,
+         CAST(l.l_extendedprice AS DECIMAL(18,2)) AS price,
+         CAST(l.l_quantity AS DECIMAL(18,2)) AS qty,
+         l.l_orderkey, l.l_linenumber
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+c AS (
+  SELECT brand, price, qty,
+         SUM(qty) OVER (PARTITION BY brand
+                        ORDER BY price, l_orderkey, l_linenumber
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cumq,
+         SUM(qty) OVER (PARTITION BY brand) AS totq
+  FROM li
+)
+SELECT brand,
+       CAST(MIN(CASE WHEN cumq * 2 >= totq THEN price END) AS DOUBLE)
+         AS weighted_median_price,
+       CAST(CAST(SUM(qty) AS DECIMAL(18,2)) AS DOUBLE) AS total_qty,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM c GROUP BY brand
+"""
+
+
+@query("brand_weighted_median", oracle=_WMEDIAN_SQL)
+def brand_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median extended price per brand: the smallest
+    price whose cumulative quantity reaches half the brand's total —
+    the robust 'typical transacted price' a pricing dashboard wants
+    (an unweighted median over lines overweights small orders).
+
+    Exactness: quantities and prices snap to DECIMAL(18,2); the
+    running and total sums are exact decimal window aggregates, the
+    half-total test (2·cum ≥ tot) is integer-exact, and the selected
+    price is invariant to tie order within equal prices (the
+    crossing row's price group is order-independent), though the
+    window still orders by (price, orderkey, linenumber) so both
+    engines walk identical prefixes.
+
+    Plan: broadcast part dim join, ONE brand-keyed exchange shared by
+    both windows and the final aggregate.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    base = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey")).select(
+        F.col("p_brand").alias("brand"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w_cum = (
+        Window.partitionBy("brand")
+        .orderBy("price", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("brand")
+    c = base.select(
+        "brand",
+        "price",
+        "qty",
+        F.sum("qty").over(w_cum).alias("cumq"),
+        F.sum("qty").over(w_tot).alias("totq"),
+    )
+    return c.groupBy("brand").agg(
+        F.min(F.when(F.col("cumq") * 2 >= F.col("totq"), F.col("price")))
+        .cast("double")
+        .alias("weighted_median_price"),
+        F.sum("qty").cast("decimal(18,2)").cast("double").alias("total_qty"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )

@@ -1,0 +1,299 @@
+"""Data-governance audits: referential integrity, k-anonymity /
+l-diversity, and multi-touch revenue attribution.
+
+The reference pipeline trusts its joins implicitly (`pipeline.py`
+joins articles to clusters by id with no orphan handling); a warehouse
+serving 100 TB needs the audit queries that PROVE those invariants
+before anything downstream consumes the tables. None of these exist in
+the reference — they generalize its id-join surface (SURVEY §2 J1/J4)
+into the checks a production pipeline runs on every load.
+
+Scale notes (SCALE.md §Governance):
+- fk_integrity_audit: each edge is one partial-agg shuffle on the FK
+  (map-side combine collapses lineitem to its distinct keys before the
+  exchange) + one key-join against the parent's primary keys —
+  broadcast for dimension parents, co-partitioned shuffle join for
+  fact-fact edges (lineitem→orders). The union is 7 one-row frames.
+- k_anonymity_audit: two hash aggregations (QI grouping, then the
+  group-size histogram); the final single-partition window runs over
+  the bounded distinct-k histogram, never the raw table.
+- attribution_linear: the preceding-hour touch lookup is the bucketed
+  range-join shape (equi-join on (user, floor-epoch bucket) with a 2×
+  probe fanout and a residual interval filter — never a theta join);
+  per-purchase fan-in is a window on event_id. Credit is split in
+  integer micro-units (value → DECIMAL(18,6) → micros DIV n_touches),
+  so sums are order-free and bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_playground_spark.registry import query
+from data_pipeline_playground_spark.tables import table
+
+# --- referential-integrity audit ---------------------------------------------
+
+# (child table, fk column, parent table, pk column); parents marked
+# dim are broadcast-sized at any scale factor.
+_FK_EDGES = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey", False),
+    ("lineitem", "l_partkey", "part", "p_partkey", True),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey", True),
+    ("orders", "o_custkey", "customer", "c_custkey", True),
+    ("customer", "c_nationkey", "nation", "n_nationkey", True),
+    ("supplier", "s_nationkey", "nation", "n_nationkey", True),
+    ("nation", "n_regionkey", "region", "r_regionkey", True),
+)
+
+
+def _fk_edge_sql(child: str, fk: str, parent: str, pk: str) -> str:
+    return f"""
+SELECT '{child}' AS child_table, '{fk}' AS fk_column,
+       '{parent}' AS parent_table,
+       CAST(SUM(k.n) AS BIGINT) AS n_child_rows,
+       CAST(SUM(CASE WHEN k.{fk} IS NULL THEN k.n ELSE 0 END) AS BIGINT)
+         AS n_null_fk,
+       CAST(SUM(CASE WHEN k.{fk} IS NOT NULL AND p.pk IS NULL
+                     THEN k.n ELSE 0 END) AS BIGINT) AS n_orphan_rows,
+       CAST(COUNT(k.{fk}) AS BIGINT) AS n_distinct_keys,
+       CAST(SUM(CASE WHEN k.{fk} IS NOT NULL AND p.pk IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_keys
+FROM (SELECT {fk}, count(*) AS n FROM {child} GROUP BY 1) k
+LEFT JOIN (SELECT DISTINCT {pk} AS pk FROM {parent}) p ON k.{fk} = p.pk
+"""
+
+
+_FK_SQL = "\nUNION ALL\n".join(
+    _fk_edge_sql(c, f, p, k) for c, f, p, k, _ in _FK_EDGES
+)
+
+
+@query("fk_integrity_audit", oracle=_FK_SQL)
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per foreign-key edge of the star schema: child rows,
+    null FKs, orphan rows (FK present, parent missing), distinct keys,
+    orphan keys. The load-gate audit a pipeline runs before exposing a
+    snapshot — the reference assumes clean ids (pipeline.py id joins);
+    this query is the check that assumption rests on.
+
+    Each edge pre-aggregates the child to (fk, n) — map-side combine
+    makes the exchange carry distinct keys, not rows — then left-joins
+    the parent's keys (broadcast for dimensions; the lineitem→orders
+    edge stays a co-partitioned key join).
+    """
+    out: DataFrame | None = None
+    for child, fk, parent, pk, is_dim in _FK_EDGES:
+        keys = table(spark, sf_dir, child).groupBy(fk).agg(F.count(F.lit(1)).alias("n"))
+        par = table(spark, sf_dir, parent).select(F.col(pk).alias("pk")).distinct()
+        if is_dim:
+            par = F.broadcast(par)
+        joined = keys.join(par, F.col(fk) == F.col("pk"), "left")
+        orphan = F.col(fk).isNotNull() & F.col("pk").isNull()
+        row = joined.agg(
+            F.lit(child).alias("child_table"),
+            F.lit(fk).alias("fk_column"),
+            F.lit(parent).alias("parent_table"),
+            F.sum("n").alias("n_child_rows"),
+            F.sum(F.when(F.col(fk).isNull(), F.col("n")).otherwise(F.lit(0))).alias(
+                "n_null_fk"
+            ),
+            F.sum(F.when(orphan, F.col("n")).otherwise(F.lit(0))).alias(
+                "n_orphan_rows"
+            ),
+            F.count(F.col(fk)).alias("n_distinct_keys"),
+            F.sum(F.when(orphan, F.lit(1)).otherwise(F.lit(0))).alias(
+                "n_orphan_keys"
+            ),
+        )
+        out = row if out is None else out.unionByName(row)
+    assert out is not None
+    return out
+
+
+# --- k-anonymity / l-diversity audit -----------------------------------------
+
+_KANON_SQL = """
+WITH qi AS (
+  SELECT c_nationkey,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS acctbal_band,
+         count(*) AS k,
+         count(DISTINCT c_mktsegment) AS l
+  FROM customer
+  GROUP BY 1, 2
+),
+hist AS (
+  SELECT k AS group_k,
+         CAST(count(*) AS BIGINT) AS n_groups,
+         CAST(SUM(k) AS BIGINT) AS n_rows,
+         CAST(MIN(l) AS BIGINT) AS min_l_diversity
+  FROM qi GROUP BY 1
+)
+SELECT group_k, n_groups, n_rows, min_l_diversity,
+       CAST(n_rows AS DOUBLE) / CAST(SUM(n_rows) OVER () AS DOUBLE)
+         AS row_share,
+       group_k < 5 AS reidentifiable
+FROM hist
+"""
+
+
+@query("k_anonymity_audit", oracle=_KANON_SQL)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-size histogram of the quasi-identifier (nation,
+    account-balance band): for each anonymity level k, how many QI
+    groups and rows sit at it, the minimum l-diversity of the
+    sensitive attribute (market segment) among those groups, and the
+    share of the table re-identifiable under k < 5 — the release gate
+    for sharing per-customer aggregates (Sweeney 2002, k-anonymity).
+
+    Two hash aggregations; the share denominator is an unpartitioned
+    window over the bounded distinct-k histogram (tens of rows at any
+    scale), never the customer table. floor(x/1000) is a single IEEE
+    division + floor — deterministic and identical across engines; the
+    share is int64-exact counts combined in one shared double division.
+    """
+    cust = table(spark, sf_dir, "customer")
+    qi = cust.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / F.lit(1000)).alias("acctbal_band"),
+    ).agg(
+        F.count(F.lit(1)).alias("k"),
+        F.countDistinct("c_mktsegment").alias("l"),
+    )
+    hist = qi.groupBy(F.col("k").alias("group_k")).agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("k").alias("n_rows"),
+        F.min("l").alias("min_l_diversity"),
+    )
+    w = Window.partitionBy()
+    return hist.select(
+        "group_k",
+        "n_groups",
+        "n_rows",
+        "min_l_diversity",
+        (
+            F.col("n_rows").cast("double") / F.sum("n_rows").over(w).cast("double")
+        ).alias("row_share"),
+        (F.col("group_k") < 5).alias("reidentifiable"),
+    )
+
+
+# --- linear multi-touch attribution ------------------------------------------
+
+_ATTR_WINDOW_S = 3600
+
+_ATTR_SQL = f"""
+WITH purchases AS (
+  SELECT event_id, user_id, ts,
+         CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS micros
+  FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id AS c_user, ts AS c_ts FROM events
+  WHERE event_type = 'click'
+),
+pairs AS (
+  SELECT p.event_id, p.micros,
+         c.c_ts,
+         COUNT(c.c_ts) OVER (PARTITION BY p.event_id) AS n_touches
+  FROM purchases p
+  LEFT JOIN clicks c
+    ON c.c_user = p.user_id
+   AND c.c_ts <= p.ts
+   AND c.c_ts > p.ts - INTERVAL {_ATTR_WINDOW_S} SECONDS
+)
+SELECT CASE WHEN c_ts IS NULL THEN -1
+            ELSE CAST(extract(hour FROM c_ts) AS INTEGER) END AS touch_hour,
+       CAST(count(*) AS BIGINT) AS n_touches,
+       CAST(SUM(CASE WHEN c_ts IS NULL THEN micros
+                     ELSE micros // n_touches END) AS BIGINT)
+         AS attributed_micros,
+       CAST(CAST(SUM(CASE WHEN c_ts IS NULL THEN micros
+                          ELSE micros // n_touches END) AS BIGINT) AS DOUBLE)
+         / 1000000.0 AS attributed_value
+FROM pairs
+GROUP BY 1
+"""
+
+
+@query("attribution_linear", oracle=_ATTR_SQL)
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value is split
+    equally across the user's clicks in the preceding hour, and the
+    credit is rolled up by the click's hour-of-day (touch_hour = -1
+    collects purchases with no preceding touch at full value) — the
+    channel-credit report behind `asof_last_click`'s last-touch
+    counterpart.
+
+    Distributed shape: the preceding-hour lookup is the bucketed range
+    join (equi-join on (user, floor-epoch hour bucket), purchases probe
+    their own + previous bucket, exact interval as residual filter);
+    the per-purchase fan-in count is a window on event_id. Credit is
+    integer micro-units floor-divided by the touch count (both engines
+    truncate non-negative integer division identically), so every sum
+    is int64-exact; the only double is the final shared /1e6.
+    """
+    ev = table(spark, sf_dir, "events")
+    epoch_s = "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    bucket = (F.expr(epoch_s) / _ATTR_WINDOW_S).cast("bigint")
+    micros = (F.col("value").cast("decimal(18,6)") * 1000000).cast("bigint")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        bucket.alias("c_bucket"),
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", micros.alias("micros"), bucket.alias("p_bucket"))
+        .withColumn("probe", F.explode(F.array(F.col("p_bucket"), F.col("p_bucket") - 1)))
+    )
+    hit = (F.col("c_ts") <= F.col("ts")) & (
+        F.col("c_ts") > F.col("ts") - F.expr(f"INTERVAL {_ATTR_WINDOW_S} SECONDS")
+    )
+    # Inner bucketed match (each click matches exactly one probe row,
+    # so no dedup is needed and duplicate-timestamp clicks stay
+    # distinct, as in the oracle's LEFT JOIN); touchless purchases come
+    # back via an anti join as a single NULL-touch row each.
+    matched = (
+        purchases.join(
+            clicks,
+            (F.col("user_id") == F.col("c_user")) & (F.col("probe") == F.col("c_bucket")),
+            "inner",
+        )
+        .filter(hit)
+        .select("event_id", "micros", "c_ts")
+    )
+    base = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", micros.alias("micros")
+    )
+    touchless = base.join(
+        matched.select("event_id"), "event_id", "left_anti"
+    ).withColumn("c_ts", F.lit(None).cast("timestamp_ntz"))
+    pairs = matched.unionByName(touchless)
+    n_touches = F.count("c_ts").over(Window.partitionBy("event_id"))
+    credited = pairs.select(
+        "micros",
+        "c_ts",
+        n_touches.alias("n_touches"),
+    )
+    credit = F.when(F.col("c_ts").isNull(), F.col("micros")).otherwise(
+        F.expr("micros div n_touches")
+    )
+    return (
+        credited.select(
+            F.when(F.col("c_ts").isNull(), F.lit(-1))
+            .otherwise(F.hour("c_ts"))
+            .cast("int")
+            .alias("touch_hour"),
+            credit.alias("credit_micros"),
+        )
+        .groupBy("touch_hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum("credit_micros").alias("attributed_micros"),
+            (F.sum("credit_micros").cast("double") / F.lit(1000000.0)).alias(
+                "attributed_value"
+            ),
+        )
+    )

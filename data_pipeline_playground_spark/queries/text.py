@@ -997,3 +997,87 @@ def lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("hapaxes").cast("double") / F.col("types").cast("double"))
         .alias("hapax_ratio"),
     )
+
+
+# --- readability profile ------------------------------------------------------
+
+# ONE expression text both engines evaluate over identical int64
+# counts: every division/multiply is IEEE-deterministic given equal
+# inputs, and the Flesch constants parse from strings to the same
+# nearest double in both engines.
+_FRE_EXPR = (
+    "CAST('206.835' AS DOUBLE)"
+    " - CAST('1.015' AS DOUBLE)"
+    "   * (CAST(n_words AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    " - CAST('84.6' AS DOUBLE)"
+    "   * (CAST(n_syllables AS DOUBLE)"
+    "      / CAST(GREATEST(n_words, CAST(1 AS BIGINT)) AS DOUBLE))"
+)
+
+_READABILITY_SQL = f"""
+WITH d AS (
+  SELECT source,
+         len(regexp_extract_all(text, '[a-z]+')) AS w,
+         len(regexp_extract_all(text, '[aeiouy]+')) AS s
+  FROM documents
+),
+agg AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(SUM(w) AS BIGINT) AS n_words,
+         CAST(SUM(s) AS BIGINT) AS n_syllables
+  FROM d GROUP BY source
+)
+SELECT source, n_docs, n_words, n_syllables,
+       CAST(n_words AS DOUBLE) / CAST(n_docs AS DOUBLE) AS words_per_doc,
+       CAST(n_syllables AS DOUBLE)
+         / CAST(GREATEST(n_words, CAST(1 AS BIGINT)) AS DOUBLE)
+         AS syllables_per_word,
+       {_FRE_EXPR} AS flesch_score
+FROM agg
+"""
+
+
+@query("doc_readability", oracle=_READABILITY_SQL)
+def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Flesch-style readability profile: word count (letter
+    runs), syllable proxy (vowel-group runs — the standard
+    dictionary-free estimator), and the Flesch score with the document
+    as the sentence unit. The corpus is punctuation-free synthetic
+    text (no sentence terminators), so sentence segmentation
+    deliberately falls back to document boundaries — the conventional
+    handling for fragment text; on punctuated corpora the sentence
+    count would come from terminator runs instead.
+
+    Single scan → per-doc regexp counts (JVM-side, no UDF) → one
+    source-keyed aggregate of int64 sums; the score is one shared
+    double expression text evaluated identically by both engines.
+    """
+    docs = table(spark, sf_dir, "documents")
+    agg = (
+        docs.select(
+            "source",
+            F.size(F.regexp_extract_all("text", F.lit("[a-z]+"), F.lit(0))).alias("w"),
+            F.size(F.regexp_extract_all("text", F.lit("[aeiouy]+"), F.lit(0))).alias("s"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("w").cast("bigint").alias("n_words"),
+            F.sum("s").cast("bigint").alias("n_syllables"),
+        )
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_words",
+        "n_syllables",
+        (F.col("n_words").cast("double") / F.col("n_docs").cast("double")).alias(
+            "words_per_doc"
+        ),
+        F.expr(
+            "CAST(n_syllables AS DOUBLE)"
+            " / CAST(GREATEST(n_words, CAST(1 AS BIGINT)) AS DOUBLE)"
+        ).alias("syllables_per_word"),
+        F.expr(_FRE_EXPR).alias("flesch_score"),
+    )

@@ -947,3 +947,53 @@ def revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         F.col("lag").cast("int").alias("lag"), "n", acf.alias("acf")
     )
+
+
+# --- trailing-7-day distinct active users ------------------------------------
+
+_ROLLING_ACTIVE_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events
+),
+mx AS (SELECT max(day) AS dmax FROM ud),
+fan AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(day, day + INTERVAL 6 DAY,
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM ud
+)
+SELECT f.day, CAST(count(DISTINCT f.user_id) AS BIGINT) AS n_active_7d
+FROM fan f CROSS JOIN mx
+WHERE f.day <= mx.dmax
+GROUP BY f.day
+"""
+
+
+@query("rolling_7d_active_users", oracle=_ROLLING_ACTIVE_SQL)
+def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day — the WAU curve.
+    COUNT(DISTINCT) over a sliding window is inexpressible as a window
+    function in either engine; the scalable shape is the FORWARD
+    FAN-OUT: each (user, day) observation contributes itself to the 7
+    days it keeps the user 'active' for, then one distinct-aggregate
+    per day. Cost is a fixed 7× fanout of the DEDUPLICATED user-day
+    frame (already « events), linear at any scale — no per-day
+    self-join, no quadratic window.
+
+    Days past the corpus end are clipped by a broadcast one-row max;
+    leading days report their genuine partial windows.
+    """
+    ev = table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")).distinct()
+    mx = ud.agg(F.max("day").alias("dmax"))
+    fan = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias("day"),
+    )
+    return (
+        fan.crossJoin(F.broadcast(mx))
+        .filter(F.col("day") <= F.col("dmax"))
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("n_active_7d"))
+    )

@@ -1,0 +1,93 @@
+"""Invariant tests for the governance + graph-mining batch (the
+oracle mirror in test_queries_oracle.py already value-checks each
+query against DuckDB; these pin the semantic laws the values must
+obey)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipeline_playground_spark.queries.graph_mining import (
+    KCORE_K,
+    KCORE_ROUNDS,
+    kcore_sql,
+)
+from data_pipeline_playground_spark.registry import all_queries
+from data_pipeline_playground_spark.tables import table
+
+_Q = all_queries()
+
+
+def test_fk_audit_counts_are_consistent(spark, sf_dir):
+    rows = {r["fk_column"]: r for r in _Q["fk_integrity_audit"](spark, sf_dir).collect()}
+    assert len(rows) == 7
+    li_n = table(spark, sf_dir, "lineitem").count()
+    assert rows["l_orderkey"]["n_child_rows"] == li_n
+    assert rows["l_partkey"]["n_child_rows"] == li_n
+    for r in rows.values():
+        assert r["n_orphan_rows"] >= r["n_orphan_keys"]  # rows fan out keys
+        assert r["n_null_fk"] + r["n_orphan_rows"] <= r["n_child_rows"]
+
+
+def test_kanon_rows_cover_table_and_shares_sum_to_one(spark, sf_dir):
+    out = _Q["k_anonymity_audit"](spark, sf_dir).collect()
+    total = table(spark, sf_dir, "customer").count()
+    assert sum(r["n_rows"] for r in out) == total
+    assert abs(sum(r["row_share"] for r in out) - 1.0) < 1e-9
+    for r in out:
+        assert r["n_rows"] == r["group_k"] * r["n_groups"]
+        assert r["reidentifiable"] == (r["group_k"] < 5)
+
+
+def test_attribution_conserves_purchase_value(spark, sf_dir):
+    """Linear attribution must conserve revenue up to the floor-division
+    remainder: total credit <= total purchase micros, and the loss is
+    strictly less than one micro-unit per credited touch."""
+    out = _Q["attribution_linear"](spark, sf_dir).collect()
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    total_micros = ev.select(
+        F.sum((F.col("value").cast("decimal(18,6)") * 1000000).cast("bigint"))
+    ).collect()[0][0]
+    credited = sum(r["attributed_micros"] for r in out)
+    touches = sum(r["n_touches"] for r in out if r["touch_hour"] >= 0)
+    assert 0 <= total_micros - credited <= max(touches, 0)
+    assert any(r["touch_hour"] == -1 for r in out)  # untouched bucket exists
+
+
+def test_kcore_degrees_meet_k_and_peel_converged(spark, sf_dir):
+    """Every surviving node's within-core degree is >= k, and one more
+    peel round changes nothing at this scale (the fixed 6-round trace
+    IS the converged 2-core here)."""
+    out = _Q["kcore_parts"](spark, sf_dir).collect()
+    assert out, "2-core should be non-empty at test scale"
+    assert min(r["core_degree"] for r in out) >= KCORE_K
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("_li_kcore_t")
+    more = spark.sql(kcore_sql("_li_kcore_t", rounds=KCORE_ROUNDS + 1)).collect()
+    assert sorted((r["part_node"], r["core_degree"]) for r in out) == sorted(
+        (r["part_node"], r["core_degree"]) for r in more
+    )
+
+
+def test_link_prediction_excludes_existing_edges_and_scores_bounded(spark, sf_dir):
+    out = _Q["link_prediction_ra"](spark, sf_dir)
+    rows = out.collect()
+    assert 0 < len(rows) <= 100
+    li = table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+    )
+    edges = {(r["pa"], r["pb"]) for r in pair.collect()}
+    for r in rows:
+        assert r["part_a"] < r["part_b"]
+        assert (r["part_a"], r["part_b"]) not in edges
+        # each common neighbor contributes (0, 1] in fixed-point units
+        assert 0 < r["ra_scaled"] <= r["n_common"] * 1_000_000_000

@@ -1335,3 +1335,60 @@ def test_rate_shift_single_conditional_agg(spark, sf_dir):
     assert plan.count("FileScan") == 1
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_fk_audit_broadcasts_dims_no_cartesian(spark, sf_dir):
+    """Six of the seven FK edges join a dimension parent -> broadcast;
+    the lineitem->orders edge stays a co-partitioned key join; every
+    child is pre-aggregated before its join (no raw-row exchange of
+    the parent key set)."""
+    plan = _plan(spark, sf_dir, "fk_integrity_audit")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 6
+
+
+def test_kanon_windows_only_post_aggregate(spark, sf_dir):
+    """The share denominator's single-partition window runs over the
+    bounded k-histogram, never the customer table: exactly three hash
+    exchanges — (QI, segment) dedup for the distinct count, QI, k —
+    all partial-aggregated, upstream of the one SinglePartition
+    exchange."""
+    plan = _plan(spark, sf_dir, "k_anonymity_audit")
+    assert plan.count("Exchange hashpartitioning") == 3
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_attribution_bucketed_range_join(spark, sf_dir):
+    """The hour-window touch lookup is the bucketed equi-join (never a
+    nested loop); touchless purchases return via a LeftAnti; credit
+    math is pure JVM."""
+    plan = _plan(spark, sf_dir, "attribution_linear")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kcore_linear_round_chain(spark, sf_dir):
+    """Each peel round is exactly two window passes (degree per
+    endpoint) over the previous round's edges — 2 x KCORE_ROUNDS
+    Window operators, no join after the pair build, no Python."""
+    from data_pipeline_playground_spark.queries.graph_mining import KCORE_ROUNDS
+
+    plan = _plan(spark, sf_dir, "kcore_parts")
+    assert plan.count("Window") == 2 * KCORE_ROUNDS
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_link_prediction_broadcast_mid_anti_join_topk(spark, sf_dir):
+    """The hub-capped intermediate table is broadcast into the wedge
+    join; existing edges leave via LeftAnti; the top-100 is a
+    TakeOrdered, not a global sort."""
+    plan = _plan(spark, sf_dir, "link_prediction_ra")
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
