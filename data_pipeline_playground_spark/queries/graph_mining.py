@@ -65,11 +65,48 @@ e0 AS (SELECT pa AS u, pb AS v FROM pair
 """
 
 
-def kcore_sql(li: str, k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
-    """One SQL text both engines run verbatim (modulo the lineitem
-    table name): `rounds` unrolled peel rounds, each a single
-    windowed degree filter over the previous round's edges."""
-    ctes = [_edge_cte(li).strip().rstrip()]
+def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The thresholded co-purchase pair list (pa < pb, co-ordered ≥ 2
+    times), materialized ONCE via an eager localCheckpoint.
+
+    Both graph-mining queries reference the pair list several times
+    (symmetrize = 2×, plus the anti join in link prediction); without
+    materialization Catalyst re-executes the distinct + self-join +
+    aggregate subtree PER REFERENCE — at 100 TB that re-execution IS
+    the query cost, so checkpointing the (tiny, node-bounded) pair
+    list is the scale-correct shape, the same per-round pattern the
+    PIC iteration uses (queries/graph.py)."""
+    li = table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .drop("w")
+    )
+    return pair.localCheckpoint(eager=True)
+
+
+def kcore_rounds_sql(
+    pair: str, k: int = KCORE_K, rounds: int = KCORE_ROUNDS
+) -> str:
+    """The peel-round chain: `rounds` unrolled rounds over a pair
+    relation, each a single windowed degree filter over the previous
+    round's edges. The SAME text runs in both engines (the oracle
+    inlines the pair CTEs via kcore_sql; Spark feeds the checkpointed
+    pair view)."""
+    ctes = [
+        f"""e0 AS (SELECT pa AS u, pb AS v FROM {pair}
+       UNION ALL SELECT pb AS u, pa AS v FROM {pair})"""
+    ]
     for i in range(1, rounds + 1):
         ctes.append(
             f"""e{i} AS (
@@ -89,21 +126,33 @@ FROM e{rounds} GROUP BY u
 """
 
 
+def kcore_sql(li: str, k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
+    """Self-contained text (pair build inlined) — the DuckDB oracle
+    and the convergence tests run this."""
+    edge = _edge_cte(li).strip()
+    # _edge_cte ends with the symmetrized e0; reuse only op/pair here
+    # and let kcore_rounds_sql define e0 from the pair CTE.
+    edge_wo_e0 = edge[: edge.rindex(",\ne0 AS")]
+    rounds_text = kcore_rounds_sql("pair", k=k, rounds=rounds)
+    return rounds_text.replace("WITH e0 AS", f"WITH {edge_wo_e0},\ne0 AS", 1)
+
+
 @query("kcore_parts", oracle=kcore_sql("lineitem"))
 def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parts surviving a 6-round 2-core peel of the co-purchase graph,
     with their within-core degree — the cohesive catalog backbone
-    (nodes outside the 3-core are tree-like attachments; the core is
+    (nodes outside the 2-core are tree-like attachments; the core is
     where basket-recommendation signal concentrates).
 
-    Spark runs the identical unrolled SQL text as the oracle: the
-    whole peel is pure Catalyst (window + filter per round), each
-    round consumes the previous exactly once, and the edge list only
-    shrinks — at 1000 executors each round is two exchanges of the
-    surviving edges, nothing more.
+    Spark materializes the pair list once (copurchase_pairs) and runs
+    the identical unrolled round text as the oracle: the whole peel is
+    pure Catalyst (window + filter per round), each round consumes the
+    previous exactly once, and the edge list only shrinks — at 1000
+    executors each round is two exchanges of the surviving edges,
+    nothing more.
     """
-    table(spark, sf_dir, "lineitem").createOrReplaceTempView("_li_kcore")
-    return spark.sql(kcore_sql("_li_kcore"))
+    copurchase_pairs(spark, sf_dir).createOrReplaceTempView("_kcore_pair")
+    return spark.sql(kcore_rounds_sql("_kcore_pair"))
 
 
 _RA_SQL = f"""
@@ -144,22 +193,7 @@ def link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
     by Spark and oracle); existing edges leave via an anti join; the
     top-100 is a TakeOrdered with full (score, a, b) tie-break.
     """
-    li = table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = op.alias("a"), op.alias("b")
-    pair = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 2)
-        .drop("w")
-    )
+    pair = copurchase_pairs(spark, sf_dir)
     e0 = pair.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionByName(
         pair.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
     )
