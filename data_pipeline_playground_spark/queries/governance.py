@@ -179,9 +179,60 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- linear multi-touch attribution ------------------------------------------
+# --- multi-touch attribution --------------------------------------------------
 
 _ATTR_WINDOW_S = 3600
+
+
+def _touch_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(purchase event_id, micros, c_ts, c_eid) — one row per click the
+    same user made in the hour before the purchase, plus one NULL-touch
+    row per touchless purchase. Shared by every attribution model.
+
+    The preceding-hour lookup is the bucketed range join: equi-join on
+    (user, floor-epoch hour bucket) with purchases probing their own +
+    previous bucket and the exact interval as a residual filter. The
+    inner match needs no dedup (each click's bucket equals exactly one
+    probe), and duplicate-timestamp clicks stay distinct rows — the
+    same multiset a LEFT JOIN theta formulation produces; touchless
+    purchases come back via an anti join.
+    """
+    ev = table(spark, sf_dir, "events")
+    epoch_s = "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    bucket = (F.expr(epoch_s) / _ATTR_WINDOW_S).cast("bigint")
+    micros = (F.col("value").cast("decimal(18,6)") * 1000000).cast("bigint")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_eid"),
+        bucket.alias("c_bucket"),
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", micros.alias("micros"), bucket.alias("p_bucket"))
+        .withColumn("probe", F.explode(F.array(F.col("p_bucket"), F.col("p_bucket") - 1)))
+    )
+    hit = (F.col("c_ts") <= F.col("ts")) & (
+        F.col("c_ts") > F.col("ts") - F.expr(f"INTERVAL {_ATTR_WINDOW_S} SECONDS")
+    )
+    matched = (
+        purchases.join(
+            clicks,
+            (F.col("user_id") == F.col("c_user")) & (F.col("probe") == F.col("c_bucket")),
+            "inner",
+        )
+        .filter(hit)
+        .select("event_id", "micros", "c_ts", "c_eid")
+    )
+    base = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", micros.alias("micros")
+    )
+    touchless = (
+        base.join(matched.select("event_id"), "event_id", "left_anti")
+        .withColumn("c_ts", F.lit(None).cast("timestamp_ntz"))
+        .withColumn("c_eid", F.lit(None).cast("bigint"))
+    )
+    return matched.unionByName(touchless)
 
 _ATTR_SQL = f"""
 WITH purchases AS (
@@ -234,43 +285,7 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncate non-negative integer division identically), so every sum
     is int64-exact; the only double is the final shared /1e6.
     """
-    ev = table(spark, sf_dir, "events")
-    epoch_s = "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
-    bucket = (F.expr(epoch_s) / _ATTR_WINDOW_S).cast("bigint")
-    micros = (F.col("value").cast("decimal(18,6)") * 1000000).cast("bigint")
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        F.col("user_id").alias("c_user"),
-        F.col("ts").alias("c_ts"),
-        bucket.alias("c_bucket"),
-    )
-    purchases = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select("event_id", "user_id", "ts", micros.alias("micros"), bucket.alias("p_bucket"))
-        .withColumn("probe", F.explode(F.array(F.col("p_bucket"), F.col("p_bucket") - 1)))
-    )
-    hit = (F.col("c_ts") <= F.col("ts")) & (
-        F.col("c_ts") > F.col("ts") - F.expr(f"INTERVAL {_ATTR_WINDOW_S} SECONDS")
-    )
-    # Inner bucketed match (each click matches exactly one probe row,
-    # so no dedup is needed and duplicate-timestamp clicks stay
-    # distinct, as in the oracle's LEFT JOIN); touchless purchases come
-    # back via an anti join as a single NULL-touch row each.
-    matched = (
-        purchases.join(
-            clicks,
-            (F.col("user_id") == F.col("c_user")) & (F.col("probe") == F.col("c_bucket")),
-            "inner",
-        )
-        .filter(hit)
-        .select("event_id", "micros", "c_ts")
-    )
-    base = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", micros.alias("micros")
-    )
-    touchless = base.join(
-        matched.select("event_id"), "event_id", "left_anti"
-    ).withColumn("c_ts", F.lit(None).cast("timestamp_ntz"))
-    pairs = matched.unionByName(touchless)
+    pairs = _touch_pairs(spark, sf_dir)
     n_touches = F.count("c_ts").over(Window.partitionBy("event_id"))
     credited = pairs.select(
         "micros",
@@ -293,6 +308,114 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_touches"),
             F.sum("credit_micros").alias("attributed_micros"),
             (F.sum("credit_micros").cast("double") / F.lit(1000000.0)).alias(
+                "attributed_value"
+            ),
+        )
+    )
+
+
+# --- position-based (U-shaped) attribution ------------------------------------
+
+_USHAPE_SQL = f"""
+WITH purchases AS (
+  SELECT event_id, user_id, ts,
+         CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS micros
+  FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id AS c_user, ts AS c_ts, event_id AS c_eid FROM events
+  WHERE event_type = 'click'
+),
+pairs AS (
+  SELECT p.event_id, p.micros, c.c_ts, c.c_eid,
+         COUNT(c.c_ts) OVER (PARTITION BY p.event_id) AS n,
+         CASE WHEN c.c_ts IS NULL THEN NULL ELSE
+           row_number() OVER (PARTITION BY p.event_id
+                              ORDER BY c.c_ts, c.c_eid) END AS rk
+  FROM purchases p
+  LEFT JOIN clicks c
+    ON c.c_user = p.user_id
+   AND c.c_ts <= p.ts
+   AND c.c_ts > p.ts - INTERVAL {_ATTR_WINDOW_S} SECONDS
+),
+credited AS (
+  SELECT
+    CASE WHEN c_ts IS NULL THEN 'unattributed'
+         WHEN n = 1 THEN 'only'
+         WHEN rk = 1 THEN 'first'
+         WHEN rk = n THEN 'last'
+         ELSE 'middle' END AS position_class,
+    CASE WHEN c_ts IS NULL THEN micros
+         WHEN n = 1 THEN micros
+         WHEN n = 2 AND rk = 1 THEN micros // 2
+         WHEN n = 2 THEN micros - micros // 2
+         WHEN rk = 1 THEN (micros * 2) // 5
+         WHEN rk = n THEN micros - (micros * 2) // 5
+                           - (n - 2) * ((micros // 5) // (n - 2))
+         ELSE (micros // 5) // (n - 2) END AS credit
+  FROM pairs
+)
+SELECT position_class,
+       CAST(count(*) AS BIGINT) AS n_touches,
+       CAST(SUM(credit) AS BIGINT) AS attributed_micros,
+       CAST(CAST(SUM(credit) AS BIGINT) AS DOUBLE) / 1000000.0
+         AS attributed_value
+FROM credited
+GROUP BY position_class
+"""
+
+
+@query("attribution_ushape", oracle=_USHAPE_SQL)
+def attribution_ushape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) attribution: 40% of each purchase's
+    value to the first click in the preceding hour, 40% to the last,
+    20% split across the middles (1 touch → 100%, 2 → 50/50,
+    untouched → 'unattributed' at full value), rolled up per position
+    class — the industry-standard contrast to `attribution_linear`
+    and `asof_last_click`.
+
+    Credit is integer micro-units with the LAST touch absorbing every
+    floor-division remainder, so the model conserves revenue EXACTLY:
+    Σ attributed_micros == Σ purchase micros (pinned by test). Same
+    bucketed range-join shape as the other attribution models; touch
+    ranks are a per-purchase window ordered by (ts, click id) — a
+    total order, so both engines rank identically.
+    """
+    pairs = _touch_pairs(spark, sf_dir)
+    w = Window.partitionBy("event_id")
+    w_rk = w.orderBy("c_ts", "c_eid")
+    ranked = pairs.select(
+        "micros",
+        "c_ts",
+        F.count("c_ts").over(w).alias("n"),
+        F.when(
+            F.col("c_ts").isNull(), F.lit(None).cast("int")
+        ).otherwise(F.row_number().over(w_rk)).alias("rk"),
+    )
+    position = (
+        F.when(F.col("c_ts").isNull(), F.lit("unattributed"))
+        .when(F.col("n") == 1, F.lit("only"))
+        .when(F.col("rk") == 1, F.lit("first"))
+        .when(F.col("rk") == F.col("n"), F.lit("last"))
+        .otherwise(F.lit("middle"))
+    )
+    credit = F.expr(
+        "CASE WHEN c_ts IS NULL THEN micros"
+        " WHEN n = 1 THEN micros"
+        " WHEN n = 2 AND rk = 1 THEN micros div 2"
+        " WHEN n = 2 THEN micros - micros div 2"
+        " WHEN rk = 1 THEN (micros * 2) div 5"
+        " WHEN rk = n THEN micros - (micros * 2) div 5"
+        "                   - (n - 2) * ((micros div 5) div (n - 2))"
+        " ELSE (micros div 5) div (n - 2) END"
+    )
+    return (
+        ranked.select(position.alias("position_class"), credit.alias("credit"))
+        .groupBy("position_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum("credit").alias("attributed_micros"),
+            (F.sum("credit").cast("double") / F.lit(1000000.0)).alias(
                 "attributed_value"
             ),
         )

@@ -94,9 +94,9 @@ def _km_assign(e: DataFrame, codebook: DataFrame) -> DataFrame:
     )
 
 
-def _kmeans_checked_model(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Memoized final assignment frame (vec_id, label, cluster_id, d2)
-    — shared by the assignment query and the J2 label profile."""
+def _km_refined_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized one-Lloyd-step refined codebook (cid, c) — shared by
+    the assignment model and the separation audit."""
     from data_pipeline_playground_spark.caching import memo
 
     def build():
@@ -117,6 +117,21 @@ def _kmeans_checked_model(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "('i', i, 'val', val))), s -> s.val)"
             ).alias("c")
         )
+        c1 = c1.cache()
+        c1.count()
+        return c1
+
+    return memo(spark, "kmeans_checked_centroids", sf_dir, build)
+
+
+def _kmeans_checked_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized final assignment frame (vec_id, label, cluster_id, d2)
+    — shared by the assignment query and the J2 label profile."""
+    from data_pipeline_playground_spark.caching import memo
+
+    def build():
+        e = _embed_double(spark, sf_dir)
+        c1 = _km_refined_centroids(spark, sf_dir)
         a1 = _km_assign(e, c1).select(
             "vec_id", "label", F.col("cid").alias("cluster_id"), "d2"
         )
@@ -355,4 +370,80 @@ def topic_assign_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .join(F.broadcast(topics), "topic")
         .select("doc_id", "topic_id", "topic", "score")
+    )
+
+
+# --- cluster separation audit -------------------------------------------------
+
+_SEP_SQL = _KM_CTES + f""",
+intra AS (
+  SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs,
+         SUM(CAST(d2 AS DECIMAL(18,6))) AS sd
+  FROM a1 GROUP BY cid
+),
+inter AS (
+  SELECT x.cid, y.cid AS nearest_cid,
+         round({_sql_l2sq("x.c", "y.c", DIM)}, 6) AS min_inter_d2
+  FROM c1 x JOIN c1 y ON y.cid <> x.cid
+  QUALIFY row_number() OVER (
+    PARTITION BY x.cid
+    ORDER BY round({_sql_l2sq("x.c", "y.c", DIM)}, 6), y.cid) = 1
+)
+SELECT i.cid AS cluster_id, i.n_vecs,
+       CAST(CAST(i.sd AS DECIMAL(18,6)) AS DOUBLE)
+         / CAST(i.n_vecs AS DOUBLE) AS mean_intra_d2,
+       r.nearest_cid, r.min_inter_d2,
+       r.min_inter_d2
+         / (CAST(CAST(i.sd AS DECIMAL(18,6)) AS DOUBLE)
+            / CAST(i.n_vecs AS DOUBLE)) AS separation_ratio
+FROM intra i JOIN inter r ON r.cid = i.cid
+"""
+
+
+@query("cluster_separation_audit", oracle=_SEP_SQL)
+def cluster_separation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster separation health of the checked K-Means model: mean
+    intra-cluster squared distance, the nearest other centroid and its
+    distance, and their ratio (a Dunn-style index per cluster —
+    ratio ≪ 1 flags clusters whose spread exceeds their isolation).
+    The audit a pipeline runs before trusting cluster ids downstream.
+
+    Exactness: d2 values are already 6-dp-rounded doubles (the checked
+    playbook), summed as DECIMAL(18,6) so the mean is order-free; the
+    16×16 centroid-pair distances reuse the shared sequential fold;
+    ratio is one shared double expression. Scale: intra is one
+    combinable aggregate over the memoized assignment; inter is a
+    broadcast self-join of the ≤16-row codebook.
+    """
+    a1 = _kmeans_checked_model(spark, sf_dir)
+    c1 = _km_refined_centroids(spark, sf_dir)
+    intra = a1.groupBy(F.col("cluster_id").alias("cid")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.col("d2").cast("decimal(18,6)")).alias("sd"),
+    )
+    x = c1.select("cid", F.col("c").alias("cx"))
+    y = c1.select(F.col("cid").alias("ycid"), F.col("c").alias("cy"))
+    dd = F.round(_l2sq(F.col("cx"), F.col("cy")), 6)
+    w = Window.partitionBy("cid").orderBy("dd", "ycid")
+    inter = (
+        x.join(F.broadcast(y), F.col("ycid") != F.col("cid"))
+        .withColumn("dd", dd)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cid",
+            F.col("ycid").alias("nearest_cid"),
+            F.col("dd").alias("min_inter_d2"),
+        )
+    )
+    mean_intra = F.col("sd").cast("decimal(18,6)").cast("double") / F.col(
+        "n_vecs"
+    ).cast("double")
+    return intra.join(inter, "cid").select(
+        F.col("cid").alias("cluster_id"),
+        "n_vecs",
+        mean_intra.alias("mean_intra_d2"),
+        "nearest_cid",
+        "min_inter_d2",
+        (F.col("min_inter_d2") / mean_intra).alias("separation_ratio"),
     )

@@ -1081,3 +1081,52 @@ def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("syllables_per_word"),
         F.expr(_FRE_EXPR).alias("flesch_score"),
     )
+
+
+# --- source-diversity profile --------------------------------------------------
+
+_EFFECTIVE_SOURCES_SQL = """
+WITH ls AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY lang, source
+)
+SELECT lang,
+       CAST(SUM(n) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_sources,
+       (CAST(CAST(SUM(n) AS BIGINT) AS DOUBLE)
+        * CAST(CAST(SUM(n) AS BIGINT) AS DOUBLE))
+         / CAST(CAST(SUM(n * n) AS BIGINT) AS DOUBLE)
+         AS inv_simpson_sources,
+       CAST(MAX(n) AS DOUBLE) / CAST(CAST(SUM(n) AS BIGINT) AS DOUBLE)
+         AS top_source_share
+FROM ls GROUP BY lang
+"""
+
+
+@query("source_effective_number", oracle=_EFFECTIVE_SOURCES_SQL)
+def source_effective_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective number of sources per language — the inverse-Simpson
+    diversity N²/Σnᵢ² (Hill number of order 2): how many EQUALLY-SIZED
+    sources the mix behaves like, plus the top-source share. The
+    training-mix health check that catches 'twenty sources on paper,
+    two in effect' — logarithm-free, so it stays bit-identical across
+    engines (cf. the entropy-based twin, which would need ln).
+
+    Two combinable hash aggregations ((lang, source), then lang);
+    moments are exact int64; the two ratios are shared double
+    expressions. Σn² fits int64 through ~3B docs per (lang, source)
+    profile — beyond that, pre-bucket sources.
+    """
+    docs = table(spark, sf_dir, "documents")
+    ls = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    return ls.groupBy("lang").agg(
+        F.sum("n").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_sources"),
+        (
+            (F.sum("n").cast("double") * F.sum("n").cast("double"))
+            / F.sum(F.col("n") * F.col("n")).cast("double")
+        ).alias("inv_simpson_sources"),
+        (F.max("n").cast("double") / F.sum("n").cast("double")).alias(
+            "top_source_share"
+        ),
+    )

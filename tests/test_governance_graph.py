@@ -91,3 +91,37 @@ def test_link_prediction_excludes_existing_edges_and_scores_bounded(spark, sf_di
         assert (r["part_a"], r["part_b"]) not in edges
         # each common neighbor contributes (0, 1] in fixed-point units
         assert 0 < r["ra_scaled"] <= r["n_common"] * 1_000_000_000
+
+
+def test_ushape_conserves_revenue_exactly(spark, sf_dir):
+    """The U-shaped model's last-touch remainder absorption makes
+    conservation EXACT — no floor-division loss at all."""
+    out = _Q["attribution_ushape"](spark, sf_dir).collect()
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    total_micros = ev.select(
+        F.sum((F.col("value").cast("decimal(18,6)") * 1000000).cast("bigint"))
+    ).collect()[0][0]
+    assert sum(r["attributed_micros"] for r in out) == total_micros
+    classes = {r["position_class"] for r in out}
+    assert classes <= {"unattributed", "only", "first", "middle", "last"}
+    byc = {r["position_class"]: r for r in out}
+    if "first" in byc and "last" in byc:
+        assert byc["first"]["n_touches"] == byc["last"]["n_touches"]
+
+
+def test_effective_sources_bounds(spark, sf_dir):
+    for r in _Q["source_effective_number"](spark, sf_dir).collect():
+        assert 1.0 - 1e-9 <= r["inv_simpson_sources"] <= r["n_sources"] + 1e-9
+        assert r["top_source_share"] >= 1.0 / r["n_sources"] - 1e-9
+
+
+def test_cluster_separation_consistency(spark, sf_dir):
+    out = _Q["cluster_separation_audit"](spark, sf_dir).collect()
+    emb = table(spark, sf_dir, "embeddings").count()
+    assert sum(r["n_vecs"] for r in out) == emb
+    for r in out:
+        assert r["nearest_cid"] != r["cluster_id"]
+        assert r["min_inter_d2"] > 0
+        assert abs(
+            r["separation_ratio"] - r["min_inter_d2"] / r["mean_intra_d2"]
+        ) < 1e-12

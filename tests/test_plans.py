@@ -1392,3 +1392,30 @@ def test_link_prediction_broadcast_mid_anti_join_topk(spark, sf_dir):
     assert "LeftAnti" in plan
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ushape_attribution_same_join_shape_as_linear(spark, sf_dir):
+    """U-shaped attribution shares the bucketed range-join + LeftAnti
+    touchless recovery; ranks/credit stay pure JVM."""
+    plan = _plan(spark, sf_dir, "attribution_ushape")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_effective_sources_two_aggs_no_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "source_effective_number")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cluster_separation_broadcast_codebook_joins(spark, sf_dir):
+    """Corpus never shuffles except the 16-row-partition argmin window;
+    the codebook fan-outs are the intended <=16-row
+    BroadcastNestedLoopJoins; the 16x16 inter-centroid join is
+    broadcast too."""
+    plan = _plan(spark, sf_dir, "cluster_separation_audit")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
