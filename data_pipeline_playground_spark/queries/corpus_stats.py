@@ -835,3 +835,87 @@ def term_lang_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("term", "n11", "n10", chi2.alias("chi2"))
     )
     return sc.orderBy(F.desc("chi2"), F.asc("term")).limit(CHI2_TOP_K)
+
+
+# ---- collocation strength (Dice) --------------------------------------------
+
+DICE_MIN_COUNT = 5
+DICE_TOP_K = 50
+
+_DICE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+  WHERE len({_SQL_TOKENS}) >= 2
+),
+bge AS (
+  SELECT b[1] AS w1, b[2] AS w2 FROM (
+    SELECT unnest(list_transform(range(1, len(toks)),
+                                 i -> [toks[i], toks[i + 1]])) AS b
+    FROM t
+  )
+),
+uni AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT unnest(toks) AS term FROM t
+  ) GROUP BY term
+),
+cb AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+  FROM bge GROUP BY w1, w2 HAVING count(*) >= {DICE_MIN_COUNT}
+)
+SELECT cb.w1, cb.w2, cb.c12, u1.n AS c1, u2.n AS c2,
+       (CAST(2 AS DOUBLE) * CAST(cb.c12 AS DOUBLE))
+         / (CAST(u1.n AS DOUBLE) + CAST(u2.n AS DOUBLE)) AS dice
+FROM cb JOIN uni u1 ON u1.term = cb.w1 JOIN uni u2 ON u2.term = cb.w2
+ORDER BY dice DESC, cb.w1, cb.w2
+LIMIT {DICE_TOP_K}
+"""
+
+
+@query("collocation_dice", oracle=_DICE_SQL)
+def collocation_dice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{50} adjacent-word collocations by Dice coefficient
+    2·f(xy)/(f(x)+f(y)) (Smadja 1993 collocation retrieval) — the
+    logarithm-free companion to `term_pmi_topk`: pure integer counts
+    combined in one shared double expression, so rankings are
+    bit-identical across engines (ties broken by the pair).
+
+    Same bigram explode as the LM family; the unigram table is
+    vocabulary-shaped and broadcast into the ≥{DICE_MIN_COUNT}-count
+    bigram table; the top-k is a TakeOrdered.
+    """
+    docs = table(spark, sf_dir, "documents")
+    t = (
+        docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .cache()
+    )
+    bge = t.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> struct(element_at(toks, i) AS w1, "
+                "element_at(toks, i + 1) AS w2))"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    uni = t.select(F.explode("toks").alias("term")).groupBy("term").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    cb = (
+        bge.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= DICE_MIN_COUNT)
+    )
+    u1 = uni.select(F.col("term").alias("w1"), F.col("n").alias("c1"))
+    u2 = uni.select(F.col("term").alias("w2"), F.col("n").alias("c2"))
+    dice = (F.lit(2).cast("double") * F.col("c12").cast("double")) / (
+        F.col("c1").cast("double") + F.col("c2").cast("double")
+    )
+    return (
+        cb.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .select("w1", "w2", "c12", "c1", "c2", dice.alias("dice"))
+        .orderBy(F.desc("dice"), "w1", "w2")
+        .limit(DICE_TOP_K)
+    )

@@ -732,3 +732,92 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(DSIR_TOP_K)
         .select("doc_id", "score")
     )
+
+
+# --- curriculum staging --------------------------------------------------------
+
+_CURRICULUM_SQL: str  # built below from the shared quality expression
+
+
+def _curriculum_sql() -> str:
+    """Oracle built from the SAME token + quality expressions as the
+    standalone quality_score query (queries/text.py) — one definition,
+    zero drift."""
+    from data_pipeline_playground_spark.queries.text import (
+        _SQL_TOKENS,
+        SQL_QUALITY_EXPR,
+    )
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKENS} AS toks,
+         greatest(len({_SQL_TOKENS}), 1) AS n_tok_safe,
+         len({_SQL_TOKENS}) AS n_tokens
+  FROM documents
+),
+q AS (
+  SELECT doc_id, n_tokens, {SQL_QUALITY_EXPR} AS qs FROM t
+),
+r AS (
+  SELECT doc_id, n_tokens, qs,
+         ntile(10) OVER (ORDER BY qs, doc_id) AS quality_decile
+  FROM q
+)
+SELECT quality_decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       MIN(qs) AS min_quality,
+       MAX(qs) AS max_quality,
+       CAST(CAST(SUM(CAST(qs AS DECIMAL(9,6))) AS DECIMAL(18,6)) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS mean_quality
+FROM r GROUP BY quality_decile
+"""
+
+
+_CURRICULUM_SQL = _curriculum_sql()
+
+
+@query("curriculum_stages", oracle=_CURRICULUM_SQL)
+def curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning staging: every document ranked by the shared
+    quality score into exact deciles (stage 10 = highest quality —
+    train last-to-first or first-to-last as the schedule dictates),
+    with per-stage doc/token totals and quality bounds. The corpus
+    analogue of `dataset_split`, driven by QUALITY rather than hash.
+
+    Deciles come from the exact two-level global ranking
+    (operators/ranking.py: range partition + per-bucket window + offset
+    merge — no single-partition sort) and the integer ntile law, so
+    stage boundaries are reproducible at any scale; the mean is an
+    order-free decimal sum (quality is 6-dp-rounded, summands exact at
+    DECIMAL(9,6), sums safe to ~1e12 docs).
+    """
+    from data_pipeline_playground_spark.operators.ranking import (
+        exact_ntile,
+        global_rank,
+    )
+    from data_pipeline_playground_spark.queries.text import quality_score_col
+
+    docs = table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    d = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        quality_score_col(toks, F.size(toks)).alias("qs"),
+    )
+    rk = global_rank(d, ["qs", "doc_id"], rank_name="rank")
+    staged = rk.withColumn(
+        "quality_decile", exact_ntile(F.col("rank"), F.col("n_total"), 10)
+    )
+    return staged.groupBy("quality_decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.min("qs").alias("min_quality"),
+        F.max("qs").alias("max_quality"),
+        (
+            F.sum(F.col("qs").cast("decimal(9,6)"))
+            .cast("decimal(18,6)")
+            .cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_quality"),
+    )

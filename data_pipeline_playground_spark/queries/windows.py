@@ -483,3 +483,84 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     table(spark, sf_dir, "events").createOrReplaceTempView("_events_markov")
     return spark.sql(_markov_sql("_events_markov", "inline"))
+
+
+# --- session conversion profile ------------------------------------------------
+
+_SESSION_CONV_SQL = """
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+               OR ts - lag(ts) OVER w > INTERVAL 30 MINUTES
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, event_type,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o
+),
+g AS (
+  SELECT user_id, session_id, count(*) AS n_events,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM s GROUP BY user_id, session_id
+)
+SELECT CASE WHEN n_events = 1 THEN '1'
+            WHEN n_events <= 3 THEN '2-3'
+            WHEN n_events <= 7 THEN '4-7'
+            ELSE '8+' END AS session_len_band,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(converted) AS BIGINT) AS n_converted,
+       CAST(CAST(SUM(converted) AS BIGINT) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS conversion_rate
+FROM g GROUP BY 1
+"""
+
+
+@query("session_conversion", oracle=_SESSION_CONV_SQL)
+def session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion rate by session length: the 30-min-gap sessions of
+    `events_sessionize`, banded by event count, with the share that
+    contain a purchase — the 'do longer sessions convert better'
+    report a funnel team reads daily.
+
+    Same single user_id exchange as sessionize (both gaps-and-islands
+    windows and the session aggregate share the partitioning); the
+    band rollup is a 4-key aggregate; the rate is int64 counts in one
+    shared double division.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts") - F.lag("ts").over(w)
+    is_new = F.when(
+        gap.isNull() | (gap > F.expr("INTERVAL 30 MINUTES")), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g = (
+        ev.withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("converted"),
+        )
+    )
+    band = (
+        F.when(F.col("n_events") == 1, F.lit("1"))
+        .when(F.col("n_events") <= 3, F.lit("2-3"))
+        .when(F.col("n_events") <= 7, F.lit("4-7"))
+        .otherwise(F.lit("8+"))
+    )
+    return g.groupBy(band.alias("session_len_band")).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("converted").alias("n_converted"),
+        (F.sum("converted").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "conversion_rate"
+        ),
+    )

@@ -125,3 +125,37 @@ def test_cluster_separation_consistency(spark, sf_dir):
         assert abs(
             r["separation_ratio"] - r["min_inter_d2"] / r["mean_intra_d2"]
         ) < 1e-12
+
+
+def test_collocation_dice_bounds(spark, sf_dir):
+    rows = _Q["collocation_dice"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 50
+    for r in rows:
+        assert 0.0 < r["dice"] <= 1.0
+        assert r["c12"] <= min(r["c1"], r["c2"])
+
+
+def test_curriculum_partitions_corpus(spark, sf_dir):
+    rows = sorted(
+        _Q["curriculum_stages"](spark, sf_dir).collect(),
+        key=lambda r: r["quality_decile"],
+    )
+    n_docs = table(spark, sf_dir, "documents").count()
+    assert [r["quality_decile"] for r in rows] == list(range(1, 11))
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    # ntile law: bucket sizes differ by at most 1, larger buckets first
+    sizes = [r["n_docs"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    assert sizes == sorted(sizes, reverse=True)
+    # quality is non-decreasing across stages
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo["max_quality"] <= hi["min_quality"]
+
+
+def test_session_conversion_covers_all_sessions(spark, sf_dir):
+    out = _Q["session_conversion"](spark, sf_dir).collect()
+    n_sessions = _Q["events_sessionize"](spark, sf_dir).count()
+    assert sum(r["n_sessions"] for r in out) == n_sessions
+    for r in out:
+        assert 0 <= r["n_converted"] <= r["n_sessions"]
+        assert abs(r["conversion_rate"] - r["n_converted"] / r["n_sessions"]) < 1e-12

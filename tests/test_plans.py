@@ -1419,3 +1419,26 @@ def test_cluster_separation_broadcast_codebook_joins(spark, sf_dir):
     plan = _plan(spark, sf_dir, "cluster_separation_audit")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_collocation_dice_broadcast_unigrams_topk(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "collocation_dice")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_curriculum_two_level_ranking(spark, sf_dir):
+    """Deciles come from the range-partitioned two-level ranking — no
+    single-partition global sort of the corpus."""
+    plan = _plan(spark, sf_dir, "curriculum_stages")
+    assert "rangepartitioning" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_session_conversion_shares_user_partitioning(spark, sf_dir):
+    """Both gaps-and-islands windows and the session aggregate run on
+    the user_id exchange; only the 4-band rollup adds a second."""
+    plan = _plan(spark, sf_dir, "session_conversion")
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Join" not in plan
