@@ -420,3 +420,77 @@ def attribution_ushape(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- cascade-delete (right-to-erasure) audit ----------------------------------
+
+ERASE_MOD = 97  # deterministic ~1% customer selection
+
+_CASCADE_SQL = f"""
+WITH sel AS (SELECT c_custkey FROM customer WHERE c_custkey % {ERASE_MOD} = 0),
+o AS (SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM sel))
+SELECT 'customer' AS table_name,
+       CAST((SELECT count(*) FROM sel) AS BIGINT) AS n_rows_affected,
+       CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_rows_total,
+       CAST((SELECT count(*) FROM sel) AS DOUBLE)
+         / CAST((SELECT count(*) FROM customer) AS DOUBLE) AS affected_share
+UNION ALL
+SELECT 'orders',
+       CAST((SELECT count(*) FROM o) AS BIGINT),
+       CAST((SELECT count(*) FROM orders) AS BIGINT),
+       CAST((SELECT count(*) FROM o) AS DOUBLE)
+         / CAST((SELECT count(*) FROM orders) AS DOUBLE)
+UNION ALL
+SELECT 'lineitem',
+       CAST((SELECT count(*) FROM lineitem
+             WHERE l_orderkey IN (SELECT o_orderkey FROM o)) AS BIGINT),
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+       CAST((SELECT count(*) FROM lineitem
+             WHERE l_orderkey IN (SELECT o_orderkey FROM o)) AS DOUBLE)
+         / CAST((SELECT count(*) FROM lineitem) AS DOUBLE)
+"""
+
+
+@query("cascade_delete_audit", oracle=_CASCADE_SQL)
+def cascade_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure impact estimate: for a deterministic ~1%
+    customer selection (custkey % {ERASE_MOD} = 0), how many rows each
+    level of the FK cascade would delete (customer → orders →
+    lineitem) and what share of each table that is — the dry-run a
+    governance pipeline prints before executing a deletion batch.
+
+    Scale shape: the selection is dimension-sized and broadcast into
+    orders (semi join); the affected order-key set flows into lineitem
+    as a co-partitioned semi join on the natural key (at 1% of orders
+    it may still exceed broadcast thresholds — the shuffle semi join
+    is the safe default, AQE upgrades it when small). Each level is
+    one conditional-count aggregate; shares are int64 counts in shared
+    double divisions.
+    """
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    sel = cust.filter(F.col("c_custkey") % ERASE_MOD == 0).select("c_custkey")
+    o_aff = orders.join(
+        F.broadcast(sel), orders.o_custkey == sel.c_custkey, "left_semi"
+    ).select("o_orderkey")
+    li_aff = li.join(o_aff, li.l_orderkey == o_aff.o_orderkey, "left_semi")
+
+    def level(name: str, affected: DataFrame, total: DataFrame) -> DataFrame:
+        a = affected.agg(F.count(F.lit(1)).alias("n_rows_affected"))
+        t = total.agg(F.count(F.lit(1)).alias("n_rows_total"))
+        return a.crossJoin(t).select(
+            F.lit(name).alias("table_name"),
+            "n_rows_affected",
+            "n_rows_total",
+            (
+                F.col("n_rows_affected").cast("double")
+                / F.col("n_rows_total").cast("double")
+            ).alias("affected_share"),
+        )
+
+    return (
+        level("customer", sel, cust)
+        .unionByName(level("orders", o_aff, orders))
+        .unionByName(level("lineitem", li_aff, li))
+    )

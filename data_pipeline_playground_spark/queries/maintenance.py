@@ -598,3 +598,94 @@ def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- schema-wide join-key skew audit ------------------------------------------
+
+# (table, key column) pairs every big join in the schema shuffles on.
+_SKEW_KEYS = (
+    ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"),
+    ("lineitem", "l_orderkey"),
+    ("orders", "o_custkey"),
+)
+
+_SKEW_TOP = 8
+
+
+def _skew_col_sql(tbl: str, col: str) -> str:
+    return f"""
+SELECT '{tbl}' AS table_name, '{col}' AS key_column,
+       CAST((SELECT count(*) FROM {tbl}) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(max(n) AS BIGINT) AS max_key_rows,
+       CAST(max(n) AS DOUBLE)
+         / CAST((SELECT count(*) FROM {tbl}) AS DOUBLE) AS max_key_share,
+       CAST((SELECT CAST(SUM(n) AS BIGINT) FROM
+              (SELECT n FROM (SELECT {col}, count(*) AS n FROM {tbl} GROUP BY 1)
+               ORDER BY n DESC LIMIT {_SKEW_TOP})) AS DOUBLE)
+         / CAST((SELECT count(*) FROM {tbl}) AS DOUBLE) AS top{_SKEW_TOP}_share,
+       (CAST(max(n) AS DOUBLE) * CAST(count(*) AS DOUBLE))
+         / CAST((SELECT count(*) FROM {tbl}) AS DOUBLE) AS max_over_avg
+FROM (SELECT {col}, count(*) AS n FROM {tbl} GROUP BY 1)
+"""
+
+
+_SKEW_AUDIT_SQL = "\nUNION ALL\n".join(
+    _skew_col_sql(t, c) for t, c in _SKEW_KEYS
+)
+
+
+@query("join_key_skew_audit", oracle=_SKEW_AUDIT_SQL)
+def join_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per join key the schema shuffles on: cardinality, the
+    heaviest key's row count and share, the top-8 concentration, and
+    max/avg (straggler factor — how much slower the hottest shuffle
+    partition runs than the average). The planning audit that decides
+    where salting or AQE skew-join handling is needed BEFORE a 100 TB
+    run — the whole-schema generalization of `lineitem_supplier_skew`.
+
+    Per key: one combinable count aggregate (the exchange carries
+    distinct keys), a one-row moment aggregate, and a TakeOrdered-8 —
+    the top-8 SUM is tie-order independent (the multiset of counts
+    determines it), so no tie-break is needed for determinism.
+    """
+    out: DataFrame | None = None
+    for tbl, col in _SKEW_KEYS:
+        df = table(spark, sf_dir, tbl)
+        counts = df.groupBy(col).agg(F.count(F.lit(1)).alias("n"))
+        top = (
+            counts.orderBy(F.desc("n"), F.asc(col))
+            .limit(_SKEW_TOP)
+            .agg(F.sum("n").alias("top_n"))
+        )
+        stats = counts.agg(
+            F.count(F.lit(1)).alias("n_keys"), F.max("n").alias("max_key_rows")
+        )
+        total = df.agg(F.count(F.lit(1)).alias("n_rows"))
+        row = (
+            stats.crossJoin(total)
+            .crossJoin(top)
+            .select(
+                F.lit(tbl).alias("table_name"),
+                F.lit(col).alias("key_column"),
+                "n_rows",
+                "n_keys",
+                "max_key_rows",
+                (
+                    F.col("max_key_rows").cast("double")
+                    / F.col("n_rows").cast("double")
+                ).alias("max_key_share"),
+                (F.col("top_n").cast("double") / F.col("n_rows").cast("double")).alias(
+                    f"top{_SKEW_TOP}_share"
+                ),
+                (
+                    F.col("max_key_rows").cast("double")
+                    * F.col("n_keys").cast("double")
+                    / F.col("n_rows").cast("double")
+                ).alias("max_over_avg"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    assert out is not None
+    return out

@@ -1796,3 +1796,85 @@ def triplet_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cos_neg",
         (F.col("cos_pos") < F.col("cos_neg") + margin).alias("violated"),
     )
+
+
+# --- mutual nearest neighbors -------------------------------------------------
+
+_MUTUAL_NN_SQL = f"""
+WITH e AS (SELECT vec_id, label, {_SQL_V} AS v FROM embeddings),
+t1 AS (
+  SELECT a.vec_id AS q, b.vec_id AS n, a.label AS q_label, b.label AS n_label,
+         round({_SQL_DOT.format(a="a.v", b="b.v")}
+               / greatest({_SQL_NORM.format(a="a.v")}
+                          * {_SQL_NORM.format(a="b.v")}, 1e-12), 6) AS cosine
+  FROM e a, e b
+  WHERE b.vec_id <> a.vec_id
+  QUALIFY row_number() OVER (
+    PARTITION BY a.vec_id
+    ORDER BY round({_SQL_DOT.format(a="a.v", b="b.v")}
+               / greatest({_SQL_NORM.format(a="a.v")}
+                          * {_SQL_NORM.format(a="b.v")}, 1e-12), 6) DESC,
+             b.vec_id) = 1
+)
+SELECT x.q AS vec_a, x.n AS vec_b, x.cosine,
+       x.q_label = x.n_label AS same_label
+FROM t1 x JOIN t1 y ON y.q = x.n AND y.n = x.q
+WHERE x.q < x.n
+"""
+
+
+@query("mutual_nn_pairs", oracle=_MUTUAL_NN_SQL)
+def mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual nearest-neighbor pairs: (a, b) where b is a's single
+    nearest neighbor AND a is b's — the high-precision near-duplicate /
+    bitext-alignment signal (a standard filter in parallel-corpus
+    mining), flagged with whether the pair crosses labels (a crossing
+    mutual-NN is either a mislabel or a leak).
+
+    This is the exact brute-force tier (same contract as
+    `embedding_cosine_topk`): one broadcast fan-out + per-vector argmin
+    window on ROUNDED cosine with id tie-breaks. The 100 TB path swaps
+    the candidate generation for the `ann_lsh_topk` bucketed join and
+    verifies mutuality the same way — the mutual self-join below runs
+    on the n-row top-1 table either way.
+    """
+    e = _embed_double(spark, sf_dir).withColumn("nv", norm(F.col("v"), DIM))
+    lbl = table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    b = e.select(
+        F.col("vec_id").alias("b_id"), F.col("v").alias("bv"),
+        F.col("nv").alias("nb"),
+    )
+    pairs = e.join(F.broadcast(b), F.col("b_id") != F.col("vec_id")).select(
+        "vec_id",
+        "b_id",
+        F.round(
+            dot(F.col("v"), F.col("bv"), DIM)
+            / F.greatest(F.col("nv") * F.col("nb"), F.lit(1e-12)),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("b_id"))
+    t1 = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("vec_id").alias("q"), F.col("b_id").alias("n"), "cosine")
+    )
+    x = t1.alias("x")
+    y = t1.select(F.col("q").alias("yq"), F.col("n").alias("yn"))
+    mutual = (
+        x.join(y, (F.col("yq") == F.col("n")) & (F.col("yn") == F.col("q")))
+        .filter(F.col("q") < F.col("n"))
+        .select("q", "n", "cosine")
+    )
+    la = lbl.select(F.col("vec_id").alias("q"), F.col("label").alias("q_label"))
+    lb = lbl.select(F.col("vec_id").alias("n"), F.col("label").alias("n_label"))
+    return (
+        mutual.join(F.broadcast(la), "q")
+        .join(F.broadcast(lb), "n")
+        .select(
+            F.col("q").alias("vec_a"),
+            F.col("n").alias("vec_b"),
+            "cosine",
+            (F.col("q_label") == F.col("n_label")).alias("same_label"),
+        )
+    )

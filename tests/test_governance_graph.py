@@ -159,3 +159,32 @@ def test_session_conversion_covers_all_sessions(spark, sf_dir):
     for r in out:
         assert 0 <= r["n_converted"] <= r["n_sessions"]
         assert abs(r["conversion_rate"] - r["n_converted"] / r["n_sessions"]) < 1e-12
+
+
+def test_mutual_nn_symmetry_and_bounds(spark, sf_dir):
+    rows = _Q["mutual_nn_pairs"](spark, sf_dir).collect()
+    assert rows, "mutual pairs should exist"
+    seen = set()
+    for r in rows:
+        assert r["vec_a"] < r["vec_b"]
+        assert -1.0 - 1e-9 <= r["cosine"] <= 1.0 + 1e-9
+        key = (r["vec_a"], r["vec_b"])
+        assert key not in seen  # each mutual pair reported once
+        seen.add(key)
+
+
+def test_cascade_audit_cascade_is_monotone(spark, sf_dir):
+    rows = {r["table_name"]: r for r in _Q["cascade_delete_audit"](spark, sf_dir).collect()}
+    assert set(rows) == {"customer", "orders", "lineitem"}
+    for r in rows.values():
+        assert 0 < r["n_rows_affected"] <= r["n_rows_total"]
+    # every affected order belongs to an affected customer: the order
+    # count can't be positive if no customers were selected
+    assert rows["customer"]["n_rows_affected"] > 0
+
+
+def test_skew_audit_shares_consistent(spark, sf_dir):
+    for r in _Q["join_key_skew_audit"](spark, sf_dir).collect():
+        assert r["n_keys"] <= r["n_rows"]
+        assert r["max_key_share"] <= r["top8_share"] <= 1.0 + 1e-9
+        assert r["max_over_avg"] >= 1.0 - 1e-9

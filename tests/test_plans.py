@@ -1442,3 +1442,26 @@ def test_session_conversion_shares_user_partitioning(spark, sf_dir):
     plan = _plan(spark, sf_dir, "session_conversion")
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "Join" not in plan
+
+
+def test_mutual_nn_broadcast_fanout_no_shuffle_join(spark, sf_dir):
+    """The all-pairs probe is a broadcast fan-out (brute tier); the
+    mutual check is a join on the n-row top-1 table."""
+    plan = _plan(spark, sf_dir, "mutual_nn_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the intended probe fan-out
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cascade_audit_semi_joins(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "cascade_delete_audit")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_skew_audit_no_fact_sort(spark, sf_dir):
+    """Top-8 per key is a TakeOrdered over the distinct-key counts,
+    never a global sort of the fact table."""
+    plan = _plan(spark, sf_dir, "join_key_skew_audit")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
