@@ -1444,12 +1444,13 @@ def test_session_conversion_shares_user_partitioning(spark, sf_dir):
     assert "Join" not in plan
 
 
-def test_mutual_nn_broadcast_fanout_no_shuffle_join(spark, sf_dir):
-    """The all-pairs probe is a broadcast fan-out (brute tier); the
-    mutual check is a join on the n-row top-1 table."""
+def test_mutual_nn_bucket_equi_join_no_all_pairs(spark, sf_dir):
+    """Candidates come from the LSH-bucket EQUI join — never an
+    all-pairs nested loop; the mutual check is a join on the n-row
+    top-1 table."""
     plan = _plan(spark, sf_dir, "mutual_nn_pairs")
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" in plan  # the intended probe fan-out
+    assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
