@@ -501,3 +501,145 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf_score"),
     )
     return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(RRF_TOPK)
+
+
+# ---- pseudo-relevance-feedback (Rocchio) BM25 --------------------------------
+
+PRF_FEEDBACK_DOCS = 15  # first-pass docs mined for expansion terms
+PRF_EXPANSION_TERMS = 3
+
+_PRF_SQL = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+st AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl),
+tf1 AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ({_q_list}) GROUP BY doc_id, term
+),
+df1 AS (SELECT term, count(*) AS df FROM tf1 GROUP BY term),
+sc1 AS (
+  SELECT tf1.doc_id,
+         sum(ln(1 + (st.n_docs - df1.df + 0.5) / (df1.df + 0.5))
+             * tf1.tf * ({BM25_K1} + 1)
+             / (tf1.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / st.avgdl))
+         ) AS s
+  FROM tf1 JOIN df1 USING (term) JOIN dl ON dl.doc_id = tf1.doc_id
+  CROSS JOIN st GROUP BY tf1.doc_id
+),
+fb AS (
+  SELECT doc_id FROM sc1
+  QUALIFY row_number() OVER (ORDER BY round(s, 6) DESC, doc_id)
+          <= {PRF_FEEDBACK_DOCS}
+),
+exp AS (
+  SELECT term FROM (
+    SELECT tok.term, count(DISTINCT tok.doc_id) AS dfb
+    FROM tok JOIN fb USING (doc_id)
+    WHERE length(tok.term) > 2
+      AND tok.term NOT IN ({_q_list})
+    GROUP BY tok.term
+    QUALIFY row_number() OVER (ORDER BY dfb DESC, tok.term)
+            <= {PRF_EXPANSION_TERMS}
+  )
+),
+q2 AS (SELECT term FROM exp
+       UNION ALL SELECT unnest([{_q_list}]) AS term),
+tf2 AS (
+  SELECT tok.doc_id, tok.term, count(*) AS tf
+  FROM tok JOIN q2 USING (term) GROUP BY tok.doc_id, tok.term
+),
+df2 AS (SELECT term, count(*) AS df FROM tf2 GROUP BY term),
+sc2 AS (
+  SELECT tf2.doc_id,
+         sum(ln(1 + (st.n_docs - df2.df + 0.5) / (df2.df + 0.5))
+             * tf2.tf * ({BM25_K1} + 1)
+             / (tf2.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / st.avgdl))
+         ) AS s
+  FROM tf2 JOIN df2 USING (term) JOIN dl ON dl.doc_id = tf2.doc_id
+  CROSS JOIN st GROUP BY tf2.doc_id
+)
+SELECT doc_id, round(s, 6) AS bm25_prf
+FROM sc2
+QUALIFY row_number() OVER (ORDER BY round(s, 6) DESC, doc_id) <= {BM25_TOPK}
+"""
+
+
+def _bm25_pass(
+    tok: DataFrame, dl: DataFrame, st: DataFrame, terms: DataFrame
+) -> DataFrame:
+    """One BM25 scoring pass against a dynamic term table: (doc_id,
+    raw score). The term/df tables are |query|-row broadcasts; the
+    per-doc sum is one combinable aggregate."""
+    tf = tok.join(F.broadcast(terms), "term").groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfr = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(BM25_K1) * (
+        F.lit(1 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+    )
+    term_score = idf * F.col("tf") * F.lit(BM25_K1 + 1) / denom
+    return (
+        tf.join(F.broadcast(dfr), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(st))
+        .groupBy("doc_id")
+        .agg(F.sum(term_score).alias("s"))
+    )
+
+
+@query("bm25_prf_topk", oracle=_PRF_SQL)
+def bm25_prf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass pseudo-relevance feedback (Rocchio 1971 / RM-style
+    expansion): BM25 retrieves {PRF_FEEDBACK_DOCS} feedback docs for
+    the fixed query, the {PRF_EXPANSION_TERMS} most document-frequent
+    non-query terms (len > 2) inside that feedback set join the query,
+    and a second BM25 pass over the expanded term set produces the
+    final top-{BM25_TOPK} — the classic recall-boosting rerank a
+    retrieval pipeline layers over `bm25_topk`.
+
+    Scale shape: BOTH passes score only docs containing some query
+    term (token explode filtered by a broadcast term table before any
+    shuffle); the expansion mining runs over the {PRF_FEEDBACK_DOCS}-doc
+    feedback slice. Expansion selection is integer document-frequency
+    with term tie-breaks — fully deterministic; scores round to 6 dp
+    before every rank (same ln-parity discipline as bm25_topk).
+    """
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokenize(F.col("text")).alias("toks")).cache()
+    dl = t.select("doc_id", F.size("toks").alias("dl"))
+    st = dl.agg(F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n_docs"))
+    tok = t.select("doc_id", F.explode("toks").alias("term"))
+    q1 = t.sparkSession.createDataFrame(
+        [(w,) for w in BM25_QUERY], "term string"
+    )
+    sc1 = _bm25_pass(tok, dl, st, q1)
+    w1 = Window.orderBy(F.desc(F.round(F.col("s"), 6)), F.asc("doc_id"))
+    fb = (
+        sc1.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= PRF_FEEDBACK_DOCS)
+        .select("doc_id")
+    )
+    exp = (
+        tok.join(F.broadcast(fb), "doc_id")
+        .filter((F.length("term") > 2) & (~F.col("term").isin(*BM25_QUERY)))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("dfb"))
+    )
+    w2 = Window.orderBy(F.desc("dfb"), F.asc("term"))
+    exp_terms = (
+        exp.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= PRF_EXPANSION_TERMS)
+        .select("term")
+    )
+    q2 = exp_terms.unionByName(q1)
+    sc2 = _bm25_pass(tok, dl, st, q2)
+    return (
+        sc2.select("doc_id", F.round("s", 6).alias("bm25_prf"))
+        .orderBy(F.desc("bm25_prf"), F.asc("doc_id"))
+        .limit(BM25_TOPK)
+    )

@@ -821,3 +821,85 @@ def curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("mean_quality"),
     )
+
+
+# --- temporal split + leakage audit --------------------------------------------
+
+_TEMPORAL_SPLIT_SQL = """
+WITH b AS (
+  SELECT CAST(datediff('second', TIMESTAMP '1970-01-01 00:00:00', min(ts)) AS BIGINT) AS t0,
+         CAST(datediff('second', TIMESTAMP '1970-01-01 00:00:00', max(ts)) AS BIGINT) AS t1
+  FROM events
+),
+e AS (
+  SELECT user_id,
+         CAST(datediff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS BIGINT) AS es
+  FROM events
+),
+s AS (
+  SELECT user_id,
+         CASE WHEN es < b.t0 + ((b.t1 - b.t0) * 8) // 10 THEN 'train'
+              WHEN es < b.t0 + ((b.t1 - b.t0) * 9) // 10 THEN 'val'
+              ELSE 'test' END AS split
+  FROM e CROSS JOIN b
+),
+tr AS (SELECT DISTINCT user_id FROM s WHERE split = 'train')
+SELECT s.split,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT s.user_id) AS BIGINT) AS n_users,
+       CAST(count(DISTINCT CASE WHEN tr.user_id IS NOT NULL
+                                THEN s.user_id END) AS BIGINT)
+         AS n_users_seen_in_train
+FROM s LEFT JOIN tr ON tr.user_id = s.user_id
+GROUP BY s.split
+"""
+
+
+@query("temporal_split_audit", oracle=_TEMPORAL_SPLIT_SQL)
+def temporal_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chronological 80/10/10 train/val/test split with a user-leakage
+    audit: per split, events, distinct users, and how many of those
+    users also appear in train — the number that decides whether a
+    user-level model's test set is actually out-of-sample (time-split
+    the events, and returning users still leak identity signal). The
+    temporal counterpart of the hash-based `dataset_split`.
+
+    Cutoffs are integer epoch arithmetic on a broadcast one-row
+    min/max (floor-division identical in both engines); the leakage
+    count is a semi-join-shaped LEFT JOIN against train's distinct
+    users (user-dimension-sized — broadcast at any event scale).
+    """
+    ev = table(spark, sf_dir, "events")
+    es = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    b = ev.agg(F.min(es).alias("t0"), F.max(es).alias("t1"))
+    e = ev.select("user_id", es.alias("es")).crossJoin(F.broadcast(b))
+    split = (
+        F.when(
+            F.col("es") < F.col("t0") + F.expr("((t1 - t0) * 8) div 10"),
+            F.lit("train"),
+        )
+        .when(
+            F.col("es") < F.col("t0") + F.expr("((t1 - t0) * 9) div 10"),
+            F.lit("val"),
+        )
+        .otherwise(F.lit("test"))
+    )
+    s = e.select("user_id", split.alias("split"))
+    tr = (
+        s.filter(F.col("split") == "train")
+        .select(F.col("user_id").alias("tr_user"))
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(tr), s.user_id == F.col("tr_user"), "left")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.countDistinct(
+                F.when(F.col("tr_user").isNotNull(), F.col("user_id"))
+            ).alias("n_users_seen_in_train"),
+        )
+    )

@@ -1130,3 +1130,57 @@ def source_effective_number(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_source_share"
         ),
     )
+
+
+# --- language-ID confusion matrix ---------------------------------------------
+
+_LANG_CONFUSION_SQL = f"""
+WITH t AS (SELECT doc_id, lang, {_SQL_TOKENS} AS toks FROM documents),
+h AS (SELECT doc_id, lang, {_LANG_HITS_SQL} FROM t),
+m AS (SELECT *, greatest({", ".join("h_" + code for code in sorted(_LANG_MARKERS))}) AS h_max FROM h),
+p AS (SELECT lang AS actual_lang, {_LANG_BEST_SQL} AS lang_pred FROM m),
+c AS (
+  SELECT actual_lang, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+  FROM p GROUP BY actual_lang, lang_pred
+)
+SELECT actual_lang, lang_pred, n_docs,
+       CAST(n_docs AS DOUBLE)
+         / CAST(SUM(n_docs) OVER (PARTITION BY actual_lang) AS DOUBLE)
+         AS recall_share,
+       actual_lang = lang_pred AS correct
+FROM c
+"""
+
+
+@query("lang_id_confusion", oracle=_LANG_CONFUSION_SQL)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the marker-lexicon language identifier
+    against the corpus's labeled `lang` column: per (actual,
+    predicted) cell, document count and the share of the actual
+    language it represents (per-class recall on the diagonal) — the
+    evaluation harness for the `lang_id` heuristic, the same check a
+    pipeline runs before trusting predicted language for routing.
+
+    One scan → per-doc marker hits (JVM higher-order filters, shared
+    definition with lang_id) → one (actual, pred) aggregate; the
+    recall share is a window over the ≤|langs|² confusion cells.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    p = docs.select(
+        F.col("lang").alias("actual_lang"),
+        lang_pred_col(toks).alias("lang_pred"),
+    )
+    c = p.groupBy("actual_lang", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = Window.partitionBy("actual_lang")
+    return c.select(
+        "actual_lang",
+        "lang_pred",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.sum("n_docs").over(w).cast("double")).alias(
+            "recall_share"
+        ),
+        (F.col("actual_lang") == F.col("lang_pred")).alias("correct"),
+    )

@@ -188,3 +188,40 @@ def test_skew_audit_shares_consistent(spark, sf_dir):
         assert r["n_keys"] <= r["n_rows"]
         assert r["max_key_share"] <= r["top8_share"] <= 1.0 + 1e-9
         assert r["max_over_avg"] >= 1.0 - 1e-9
+
+
+def test_lang_confusion_covers_corpus(spark, sf_dir):
+    rows = _Q["lang_id_confusion"](spark, sf_dir).collect()
+    total = table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == total
+    by_actual = {}
+    for r in rows:
+        by_actual.setdefault(r["actual_lang"], 0.0)
+        by_actual[r["actual_lang"]] += r["recall_share"]
+        assert r["correct"] == (r["actual_lang"] == r["lang_pred"])
+    for share in by_actual.values():
+        assert abs(share - 1.0) < 1e-9
+
+
+def test_temporal_split_partitions_and_leakage(spark, sf_dir):
+    rows = {r["split"]: r for r in _Q["temporal_split_audit"](spark, sf_dir).collect()}
+    assert set(rows) == {"train", "val", "test"}
+    total = table(spark, sf_dir, "events").count()
+    assert sum(r["n_events"] for r in rows.values()) == total
+    tr = rows["train"]
+    assert tr["n_users_seen_in_train"] == tr["n_users"]
+    for split in ("val", "test"):
+        assert rows[split]["n_users_seen_in_train"] <= rows[split]["n_users"]
+    # chronological 80/10/10: train must dominate
+    assert rows["train"]["n_events"] > rows["val"]["n_events"]
+    assert rows["train"]["n_events"] > rows["test"]["n_events"]
+
+
+def test_prf_returns_full_topk_with_positive_scores(spark, sf_dir):
+    from data_pipeline_playground_spark.queries.retrieval import BM25_TOPK
+
+    rows = _Q["bm25_prf_topk"](spark, sf_dir).collect()
+    assert len(rows) == BM25_TOPK
+    scores = [r["bm25_prf"] for r in rows]
+    assert all(s > 0 for s in scores)
+    assert scores == sorted(scores, reverse=True)

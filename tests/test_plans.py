@@ -1466,3 +1466,25 @@ def test_skew_audit_no_fact_sort(spark, sf_dir):
     plan = _plan(spark, sf_dir, "join_key_skew_audit")
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_lang_confusion_no_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "lang_id_confusion")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_temporal_split_broadcast_bounds(spark, sf_dir):
+    """The min/max bounds frame and train's distinct-user set are
+    broadcast; events never shuffle for the split assignment."""
+    plan = _plan(spark, sf_dir, "temporal_split_audit")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_prf_broadcast_terms_topk(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "bm25_prf_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
