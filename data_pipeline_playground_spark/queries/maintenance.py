@@ -689,3 +689,59 @@ def join_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = row if out is None else out.unionByName(row)
     assert out is not None
     return out
+
+
+# --- incremental view maintenance: JOIN delta rule -----------------------------
+
+JOIN_IVM_CUTOFF = "1995-06-01"
+
+_JOIN_IVM_SQL = """
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS revenue
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+@query("join_ivm_certificate", oracle=_JOIN_IVM_SQL)
+def join_ivm_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN delta-rule certificate: the priority revenue view computed
+    by the INCREMENTAL decomposition
+    (A∪ΔA)⋈(B∪ΔB) = A⋈B ∪ A⋈ΔB ∪ ΔA⋈B ∪ ΔA⋈ΔB
+    (orders split at JOIN_IVM_CUTOFF by order date, lineitem by ship
+    date — disjoint splits make the four quadrants a partition of the
+    join), with the four quadrant aggregates merged additively. The
+    oracle is the DIRECT join — matching hashes certify the delta
+    rule an incremental pipeline relies on, the join analogue of
+    `orders_ivm_merge`'s aggregate merge law.
+
+    Plan: ONE co-partitioned fact⋈fact join carrying base/delta tags,
+    a 4-quadrant partial aggregate (map-side combinable), then the
+    |priority|×4 → |priority| merge — the same exchange profile as
+    the direct query, plus nothing.
+    """
+    cutoff = F.lit(JOIN_IVM_CUTOFF).cast("timestamp_ntz")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("o_orderdate") < cutoff).alias("a_base"),
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+        (F.col("l_shipdate") < cutoff).alias("b_base"),
+    )
+    quad = (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority", "a_base", "b_base")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("price").alias("rev"),
+        )
+    )
+    return quad.groupBy("o_orderpriority").agg(
+        F.sum("n").cast("bigint").alias("n_lines"),
+        F.sum("rev").cast("decimal(18,2)").cast("double").alias("revenue"),
+    )

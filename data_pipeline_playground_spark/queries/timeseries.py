@@ -997,3 +997,130 @@ def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.countDistinct("user_id").alias("n_active_7d"))
     )
+
+
+# --- supplier late-shipment trend ----------------------------------------------
+
+LATE_TREND_TOP = 20
+
+_LATE_TREND_SQL = f"""
+WITH j AS (
+  SELECT l.l_suppkey AS suppkey,
+         CAST(datediff('month', DATE '1990-01-01',
+                        date_trunc('month', l.l_shipdate)) AS BIGINT) AS t,
+         CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+              THEN 1 ELSE 0 END AS late
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+m AS (
+  SELECT suppkey, t,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(late) AS BIGINT) AS n_late,
+         (CAST(SUM(late) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT)
+           AS rate_fp
+  FROM j GROUP BY suppkey, t
+),
+s AS (
+  SELECT suppkey,
+         CAST(count(*) AS BIGINT) AS n_months,
+         CAST(SUM(n) AS BIGINT) AS n_lines,
+         CAST(SUM(n_late) AS BIGINT) AS n_late,
+         CAST(SUM(t) AS BIGINT) AS st,
+         CAST(SUM(t * t) AS BIGINT) AS stt,
+         CAST(SUM(rate_fp) AS BIGINT) AS sr,
+         CAST(SUM(t * rate_fp) AS BIGINT) AS str
+  FROM m GROUP BY suppkey
+)
+SELECT suppkey, n_months, n_lines,
+       CAST(n_late AS DOUBLE) / CAST(n_lines AS DOUBLE) AS late_rate,
+       (CAST(n_months AS DOUBLE) * CAST(str AS DOUBLE)
+        - CAST(st AS DOUBLE) * CAST(sr AS DOUBLE))
+         / ((CAST(n_months AS DOUBLE) * CAST(stt AS DOUBLE)
+             - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) * 1000000.0)
+         AS late_rate_slope
+FROM s
+WHERE n_months >= 3
+  AND n_months * stt - st * st > 0
+ORDER BY (CAST(n_months AS DOUBLE) * CAST(str AS DOUBLE)
+          - CAST(st AS DOUBLE) * CAST(sr AS DOUBLE))
+           / ((CAST(n_months AS DOUBLE) * CAST(stt AS DOUBLE)
+               - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) * 1000000.0) DESC,
+         suppkey
+LIMIT {LATE_TREND_TOP}
+"""
+
+
+@query("supplier_late_trend", oracle=_LATE_TREND_SQL)
+def supplier_late_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{20} suppliers by WORSENING late-shipment trend: per
+    supplier, the OLS slope of the monthly late rate (shipdate > order
+    date + 60 days, the Q12-analog lateness rule) over months — the
+    vendor-scorecard query that catches degradation before the
+    absolute rate looks bad.
+
+    Exactness: the monthly rate is fixed-point (late·10⁶ DIV n, both
+    engines truncate non-negative integer division identically), so
+    all five regression sufficient statistics are exact int64 sums and
+    the slope is one shared double expression (units: rate per month,
+    descaled by the 10⁶). Plan: the one fact⋈fact orderkey join, two
+    combinable aggregates ((supplier, month), then supplier), and a
+    TakeOrdered — per-supplier state is 5 numbers, never a series.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(orders, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        F.col("l_suppkey").alias("suppkey"),
+        F.expr(
+            "CAST(datediff(MONTH, DATE '1990-01-01',"
+            " date_trunc('month', l_shipdate)) AS BIGINT)"
+        ).alias("t"),
+        F.when(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("late"),
+    )
+    m = j.groupBy("suppkey", "t").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("late").cast("bigint").alias("n_late"),
+        F.expr("(CAST(SUM(late) AS BIGINT) * 1000000) div count(*)").alias(
+            "rate_fp"
+        ),
+    )
+    s = m.groupBy("suppkey").agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.sum("n").cast("bigint").alias("n_lines"),
+        F.sum("n_late").cast("bigint").alias("n_late"),
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum(F.col("t") * F.col("t")).cast("bigint").alias("stt"),
+        F.sum("rate_fp").cast("bigint").alias("sr"),
+        F.sum(F.col("t") * F.col("rate_fp")).cast("bigint").alias("str"),
+    )
+    slope = (
+        F.col("n_months").cast("double") * F.col("str").cast("double")
+        - F.col("st").cast("double") * F.col("sr").cast("double")
+    ) / (
+        (
+            F.col("n_months").cast("double") * F.col("stt").cast("double")
+            - F.col("st").cast("double") * F.col("st").cast("double")
+        )
+        * F.lit(1000000.0)
+    )
+    return (
+        s.filter(
+            (F.col("n_months") >= 3)
+            & (F.col("n_months") * F.col("stt") - F.col("st") * F.col("st") > 0)
+        )
+        .select(
+            "suppkey",
+            "n_months",
+            "n_lines",
+            (F.col("n_late").cast("double") / F.col("n_lines").cast("double")).alias(
+                "late_rate"
+            ),
+            slope.alias("late_rate_slope"),
+        )
+        .orderBy(F.desc("late_rate_slope"), "suppkey")
+        .limit(LATE_TREND_TOP)
+    )

@@ -564,3 +564,97 @@ def session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "conversion_rate"
         ),
     )
+
+
+# --- weekly event-mix homogeneity (chi-squared) --------------------------------
+
+_MIX_CELLS = " UNION ALL ".join(
+    f"SELECT '{t}' AS event_type" for t in _EVENT_TYPES
+)
+
+_MIX_CHI2_SQL = f"""
+WITH wk AS (
+  SELECT CAST(date_trunc('week', ts) AS DATE) AS week, event_type
+  FROM events
+),
+o AS (SELECT week, event_type, CAST(count(*) AS BIGINT) AS obs
+      FROM wk GROUP BY week, event_type),
+weeks AS (SELECT DISTINCT week FROM wk),
+types AS ({_MIX_CELLS}),
+dense AS (
+  SELECT w.week, t.event_type, COALESCE(o.obs, 0) AS obs
+  FROM weeks w CROSS JOIN types t
+  LEFT JOIN o ON o.week = w.week AND o.event_type = t.event_type
+),
+rt AS (SELECT week, CAST(SUM(obs) AS BIGINT) AS r FROM dense GROUP BY week),
+ct AS (SELECT event_type, CAST(SUM(obs) AS BIGINT) AS c
+       FROM dense GROUP BY event_type),
+nn AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM dense)
+SELECT d.week,
+       rt.r AS n_events,
+       round(SUM((CAST(d.obs AS DOUBLE) * CAST(nn.n AS DOUBLE)
+            - CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE))
+           * (CAST(d.obs AS DOUBLE) * CAST(nn.n AS DOUBLE)
+              - CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE))
+           / (CAST(nn.n AS DOUBLE) * CAST(rt.r AS DOUBLE)
+              * CAST(ct.c AS DOUBLE))), 6) AS chi2_contrib
+FROM dense d
+JOIN rt ON rt.week = d.week
+JOIN ct ON ct.event_type = d.event_type
+CROSS JOIN nn
+GROUP BY d.week, rt.r
+"""
+
+
+@query("event_mix_chi2", oracle=_MIX_CHI2_SQL)
+def event_mix_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly event-type MIX homogeneity: each week's χ² contribution
+    against the corpus-wide type distribution ((O·N − r·c)²/(N·r·c)
+    per cell, summed over the week's five cells — the classic
+    contingency decomposition with every moment an exact int64, so
+    the double combine is bit-identical across engines). The
+    composition drift detector beside `event_rate_shift`'s volume
+    test: a week can keep its volume while its click/error mix shifts.
+
+    Dense cells come from the bounded week-spine × 5-type cross join
+    (zero-filled — a missing type IS evidence); everything downstream
+    is dimension-sized.
+
+    Each cell value is a pure function of exact int64 moments (so the
+    5 addends are bit-identical across engines); the 5-cell sum's
+    association order is the one float liberty, masked by the same
+    6-dp rounding discipline the BM25 ln-sums use.
+    """
+    ev = table(spark, sf_dir, "events")
+    wk = ev.select(
+        F.to_date(F.date_trunc("week", "ts")).alias("week"), "event_type"
+    )
+    o = wk.groupBy("week", "event_type").agg(F.count(F.lit(1)).alias("obs"))
+    weeks = wk.select("week").distinct()
+    types = wk.sparkSession.createDataFrame(
+        [(t,) for t in _EVENT_TYPES], "event_type string"
+    )
+    dense = (
+        weeks.crossJoin(F.broadcast(types))
+        .join(o, ["week", "event_type"], "left")
+        .select("week", "event_type", F.coalesce("obs", F.lit(0)).alias("obs"))
+    )
+    rt = dense.groupBy("week").agg(F.sum("obs").cast("bigint").alias("r"))
+    ct = dense.groupBy("event_type").agg(F.sum("obs").cast("bigint").alias("c"))
+    nn = dense.agg(F.sum("obs").cast("bigint").alias("n"))
+    num = F.col("obs").cast("double") * F.col("n").cast("double") - F.col(
+        "r"
+    ).cast("double") * F.col("c").cast("double")
+    cell = (num * num) / (
+        F.col("n").cast("double")
+        * F.col("r").cast("double")
+        * F.col("c").cast("double")
+    )
+    return (
+        dense.join(F.broadcast(rt), "week")
+        .join(F.broadcast(ct), "event_type")
+        .crossJoin(F.broadcast(nn))
+        .groupBy("week", F.col("r").alias("n_events"))
+        .agg(F.round(F.sum(cell), 6).alias("chi2_contrib"))
+        .select("week", "n_events", "chi2_contrib")
+    )

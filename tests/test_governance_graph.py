@@ -225,3 +225,33 @@ def test_prf_returns_full_topk_with_positive_scores(spark, sf_dir):
     scores = [r["bm25_prf"] for r in rows]
     assert all(s > 0 for s in scores)
     assert scores == sorted(scores, reverse=True)
+
+
+def test_join_ivm_quadrants_cover_join(spark, sf_dir):
+    """The certified view must cover every lineitem with a parent order
+    (inner join): total n_lines equals the direct join count."""
+    rows = _Q["join_ivm_certificate"](spark, sf_dir).collect()
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey")
+    direct = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+    assert sum(r["n_lines"] for r in rows) == direct
+
+
+def test_mix_chi2_nonnegative_and_covers_weeks(spark, sf_dir):
+    rows = _Q["event_mix_chi2"](spark, sf_dir).collect()
+    ev = table(spark, sf_dir, "events")
+    n_weeks = ev.select(F.date_trunc("week", "ts")).distinct().count()
+    assert len(rows) == n_weeks
+    assert sum(r["n_events"] for r in rows) == ev.count()
+    for r in rows:
+        assert r["chi2_contrib"] >= 0
+
+
+def test_late_trend_slope_sign_matches_rates(spark, sf_dir):
+    rows = _Q["supplier_late_trend"](spark, sf_dir).collect()
+    assert rows
+    slopes = [r["late_rate_slope"] for r in rows]
+    assert slopes == sorted(slopes, reverse=True)
+    for r in rows:
+        assert 0.0 <= r["late_rate"] <= 1.0
+        assert r["n_months"] >= 3

@@ -1488,3 +1488,28 @@ def test_prf_broadcast_terms_topk(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_join_ivm_one_join_two_aggs(spark, sf_dir):
+    """The delta decomposition adds NO exchanges over the direct query:
+    one co-partitioned fact join, quadrant partial agg, priority merge."""
+    plan = _plan(spark, sf_dir, "join_ivm_certificate")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mix_chi2_dimension_sized_joins(spark, sf_dir):
+    """Row/col/grand totals broadcast into the dense cell frame; the
+    only fact-shaped work is the (week, type) count."""
+    plan = _plan(spark, sf_dir, "event_mix_chi2")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_late_trend_combinable_aggs_topk(spark, sf_dir):
+    """Per-supplier state is 5 sufficient statistics — two combinable
+    aggregates and a TakeOrdered; no per-supplier series window."""
+    plan = _plan(spark, sf_dir, "supplier_late_trend")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
