@@ -2032,3 +2032,128 @@ def brand_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("qty").cast("decimal(18,2)").cast("double").alias("total_qty"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+# --- co-occurrence recommendation backtest ------------------------------------
+
+REC_SPLIT_DATE = "1998-05-01"
+REC_TOP_N = 3
+REC_MIN_COOC = 2
+
+_REC_BACKTEST_SQL = f"""
+WITH op AS (
+  SELECT DISTINCT l.l_orderkey, l.l_partkey, o.o_orderdate
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+train AS (SELECT l_orderkey, l_partkey FROM op
+          WHERE o_orderdate < DATE '{REC_SPLIT_DATE}'),
+test AS (SELECT l_orderkey, l_partkey FROM op
+         WHERE o_orderdate >= DATE '{REC_SPLIT_DATE}'),
+cooc AS (
+  SELECT a.l_partkey AS item, b.l_partkey AS rec, count(*) AS w
+  FROM train a JOIN train b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING count(*) >= {REC_MIN_COOC}
+),
+nb AS (
+  SELECT item, rec FROM cooc
+  QUALIFY row_number() OVER (PARTITION BY item ORDER BY w DESC, rec)
+          <= {REC_TOP_N}
+),
+evalb AS (
+  SELECT t.l_orderkey, t.l_partkey
+  FROM test t JOIN (SELECT DISTINCT item FROM nb) i
+    ON i.item = t.l_partkey
+),
+hits AS (
+  SELECT DISTINCT e.l_orderkey, e.l_partkey
+  FROM evalb e
+  JOIN nb ON nb.item = e.l_partkey
+  JOIN test t2 ON t2.l_orderkey = e.l_orderkey AND t2.l_partkey = nb.rec
+)
+SELECT CAST((SELECT count(DISTINCT l_orderkey) FROM test) AS BIGINT)
+         AS n_test_orders,
+       CAST((SELECT count(*) FROM evalb) AS BIGINT) AS n_eval_items,
+       CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_hits,
+       CAST((SELECT count(*) FROM hits) AS DOUBLE)
+         / CAST((SELECT count(*) FROM evalb) AS DOUBLE) AS hit_rate
+"""
+
+
+@query("item_rec_backtest", oracle=_REC_BACKTEST_SQL)
+def item_rec_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal backtest of co-occurrence recommendations: train top-3
+    neighbors per part on pre-{1998-05-01} baskets (co-ordered ≥ 2
+    times, count-ranked with id tie-breaks), then measure hit-rate@3 on
+    later baskets — for each test basket item that HAS neighbors, did
+    any recommended part appear in the same basket? The offline eval
+    every recommender ships with (hit-rate/recall@k, Sarwar et al.
+    2001 protocol), and the honest counterpart to
+    `item_item_neighbors` (training and scoring never see the future).
+
+    Integer end-to-end (counts, one final double division). Plan: the
+    per-order self-join is basket-bounded (same shape as the basket
+    family); the neighbor table is item-dimension-sized and broadcast
+    into test baskets; hits dedup on (order, item).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    op = (
+        li.select("l_orderkey", "l_partkey")
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("l_orderkey", "l_partkey", "o_orderdate")
+        .distinct()
+    )
+    cut = F.lit(REC_SPLIT_DATE).cast("date")
+    train = op.filter(F.col("o_orderdate") < cut).select("l_orderkey", "l_partkey")
+    test = op.filter(F.col("o_orderdate") >= cut).select("l_orderkey", "l_partkey")
+    a, b = train.alias("a"), train.alias("b")
+    cooc = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("item"), F.col("b.l_partkey").alias("rec"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= REC_MIN_COOC)
+    )
+    wnb = Window.partitionBy("item").orderBy(F.desc("w"), F.asc("rec"))
+    nb = (
+        cooc.withColumn("rn", F.row_number().over(wnb))
+        .filter(F.col("rn") <= REC_TOP_N)
+        .select("item", "rec")
+    )
+    evalb = test.join(
+        F.broadcast(nb.select("item").distinct()),
+        test.l_partkey == F.col("item"),
+        "left_semi",
+    )
+    hits = (
+        evalb.join(F.broadcast(nb), evalb.l_partkey == nb.item)
+        .join(
+            test.select(
+                F.col("l_orderkey").alias("t_order"), F.col("l_partkey").alias("t_part")
+            ),
+            (F.col("t_order") == F.col("l_orderkey")) & (F.col("t_part") == F.col("rec")),
+            "left_semi",
+        )
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    m_test = test.agg(F.countDistinct("l_orderkey").alias("n_test_orders"))
+    m_eval = evalb.agg(F.count(F.lit(1)).alias("n_eval_items"))
+    m_hits = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        m_test.crossJoin(m_eval)
+        .crossJoin(m_hits)
+        .select(
+            "n_test_orders",
+            "n_eval_items",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.col("n_eval_items").cast("double")).alias(
+                "hit_rate"
+            ),
+        )
+    )

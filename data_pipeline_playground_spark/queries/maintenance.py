@@ -745,3 +745,96 @@ def join_ivm_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("bigint").alias("n_lines"),
         F.sum("rev").cast("decimal(18,2)").cast("double").alias("revenue"),
     )
+
+
+# --- portable table checksum ---------------------------------------------------
+
+CK_P = 2_147_483_647  # Mersenne prime 2^31 - 1
+CK_B = 1_000_003      # polynomial base
+CK_BUCKETS = 1024
+
+# canonical integer projections per table: every column is reduced to
+# an exact int64 before hashing (cents / epoch-seconds / raw keys), so
+# both engines hash identical integers.
+_CK_TABLES = {
+    "orders": (
+        "o_orderkey",
+        "o_custkey",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)",
+    ),
+    "lineitem": (
+        "l_orderkey",
+        "l_partkey * 10 + l_linenumber",
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)",
+    ),
+    "customer": ("c_custkey", "c_nationkey", 
+                 "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)"),
+}
+
+
+def _ck_sig(cols) -> str:
+    """Horner-chain polynomial signature mod CK_P — pure int64 at every
+    step (each projection is cast to BIGINT first: 32-bit columns would
+    otherwise overflow in ANSI mode): value < P, value*B + next <
+    P*B + 2^33 « 2^63."""
+    def _c(c):
+        return f"(CAST({c} AS BIGINT) % {CK_P} + {CK_P}) % {CK_P}"
+
+    sig = _c(cols[0])
+    for c in cols[1:]:
+        sig = f"((({sig}) * {CK_B} + {_c(c)}) % {CK_P})"
+    return sig
+
+
+def _ck_table_sql(tbl: str, cols) -> str:
+    sig = _ck_sig(cols)
+    return f"""
+SELECT '{tbl}' AS table_name,
+       CAST(SUM(bn) AS BIGINT) AS n_rows,
+       CAST(SUM(bsum % {CK_P}) % {CK_P} AS BIGINT) AS checksum
+FROM (
+  SELECT count(*) AS bn, SUM(sig) AS bsum
+  FROM (SELECT ({cols[0]}) % {CK_BUCKETS} AS bucket, {sig} AS sig FROM {tbl})
+  GROUP BY bucket
+)
+"""
+
+
+_CHECKSUM_SQL = "\nUNION ALL\n".join(
+    _ck_table_sql(t, c) for t, c in sorted(_CK_TABLES.items())
+)
+
+
+@query("table_checksum", oracle=_CHECKSUM_SQL)
+def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-free polynomial checksum per table (mod 2³¹−1 Horner
+    chain over canonical integer projections) — the replication /
+    migration verification primitive: two copies of a table match iff
+    (n_rows, checksum) match, regardless of row order, partitioning,
+    or engine. Every step is exact int64; the row-signature SUM uses a
+    TWO-LEVEL mod (per-bucket sums bounded by bucket_rows·P < 2⁶³ for
+    ~4×10⁹ rows per bucket; the outer sum is ≤ buckets·P) so no
+    intermediate ever needs int128 — portable to any SQL engine.
+
+    Plan per table: one map-side-combinable bucket aggregate (1024
+    groups) + a one-row fold; the three tables union. doubles enter
+    only through lossless cents decimals.
+    """
+    out: DataFrame | None = None
+    for tbl, cols in sorted(_CK_TABLES.items()):
+        df = table(spark, sf_dir, tbl)
+        sig = F.expr(_ck_sig(cols))
+        bucket = F.expr(f"({cols[0]}) % {CK_BUCKETS}")
+        b = (
+            df.select(bucket.alias("bucket"), sig.alias("sig"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("bn"), F.sum("sig").alias("bsum"))
+        )
+        row = b.agg(
+            F.lit(tbl).alias("table_name"),
+            F.sum("bn").cast("bigint").alias("n_rows"),
+            (F.sum(F.col("bsum") % CK_P) % CK_P).cast("bigint").alias("checksum"),
+        )
+        out = row if out is None else out.unionByName(row)
+    assert out is not None
+    return out

