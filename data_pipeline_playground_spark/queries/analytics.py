@@ -2099,11 +2099,16 @@ def item_rec_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    # materialized once: train references it twice (self-join aliases)
+    # and test twice more — without the checkpoint Catalyst re-executes
+    # the join+distinct subtree per reference (the copurchase_pairs
+    # lesson, queries/graph_mining.py).
     op = (
         li.select("l_orderkey", "l_partkey")
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .select("l_orderkey", "l_partkey", "o_orderdate")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     cut = F.lit(REC_SPLIT_DATE).cast("date")
     train = op.filter(F.col("o_orderdate") < cut).select("l_orderkey", "l_partkey")
@@ -2156,4 +2161,166 @@ def item_rec_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "hit_rate"
             ),
         )
+    )
+
+
+# --- Wilson-interval conversion by segment --------------------------------------
+
+# 95% normal quantile as a shared string literal (parses to the same
+# double in both engines); all other terms are exact int counts.
+_WILSON_Z = "CAST('1.959963984540054' AS DOUBLE)"
+
+
+def _wilson(bound: str) -> str:
+    """Wilson score interval text over columns n (trials) and k
+    (successes) — one shared expression tree per bound."""
+    z = _WILSON_Z
+    p = "(CAST(k AS DOUBLE) / CAST(n AS DOUBLE))"
+    nn = "CAST(n AS DOUBLE)"
+    center = f"({p} + {z} * {z} / (2.0 * {nn}))"
+    half = (
+        f"({z} * sqrt({p} * (1.0 - {p}) / {nn}"
+        f" + {z} * {z} / (4.0 * {nn} * {nn})))"
+    )
+    denom = f"(1.0 + {z} * {z} / {nn})"
+    sign = "+" if bound == "hi" else "-"
+    return f"(({center} {sign} {half}) / {denom})"
+
+
+_WILSON_SQL = f"""
+WITH s AS (
+  SELECT c.c_mktsegment AS segment,
+         e.user_id, 
+         max(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted
+  FROM events e
+  JOIN customer c ON c.c_custkey = e.user_id
+  GROUP BY c.c_mktsegment, e.user_id
+),
+m AS (
+  SELECT segment,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(converted) AS BIGINT) AS k
+  FROM s GROUP BY segment
+)
+SELECT segment, n, k,
+       CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS conversion_rate,
+       {_wilson("lo")} AS wilson_lo,
+       {_wilson("hi")} AS wilson_hi
+FROM m
+"""
+
+
+@query("segment_conversion_wilson", oracle=_WILSON_SQL)
+def segment_conversion_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-level purchase conversion per market segment with 95%
+    Wilson score intervals (Wilson 1927) — the interval that stays
+    inside [0,1] and behaves at small n, which is what a segment
+    readout needs before anyone acts on a rate difference.
+
+    The z constant parses from a shared string; every other input is
+    an exact int count, and sqrt is IEEE-correctly-rounded — the whole
+    interval is one shared expression tree, bit-identical across
+    engines. Plan: the user-dim join broadcasts customer, then two
+    combinable aggregates ((segment, user), segment).
+    """
+    ev = table(spark, sf_dir, "events")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    s = (
+        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted")
+        )
+    )
+    m = s.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("converted").cast("bigint").alias("k"),
+    )
+    return m.select(
+        "segment",
+        "n",
+        "k",
+        (F.col("k").cast("double") / F.col("n").cast("double")).alias(
+            "conversion_rate"
+        ),
+        F.expr(_wilson("lo")).alias("wilson_lo"),
+        F.expr(_wilson("hi")).alias("wilson_hi"),
+    )
+
+
+# --- trimmed mean ---------------------------------------------------------------
+
+TRIM_PCT = 5  # percent trimmed from EACH tail
+
+_TRIMMED_SQL = f"""
+WITH r AS (
+  SELECT o_custkey % 5 AS region_bucket,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+         row_number() OVER (PARTITION BY o_custkey % 5
+                            ORDER BY CAST(o_totalprice AS DECIMAL(18,2)),
+                                     o_orderkey) AS rk,
+         count(*) OVER (PARTITION BY o_custkey % 5) AS n
+  FROM orders
+)
+SELECT region_bucket,
+       CAST(max(n) AS BIGINT) AS n_orders,
+       CAST((max(n) * {TRIM_PCT}) // 100 AS BIGINT) AS n_trimmed_each,
+       CAST(SUM(CASE WHEN rk > (n * {TRIM_PCT}) // 100
+                      AND rk <= n - (n * {TRIM_PCT}) // 100
+                     THEN price END) AS DOUBLE)
+         / CAST(max(n) - 2 * ((max(n) * {TRIM_PCT}) // 100) AS DOUBLE)
+         AS trimmed_mean_price,
+       CAST(CAST(SUM(price) AS DECIMAL(18,2)) AS DOUBLE)
+         / CAST(max(n) AS DOUBLE) AS raw_mean_price
+FROM r GROUP BY region_bucket
+"""
+
+
+@query("trimmed_mean_order_value", oracle=_TRIMMED_SQL)
+def trimmed_mean_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{5}%-each-tail trimmed mean order value per customer bucket —
+    the robust location estimate a pricing dashboard shows when
+    outlier orders poison the raw mean; reported beside it so the gap
+    IS the outlier-influence diagnostic.
+
+    Trim ranks are exact integers ((n·pct) DIV 100 from each tail,
+    rank ties broken by order key), the kept-sum is an exact decimal
+    aggregate, and both means are single shared double divisions. One
+    hash exchange: the rank window and both aggregates share the
+    bucket partitioning.
+    """
+    orders = table(spark, sf_dir, "orders")
+    r = orders.select(
+        (F.col("o_custkey") % 5).alias("region_bucket"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("region_bucket").orderBy("price", "o_orderkey")
+    wn = Window.partitionBy("region_bucket")
+    ranked = r.select(
+        "region_bucket",
+        "price",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    cut = F.expr(f"(n * {TRIM_PCT}) div 100")
+    kept = F.when((F.col("rk") > cut) & (F.col("rk") <= F.col("n") - cut), F.col("price"))
+    return ranked.groupBy("region_bucket").agg(
+        F.max("n").cast("bigint").alias("n_orders"),
+        F.expr(f"CAST((max(n) * {TRIM_PCT}) div 100 AS BIGINT)").alias(
+            "n_trimmed_each"
+        ),
+        (
+            F.sum(kept).cast("decimal(18,2)").cast("double")
+            / F.expr(
+                f"CAST(max(n) - 2 * ((max(n) * {TRIM_PCT}) div 100) AS DOUBLE)"
+            )
+        ).alias("trimmed_mean_price"),
+        (
+            F.sum("price").cast("decimal(18,2)").cast("double")
+            / F.max("n").cast("double")
+        ).alias("raw_mean_price"),
     )

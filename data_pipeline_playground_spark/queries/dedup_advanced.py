@@ -428,8 +428,8 @@ WHERE i.ninter * 1.0 / (sa.n + sb.n - i.ninter) >= {JACCARD_THRESHOLD}
 """
 
 
-@query("dedup_jaccard_pairs", oracle=_JACCARD_SQL)
-def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _exact_jaccard_pairs(spark: SparkSession, sf_dir: str,
+                         threshold: float) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs ≥ 0.4, via prefix filtering
     (the PPJoin idea): each doc's shingles are globally ordered
     rarest-first; if jaccard(A,B) ≥ t the two docs MUST share a shingle
@@ -451,7 +451,7 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prefix = ranked.filter(
         F.col("pos")
-        <= F.col("nd") - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("nd")) + 1
+        <= F.col("nd") - F.ceil(F.lit(threshold) * F.col("nd")) + 1
     )
     a = prefix.select(
         F.col("doc_id").alias("ci"), F.col("sh").alias("sha"), F.col("nd").alias("nda")
@@ -469,7 +469,7 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("cj") < F.col("ci"))
             & (
                 F.least("nda", "ndb")
-                >= F.lit(JACCARD_THRESHOLD) * F.greatest("nda", "ndb")
+                >= F.lit(threshold) * F.greatest("nda", "ndb")
             ),
         )
         .select("ci", "cj")
@@ -487,9 +487,20 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     jac = F.col("ninter") * 1.0 / (F.col("na") + F.col("nb") - F.col("ninter"))
     return (
-        verified.filter(jac >= JACCARD_THRESHOLD)
+        verified.filter(jac >= threshold)
         .select("ci", "cj", F.round(jac, 6).alias("jaccard"))
     )
+
+
+
+
+@query("dedup_jaccard_pairs", oracle=_JACCARD_SQL)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs >= 0.4 — see
+    _exact_jaccard_pairs for the PPJoin prefix-filter plan (this
+    wrapper pins the published threshold; the s-curve audit reuses the
+    same builder at a wider threshold)."""
+    return _exact_jaccard_pairs(spark, sf_dir, JACCARD_THRESHOLD)
 
 
 # ---- asymmetric shingle containment ----------------------------------------
@@ -728,4 +739,101 @@ def dedup_pr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (tp.cast("double") / nz(tp + fp)).alias("precision_"),
         (tp.cast("double") / nz(tp + fn)).alias("recall_"),
         ((2 * tp).cast("double") / nz(2 * tp + fp + fn)).alias("f1"),
+    )
+
+
+# --- LSH S-curve audit ----------------------------------------------------------
+
+S_CURVE_MIN_J = 0.3  # audit the transition region (below, catch ~ 0 by design)
+
+
+def _s_curve_theory(band_col: str) -> str:
+    """Theoretical LSH catch probability 1 − (1 − s^r)^b at the band
+    midpoint, fully unrolled (r = BAND_ROWS = 4, b = 4 bands) so both
+    engines evaluate identical multiplication trees — no libm pow."""
+    s_mid = f"least((CAST({band_col} AS DOUBLE) + 0.5) / 10.0, 1.0)"
+    s4 = f"({s_mid} * {s_mid} * {s_mid} * {s_mid})"
+    q = f"(1.0 - {s4})"
+    return f"(1.0 - ({q} * {q} * {q} * {q}))"
+
+
+_S_CURVE_SQL = _MINHASH_CTES + f""",
+js AS (SELECT doc_id, {_sql_shingles(SHINGLE_N)} AS shs FROM documents),
+jex AS (SELECT doc_id, unnest(shs) AS sh FROM js),
+jsizes AS (SELECT doc_id, len(shs) AS n FROM js),
+jinter AS (
+  SELECT a.doc_id AS ci, b.doc_id AS cj, count(*) AS ninter
+  FROM jex a JOIN jex b ON a.sh = b.sh AND b.doc_id < a.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+truth AS (
+  SELECT i.ci, i.cj,
+         CAST(floor(round(i.ninter * 1.0 / (sa.n + sb.n - i.ninter), 6)
+                    * 10.0) AS INTEGER) AS j_band
+  FROM jinter i
+  JOIN jsizes sa ON sa.doc_id = i.ci
+  JOIN jsizes sb ON sb.doc_id = i.cj
+  WHERE i.ninter * 1.0 / (sa.n + sb.n - i.ninter) >= {S_CURVE_MIN_J}
+),
+caught AS (SELECT DISTINCT ci, cj FROM cand)
+SELECT t.j_band,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN c.ci IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_caught,
+       CAST(SUM(CASE WHEN c.ci IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS catch_rate,
+       {_s_curve_theory("t.j_band")} AS theoretical_catch
+FROM truth t LEFT JOIN caught c ON c.ci = t.ci AND c.cj = t.cj
+GROUP BY t.j_band
+"""
+
+
+@query("lsh_s_curve_audit", oracle=_S_CURVE_SQL)
+def lsh_s_curve_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH tuning curve, measured: exact-Jaccard pairs (≥ 0.3,
+    the transition region — below it catch ≈ 0 by design and the
+    truth join turns quadratic) binned by similarity decile, with the
+    fraction the 4-band × 4-row MinHash banding actually catches next
+    to the theoretical S-curve 1 − (1 − s⁴)⁴ (Leskovec-Rajaraman-
+    Ullman, MMDS ch.3). THE chart you read before re-tuning bands/rows
+    for a 100 TB dedup pass — `dedup_pr_audit` scores one operating
+    point; this shows the whole curve.
+
+    Truth side reuses the PPJoin prefix-filtered exact-Jaccard builder
+    (threshold 0.3); caught = membership in the banded candidate set
+    (memoized signature pipeline). The theoretical column is unrolled
+    multiplication only — no pow — so both engines agree bitwise.
+    """
+    truth = _exact_jaccard_pairs(spark, sf_dir, S_CURVE_MIN_J).select(
+        "ci",
+        "cj",
+        F.expr("CAST(floor(jaccard * 10.0) AS INT)").alias("j_band"),
+    )
+    caught = (
+        _minhash_est(spark, sf_dir)
+        .select(F.col("ci").alias("mci"), F.col("cj").alias("mcj"))
+        .distinct()
+    )
+    m = truth.join(
+        caught,
+        (F.col("mci") == F.col("ci")) & (F.col("mcj") == F.col("cj")),
+        "left",
+    )
+    return (
+        m.groupBy("j_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.when(F.col("mci").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_caught"),
+        )
+        .select(
+            "j_band",
+            "n_pairs",
+            "n_caught",
+            (F.col("n_caught").cast("double") / F.col("n_pairs").cast("double")).alias(
+                "catch_rate"
+            ),
+            F.expr(_s_curve_theory("j_band")).alias("theoretical_catch"),
+        )
     )

@@ -302,3 +302,31 @@ def test_staleness_covers_users(spark, sf_dir):
     )
     assert sum(r["n_users"] for r in rows) == n_users
     assert all(r["staleness_days"] >= 0 for r in rows)
+
+
+def test_s_curve_monotone_theory_and_rates_bounded(spark, sf_dir):
+    rows = sorted(
+        _Q["lsh_s_curve_audit"](spark, sf_dir).collect(),
+        key=lambda r: r["j_band"],
+    )
+    assert rows
+    th = [r["theoretical_catch"] for r in rows]
+    assert th == sorted(th)  # S-curve is monotone in similarity
+    for r in rows:
+        assert 0 <= r["n_caught"] <= r["n_pairs"]
+        assert 0.0 <= r["catch_rate"] <= 1.0
+        assert 0.0 <= r["theoretical_catch"] <= 1.0
+
+
+def test_wilson_interval_brackets_rate(spark, sf_dir):
+    for r in _Q["segment_conversion_wilson"](spark, sf_dir).collect():
+        assert 0.0 <= r["wilson_lo"] <= r["conversion_rate"] <= r["wilson_hi"] <= 1.0
+        assert r["k"] <= r["n"]
+
+
+def test_trimmed_mean_within_raw_range(spark, sf_dir):
+    for r in _Q["trimmed_mean_order_value"](spark, sf_dir).collect():
+        assert r["n_trimmed_each"] == r["n_orders"] * 5 // 100
+        # trimming both tails keeps the mean finite and inside the hull
+        assert r["trimmed_mean_price"] > 0
+        assert r["raw_mean_price"] > 0

@@ -1554,3 +1554,26 @@ def test_staleness_broadcast_max(spark, sf_dir):
     plan = _plan(spark, sf_dir, "user_staleness_histogram")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_s_curve_reuses_prefix_filter_no_all_pairs(spark, sf_dir):
+    """Truth side runs the PPJoin prefix-filtered equi-join; caught
+    side is the banded candidate set — no nested-loop anywhere."""
+    plan = _plan(spark, sf_dir, "lsh_s_curve_audit")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_wilson_broadcast_dim_two_aggs(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "segment_conversion_wilson")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_trimmed_mean_single_bucket_exchange(spark, sf_dir):
+    """Rank window and both aggregates share the bucket partitioning:
+    exactly one hash exchange."""
+    plan = _plan(spark, sf_dir, "trimmed_mean_order_value")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
