@@ -2324,3 +2324,127 @@ def trimmed_mean_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.max("n").cast("double")
         ).alias("raw_mean_price"),
     )
+
+
+# --- new vs repeat revenue ------------------------------------------------------
+
+_NEW_REPEAT_SQL = """
+WITH r AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS k
+  FROM orders
+)
+SELECT month,
+       CAST(SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat,
+       CAST(CAST(SUM(CASE WHEN k = 1 THEN price END) AS DECIMAL(18,2))
+            AS DOUBLE) AS new_revenue,
+       CAST(CAST(SUM(CASE WHEN k > 1 THEN price END) AS DECIMAL(18,2))
+            AS DOUBLE) AS repeat_revenue,
+       CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS repeat_order_share
+FROM r GROUP BY month
+"""
+
+
+@query("new_vs_repeat_revenue", oracle=_NEW_REPEAT_SQL)
+def new_vs_repeat_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue split between each customer's FIRST order and
+    all subsequent ones — the acquisition-vs-retention mix every
+    revenue dashboard leads with. First-order detection is a
+    per-customer rank (ties broken by order key); the split is a
+    conditional decimal aggregate per month.
+
+    One customer-keyed exchange for the rank window, one month
+    rollup; decimal sums downcast before the double cast.
+    """
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    r = orders.select(
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        F.row_number().over(w).alias("k"),
+    )
+    return r.groupBy("month").agg(
+        F.sum(F.when(F.col("k") == 1, 1).otherwise(0)).cast("bigint").alias("n_new"),
+        F.sum(F.when(F.col("k") > 1, 1).otherwise(0)).cast("bigint").alias("n_repeat"),
+        F.sum(F.when(F.col("k") == 1, F.col("price")))
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("new_revenue"),
+        F.sum(F.when(F.col("k") > 1, F.col("price")))
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("repeat_revenue"),
+        (
+            F.sum(F.when(F.col("k") > 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("repeat_order_share"),
+    )
+
+
+# --- revenue concentration drift ------------------------------------------------
+
+_CONC_DRIFT_SQL = """
+WITH cq AS (
+  SELECT CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter,
+         o_custkey,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+  FROM orders GROUP BY 1, 2
+),
+r AS (
+  SELECT quarter, spend,
+         row_number() OVER (PARTITION BY quarter
+                            ORDER BY spend DESC, o_custkey) AS rk,
+         count(*) OVER (PARTITION BY quarter) AS n
+  FROM cq
+)
+SELECT quarter,
+       CAST(max(n) AS BIGINT) AS n_customers,
+       CAST((max(n) + 99) // 100 AS BIGINT) AS n_top,
+       CAST(CAST(SUM(CASE WHEN rk <= (n + 99) // 100 THEN spend END)
+                 AS DECIMAL(18,2)) AS DOUBLE)
+         / CAST(CAST(SUM(spend) AS DECIMAL(18,2)) AS DOUBLE)
+         AS top1pct_share
+FROM r GROUP BY quarter
+"""
+
+
+@query("revenue_concentration_drift", oracle=_CONC_DRIFT_SQL)
+def revenue_concentration_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of each quarter's revenue held by that quarter's top-1%
+    customers (ceil(n/100), spend-ranked with id tie-breaks) — the
+    concentration TIME SERIES that `revenue_gini` and the Lorenz
+    deciles summarize statically; drift here is an early sign of
+    whale-dependence.
+
+    Per-quarter customer spends are one combinable aggregate; the rank
+    window partitions by quarter (bounded by customers-per-quarter);
+    shares are decimal-exact sums downcast before the shared double
+    division.
+    """
+    orders = table(spark, sf_dir, "orders")
+    cq = orders.groupBy(
+        F.to_date(F.date_trunc("quarter", "o_orderdate")).alias("quarter"),
+        "o_custkey",
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend"))
+    w = Window.partitionBy("quarter").orderBy(F.desc("spend"), "o_custkey")
+    wn = Window.partitionBy("quarter")
+    r = cq.select(
+        "quarter",
+        "spend",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return r.groupBy("quarter").agg(
+        F.max("n").cast("bigint").alias("n_customers"),
+        F.expr("CAST((max(n) + 99) div 100 AS BIGINT)").alias("n_top"),
+        (
+            F.sum(F.when(F.expr("rk <= (n + 99) div 100"), F.col("spend")))
+            .cast("decimal(18,2)")
+            .cast("double")
+            / F.sum("spend").cast("decimal(18,2)").cast("double")
+        ).alias("top1pct_share"),
+    )

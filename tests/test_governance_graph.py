@@ -330,3 +330,21 @@ def test_trimmed_mean_within_raw_range(spark, sf_dir):
         # trimming both tails keeps the mean finite and inside the hull
         assert r["trimmed_mean_price"] > 0
         assert r["raw_mean_price"] > 0
+
+
+def test_new_repeat_first_orders_equal_customers(spark, sf_dir):
+    rows = _Q["new_vs_repeat_revenue"](spark, sf_dir).collect()
+    n_cust_with_orders = (
+        table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(r["n_new"] for r in rows) == n_cust_with_orders
+    total_orders = table(spark, sf_dir, "orders").count()
+    assert sum(r["n_new"] + r["n_repeat"] for r in rows) == total_orders
+
+
+def test_concentration_share_bounds(spark, sf_dir):
+    for r in _Q["revenue_concentration_drift"](spark, sf_dir).collect():
+        assert 1 <= r["n_top"] <= r["n_customers"]
+        # top-1% of customers always holds at least its pro-rata share
+        assert r["top1pct_share"] >= r["n_top"] / r["n_customers"] - 1e-9
+        assert r["top1pct_share"] <= 1.0 + 1e-9

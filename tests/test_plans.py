@@ -1577,3 +1577,17 @@ def test_trimmed_mean_single_bucket_exchange(spark, sf_dir):
     plan = _plan(spark, sf_dir, "trimmed_mean_order_value")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_new_repeat_one_customer_exchange(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "new_vs_repeat_revenue")
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Join" not in plan
+
+
+def test_concentration_windows_on_quarterly_aggregate(spark, sf_dir):
+    """Rank windows run over the quarterly customer-spend aggregate,
+    never raw orders."""
+    plan = _plan(spark, sf_dir, "revenue_concentration_drift")
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
