@@ -1164,3 +1164,122 @@ def user_staleness_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("staleness_days")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+# --- weekly growth accounting ---------------------------------------------------
+
+_GROWTH_SQL = """
+WITH uw AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM events
+),
+firsts AS (SELECT user_id, min(week) AS first_week FROM uw GROUP BY user_id),
+weeks AS (SELECT DISTINCT week FROM uw),
+-- classify each (user, week) presence; churn is counted at the week
+-- AFTER the last active one
+cur AS (
+  SELECT u.user_id, u.week,
+         CASE WHEN f.first_week = u.week THEN 'new'
+              WHEN p.user_id IS NOT NULL THEN 'retained'
+              ELSE 'resurrected' END AS status
+  FROM uw u
+  JOIN firsts f ON f.user_id = u.user_id
+  LEFT JOIN uw p ON p.user_id = u.user_id
+              AND p.week = u.week - INTERVAL 7 DAY
+),
+churn AS (
+  SELECT CAST(u.week + INTERVAL 7 DAY AS DATE) AS week,
+         count(*) AS n_churned
+  FROM uw u
+  LEFT JOIN uw nx ON nx.user_id = u.user_id
+               AND nx.week = u.week + INTERVAL 7 DAY
+  WHERE nx.user_id IS NULL
+    AND u.week + INTERVAL 7 DAY <= (SELECT max(week) FROM weeks)
+  GROUP BY 1
+)
+SELECT c.week,
+       CAST(SUM(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new,
+       CAST(SUM(CASE WHEN status = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_retained,
+       CAST(SUM(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_resurrected,
+       CAST(COALESCE(max(ch.n_churned), 0) AS BIGINT) AS n_churned
+FROM cur c
+LEFT JOIN churn ch ON ch.week = c.week
+GROUP BY c.week
+"""
+
+
+@query("weekly_growth_accounting", oracle=_GROWTH_SQL)
+def weekly_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting (the MAU-accounting identity, weekly): each
+    active (user, week) classified as new (first-ever week), retained
+    (also active the prior week), or resurrected (returning after a
+    gap), plus the churn count booked to the week AFTER the last
+    active one — actives(w) = actives(w−1) + new + resurrected −
+    churned, the identity every growth team reconciles (pinned by
+    test).
+
+    Everything is equi-joins on (user, week) over the DEDUPLICATED
+    user-week frame (≪ events): prior/next-week presence via
+    self-joins with a shifted key — no window over raw events, no
+    per-user series state.
+    """
+    ev = table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("week")
+    ).distinct()
+    uw = uw.localCheckpoint(eager=True)  # referenced 5× below
+    firsts = uw.groupBy("user_id").agg(F.min("week").alias("first_week"))
+    prev = uw.select(
+        F.col("user_id").alias("p_user"), F.date_add("week", 7).alias("p_week")
+    )
+    cur = (
+        uw.join(firsts, "user_id")
+        .join(
+            prev,
+            (F.col("p_user") == F.col("user_id")) & (F.col("p_week") == F.col("week")),
+            "left",
+        )
+        .select(
+            "week",
+            F.when(F.col("first_week") == F.col("week"), F.lit("new"))
+            .when(F.col("p_user").isNotNull(), F.lit("retained"))
+            .otherwise(F.lit("resurrected"))
+            .alias("status"),
+        )
+    )
+    mx = uw.agg(F.max("week").alias("wmax"))
+    nxt = uw.select(
+        F.col("user_id").alias("n_user"), F.date_sub("week", 7).alias("n_week")
+    )
+    churn = (
+        uw.join(
+            nxt,
+            (F.col("n_user") == F.col("user_id")) & (F.col("n_week") == F.col("week")),
+            "left_anti",
+        )
+        .crossJoin(F.broadcast(mx))
+        .filter(F.date_add("week", 7) <= F.col("wmax"))
+        .groupBy(F.date_add("week", 7).alias("week"))
+        .agg(F.count(F.lit(1)).alias("n_churned"))
+    )
+    agg = cur.groupBy("week").agg(
+        F.sum(F.when(F.col("status") == "new", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_new"),
+        F.sum(F.when(F.col("status") == "retained", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_retained"),
+        F.sum(F.when(F.col("status") == "resurrected", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_resurrected"),
+    )
+    return agg.join(churn, "week", "left").select(
+        "week",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        F.coalesce("n_churned", F.lit(0)).cast("bigint").alias("n_churned"),
+    )

@@ -348,3 +348,35 @@ def test_concentration_share_bounds(spark, sf_dir):
         # top-1% of customers always holds at least its pro-rata share
         assert r["top1pct_share"] >= r["n_top"] / r["n_customers"] - 1e-9
         assert r["top1pct_share"] <= 1.0 + 1e-9
+
+
+def test_growth_accounting_identity(spark, sf_dir):
+    """actives(w) = actives(w-1) + new + resurrected - churned(w) for
+    consecutive weeks — the growth-accounting identity."""
+    rows = sorted(
+        _Q["weekly_growth_accounting"](spark, sf_dir).collect(),
+        key=lambda r: r["week"],
+    )
+    actives = {
+        r["week"]: r["n_new"] + r["n_retained"] + r["n_resurrected"] for r in rows
+    }
+    for prev, cur in zip(rows, rows[1:]):
+        if (cur["week"] - prev["week"]).days != 7:
+            continue
+        assert (
+            actives[cur["week"]]
+            == actives[prev["week"]]
+            + cur["n_new"]
+            + cur["n_resurrected"]
+            - cur["n_churned"]
+        )
+    assert rows[0]["n_retained"] == 0 and rows[0]["n_resurrected"] == 0
+
+
+def test_kpi_dashboard_consistency(spark, sf_dir):
+    rows = _Q["daily_kpi_dashboard"](spark, sf_dir).collect()
+    ev = table(spark, sf_dir, "events")
+    assert sum(r["n_events"] for r in rows) == ev.count()
+    for r in rows:
+        assert r["dau"] <= r["n_events"]
+        assert 0.0 <= r["error_rate"] <= 1.0

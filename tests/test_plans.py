@@ -1591,3 +1591,19 @@ def test_concentration_windows_on_quarterly_aggregate(spark, sf_dir):
     plan = _plan(spark, sf_dir, "revenue_concentration_drift")
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_growth_accounting_joins_on_user_week_frame(spark, sf_dir):
+    """All self-joins run on the deduplicated user-week frame (a
+    checkpointed RDD scan), never raw events; no window anywhere."""
+    plan = _plan(spark, sf_dir, "weekly_growth_accounting")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan  # churn = absent next week
+
+
+def test_kpi_dashboard_single_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "daily_kpi_dashboard")
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
