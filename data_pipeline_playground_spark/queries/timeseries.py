@@ -1283,3 +1283,166 @@ def weekly_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_resurrected",
         F.coalesce("n_churned", F.lit(0)).cast("bigint").alias("n_churned"),
     )
+
+
+# --- inter-arrival burstiness ----------------------------------------------------
+
+_BURSTINESS_SQL = """
+WITH e AS (
+  SELECT event_type, event_id, ts,
+         CAST(datediff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
+              AS BIGINT) AS es
+  FROM events
+),
+g AS (
+  SELECT event_type, es - lag(es) OVER w AS gap_s
+  FROM e
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+),
+m AS (
+  SELECT event_type,
+         CAST(count(gap_s) AS BIGINT) AS n_gaps,
+         CAST(SUM(gap_s) AS BIGINT) AS sg,
+         CAST(SUM(gap_s * gap_s) AS BIGINT) AS sgg
+  FROM g WHERE gap_s IS NOT NULL GROUP BY event_type
+)
+SELECT event_type, n_gaps,
+       CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap_s,
+       (CAST(n_gaps AS DOUBLE) * CAST(sgg AS DOUBLE)
+        - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+         / (CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)) AS cov_squared
+FROM m
+"""
+
+
+@query("interarrival_burstiness", oracle=_BURSTINESS_SQL)
+def interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness of each event type's arrival process: the squared
+    coefficient of variation of inter-arrival gaps (n·Σg²−(Σg)²)/(Σg)²
+    — ≈1 for Poisson traffic, >1 bursty, <1 regular. The capacity-
+    planning number that says whether peak provisioning follows the
+    mean (CoV²≈1) or must chase bursts.
+
+    Gaps are differences of epoch-anchored floored seconds (the
+    boundary-aligned idiom — DuckDB's datediff counts boundary
+    crossings, Spark truncates elapsed time; they only agree from an
+    aligned anchor) via one lag window per type; the moments
+    are exact int64 sums (Σg² bounded: gaps ≤ corpus span; document
+    re-basing for >68-year spans), combined in one shared double
+    expression — bit-identical across engines. One event_type
+    exchange shared by window and aggregate.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    es = F.expr(
+        "CAST(timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        " AS BIGINT)"
+    )
+    w_lag = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_type",
+        (es - F.lag(es).over(w_lag)).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    m = g.groupBy("event_type").agg(
+        F.count("gap_s").alias("n_gaps"),
+        F.sum("gap_s").cast("bigint").alias("sg"),
+        F.sum(F.col("gap_s") * F.col("gap_s")).cast("bigint").alias("sgg"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return m.select(
+        "event_type",
+        "n_gaps",
+        (d("sg") / d("n_gaps")).alias("mean_gap_s"),
+        ((d("n_gaps") * d("sgg") - d("sg") * d("sg")) / (d("sg") * d("sg"))).alias(
+            "cov_squared"
+        ),
+    )
+
+
+# --- signup-to-purchase conversion curve -----------------------------------------
+
+CONV_CURVE_MAX_DAYS = 14
+
+_CONV_CURVE_SQL = f"""
+WITH s AS (
+  SELECT user_id, min(ts) AS signup_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS first_purchase_ts
+  FROM events e JOIN s ON s.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+  GROUP BY e.user_id
+),
+lat AS (
+  SELECT s.user_id,
+         CAST(datediff('day', CAST(s.signup_ts AS DATE),
+                        CAST(p.first_purchase_ts AS DATE)) AS BIGINT) AS days
+  FROM s LEFT JOIN p ON p.user_id = s.user_id
+),
+grid AS (SELECT unnest(generate_series(0, {CONV_CURVE_MAX_DAYS})) AS k)
+SELECT g.k AS within_days,
+       CAST((SELECT count(*) FROM s) AS BIGINT) AS n_signups,
+       CAST(SUM(CASE WHEN l.days IS NOT NULL AND l.days <= g.k
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+       CAST(SUM(CASE WHEN l.days IS NOT NULL AND l.days <= g.k
+                     THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST((SELECT count(*) FROM s) AS DOUBLE) AS conversion_share
+FROM grid g CROSS JOIN lat l
+GROUP BY g.k
+"""
+
+
+@query("signup_conversion_curve", oracle=_CONV_CURVE_SQL)
+def signup_conversion_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete conversion curve: the share of signed-up users whose
+    first subsequent purchase lands within k CALENDAR days (date
+    difference — the boundary-aligned idiom both engines agree on),
+    for k = 0..14 — the activation curve a growth team reads alongside the single-number
+    latency percentiles (`signup_purchase_latency`).
+
+    Per-user firsts are two combinable min aggregates; the curve is
+    the bounded 15-row grid broadcast against the per-user latency
+    frame (users × 15, user-dimension-sized) — no window, no per-k
+    rescan.
+    """
+    ev = table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase_ts"))
+    )
+    lat = s.join(p, "user_id", "left").select(
+        F.expr(
+            "CAST(datediff(DAY, CAST(signup_ts AS DATE),"
+            " CAST(first_purchase_ts AS DATE)) AS BIGINT)"
+        ).alias("days")
+    )
+    n = s.agg(F.count(F.lit(1)).alias("n_signups"))
+    grid = ev.sparkSession.range(0, CONV_CURVE_MAX_DAYS + 1).select(
+        F.col("id").cast("bigint").alias("within_days")
+    )
+    hit = F.when(
+        F.col("days").isNotNull() & (F.col("days") <= F.col("within_days")), 1
+    ).otherwise(0)
+    return (
+        lat.crossJoin(F.broadcast(grid))
+        .groupBy("within_days")
+        .agg(F.sum(hit).cast("bigint").alias("n_converted"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "within_days",
+            "n_signups",
+            "n_converted",
+            (F.col("n_converted").cast("double") / F.col("n_signups").cast("double")).alias(
+                "conversion_share"
+            ),
+        )
+    )

@@ -380,3 +380,23 @@ def test_kpi_dashboard_consistency(spark, sf_dir):
     for r in rows:
         assert r["dau"] <= r["n_events"]
         assert 0.0 <= r["error_rate"] <= 1.0
+
+
+def test_burstiness_positive_means(spark, sf_dir):
+    rows = _Q["interarrival_burstiness"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["mean_gap_s"] > 0
+        assert r["cov_squared"] >= 0
+
+
+def test_conversion_curve_monotone(spark, sf_dir):
+    rows = sorted(
+        _Q["signup_conversion_curve"](spark, sf_dir).collect(),
+        key=lambda r: r["within_days"],
+    )
+    assert [r["within_days"] for r in rows] == list(range(15))
+    conv = [r["n_converted"] for r in rows]
+    assert conv == sorted(conv)  # cumulative curve is monotone
+    assert all(0.0 <= r["conversion_share"] <= 1.0 for r in rows)
+    assert len({r["n_signups"] for r in rows}) == 1

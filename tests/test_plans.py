@@ -1607,3 +1607,19 @@ def test_kpi_dashboard_single_scan(spark, sf_dir):
     assert plan.count("FileScan") == 1
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_burstiness_one_type_exchange(spark, sf_dir):
+    """Lag window and the moment aggregate share the event_type
+    partitioning: one hash exchange, no join."""
+    plan = _plan(spark, sf_dir, "interarrival_burstiness")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_conversion_curve_broadcast_grid(spark, sf_dir):
+    """The 15-row day grid broadcasts against the per-user latency
+    frame; firsts are combinable min aggregates."""
+    plan = _plan(spark, sf_dir, "signup_conversion_curve")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
