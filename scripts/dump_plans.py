@@ -98,6 +98,28 @@ SHOWCASE = [
      "via three two-level rankings (rangepartitioning + per-bucket "
      "row_number + broadcast offsets); no unpartitioned window over "
      "the value key anywhere in the plan."),
+    ("kcore_parts", "6 unrolled peel rounds, each exactly two Window "
+     "passes over the previous round's (shrinking) edges — a LINEAR "
+     "operator chain over one checkpointed pair list (Scan "
+     "ExistingRDD), no join after the pair build, no 2^N reference "
+     "blow-up."),
+    ("attribution_ushape", "the hour-window touch lookup is a "
+     "bucketed EQUI join (purchases probe 2 floor-epoch buckets, the "
+     "interval predicate is a residual filter — no nested loop); "
+     "touchless purchases return via LeftAnti; rank + integer credit "
+     "math is pure JVM above one event_id window."),
+    ("table_checksum", "per table: a 1024-group hash aggregate whose "
+     "partials combine map-side (the exchange carries 1024 rows) + a "
+     "one-row fold — an order-free fingerprint with no join, window, "
+     "or Python anywhere."),
+    ("fk_integrity_audit", "every child pre-aggregates to distinct "
+     "FK keys BELOW its join (exchanges carry keys, not rows); six "
+     "dimension parents are BroadcastHashJoins, lineitem→orders "
+     "stays a co-partitioned key join."),
+    ("rolling_7d_active_users", "sliding COUNT(DISTINCT) with no "
+     "window: a Generate (7-day forward fan-out) over the DISTINCT "
+     "user-day frame, then one distinct-aggregate per day — fan-out "
+     "factor = window length, independent of volume."),
 ]
 
 
