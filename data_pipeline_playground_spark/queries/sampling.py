@@ -11,7 +11,7 @@ repartitioning, and bit-identical in the DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_pipeline_playground_spark.functions.text import (
@@ -902,4 +902,195 @@ def temporal_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("tr_user").isNotNull(), F.col("user_id"))
             ).alias("n_users_seen_in_train"),
         )
+    )
+
+
+# --- temperature-weighted language mix -------------------------------------------
+
+MIX_TEMP_SEATS = 100_000  # sample budget to apportion
+
+
+_MIX_TEMP_SQL = f"""
+WITH l AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
+),
+w AS (
+  SELECT lang, n,
+         CAST(round(sqrt(CAST(n AS DOUBLE)), 6) * 1000000 AS BIGINT) AS wi
+  FROM l
+),
+t AS (SELECT CAST(SUM(wi) AS BIGINT) AS tw, CAST(count(*) AS BIGINT) AS k
+      FROM w),
+base AS (
+  SELECT w.lang, w.n, w.wi, t.tw,
+         ({MIX_TEMP_SEATS} * w.wi) // t.tw AS seats0,
+         ({MIX_TEMP_SEATS} * w.wi) % t.tw AS rem
+  FROM w CROSS JOIN t
+),
+lo AS (SELECT CAST({MIX_TEMP_SEATS} - SUM(seats0) AS BIGINT) AS leftover
+       FROM base),
+rk AS (
+  SELECT base.*, lo.leftover,
+         row_number() OVER (ORDER BY rem DESC, lang) AS r
+  FROM base CROSS JOIN lo
+)
+SELECT lang, n AS n_docs,
+       CAST(wi AS DOUBLE) / 1000000.0 AS temp_weight,
+       CAST(seats0 + CASE WHEN r <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS sample_quota,
+       CAST(CAST(seats0 + CASE WHEN r <= leftover THEN 1 ELSE 0 END
+                 AS BIGINT) AS DOUBLE) / {MIX_TEMP_SEATS}.0 AS quota_share
+FROM rk
+"""
+
+
+@query("training_mix_temperature", oracle=_MIX_TEMP_SQL)
+def training_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted sampling quotas per language (α = 0.5,
+    i.e. weights ∝ √n — the multilingual-LM upsampling rule that
+    flattens head languages without inverting the distribution),
+    apportioned to an integer sample budget by the largest-remainder
+    (Hamilton) method so quotas sum EXACTLY to the budget (pinned).
+
+    Exactness: √n is a single correctly-rounded IEEE operation on an
+    integer; the weight snaps to fixed-point 10⁶ so Σw, the DIV/MOD
+    apportionment, and the remainder ranking are pure int64 — no
+    float summation anywhere (α beyond {{0.5, 1, 2, ...}} would need
+    libm pow, which is not cross-engine deterministic; √ tiers are).
+    Plan: one lang aggregate, one-row totals broadcast, a ≤|langs|
+    ranking window.
+    """
+    docs = table(spark, sf_dir, "documents")
+    l = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    w = l.select(
+        "lang",
+        "n",
+        F.expr(
+            "CAST(round(sqrt(CAST(n AS DOUBLE)), 6) * 1000000 AS BIGINT)"
+        ).alias("wi"),
+    )
+    t = w.agg(F.sum("wi").cast("bigint").alias("tw"))
+    base = w.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "n",
+        "wi",
+        F.expr(f"({MIX_TEMP_SEATS} * wi) div tw").alias("seats0"),
+        F.expr(f"({MIX_TEMP_SEATS} * wi) % tw").alias("rem"),
+    )
+    lo = base.agg(
+        (F.lit(MIX_TEMP_SEATS) - F.sum("seats0")).cast("bigint").alias("leftover")
+    )
+    rk = base.crossJoin(F.broadcast(lo)).withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("rem"), F.asc("lang")))
+    )
+    quota = F.expr(
+        "CAST(seats0 + CASE WHEN r <= leftover THEN 1 ELSE 0 END AS BIGINT)"
+    )
+    return rk.select(
+        "lang",
+        F.col("n").alias("n_docs"),
+        (F.col("wi").cast("double") / F.lit(1000000.0)).alias("temp_weight"),
+        quota.alias("sample_quota"),
+        (quota.cast("double") / F.lit(float(MIX_TEMP_SEATS))).alias("quota_share"),
+    )
+
+
+# --- padding-waste audit -----------------------------------------------------------
+
+PAD_BATCH = 32
+
+
+_PAD_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '')) AS n_tokens
+  FROM documents
+),
+rs AS (
+  SELECT n_tokens,
+         (row_number() OVER (ORDER BY n_tokens, doc_id) - 1) // {PAD_BATCH}
+           AS batch
+  FROM t
+),
+bs AS (
+  SELECT batch, count(*) AS bn, max(n_tokens) AS mx,
+         SUM(n_tokens) AS toks
+  FROM rs GROUP BY batch
+),
+ri AS (
+  SELECT n_tokens,
+         (row_number() OVER (ORDER BY doc_id) - 1) // {PAD_BATCH} AS batch
+  FROM t
+),
+bi AS (
+  SELECT batch, count(*) AS bn, max(n_tokens) AS mx,
+         SUM(n_tokens) AS toks
+  FROM ri GROUP BY batch
+)
+SELECT 'length_sorted' AS policy,
+       CAST(count(*) AS BIGINT) AS n_batches,
+       CAST(CAST(SUM(toks) AS BIGINT) AS BIGINT) AS total_tokens,
+       CAST(SUM(mx * bn) AS BIGINT) AS padded_tokens,
+       (CAST(SUM(mx * bn) AS BIGINT) - CAST(SUM(toks) AS BIGINT))
+         * 1.0 / CAST(SUM(mx * bn) AS BIGINT) AS waste_share
+FROM bs
+UNION ALL
+SELECT 'arrival_order',
+       CAST(count(*) AS BIGINT),
+       CAST(CAST(SUM(toks) AS BIGINT) AS BIGINT),
+       CAST(SUM(mx * bn) AS BIGINT),
+       (CAST(SUM(mx * bn) AS BIGINT) - CAST(SUM(toks) AS BIGINT))
+         * 1.0 / CAST(SUM(mx * bn) AS BIGINT)
+FROM bi
+"""
+
+
+@query("padding_waste_audit", oracle=_PAD_SQL)
+def padding_waste_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much compute fixed-size-{32} batches waste on padding, under
+    length-sorted vs arrival-order batching — THE number that justifies
+    length bucketing in a training data loader (each batch pads every
+    sequence to its max; waste = padded − real tokens).
+
+    Batch ids come from the exact two-level global ranking
+    (operators/ranking.py) — no single-partition sort of the corpus in
+    Spark (the oracle states the same batching with a window); batch
+    stats and both waste ratios are exact integers with one shared
+    double division per policy.
+    """
+    from data_pipeline_playground_spark.operators.ranking import global_rank
+
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.size(tokenize(F.col("text"))).alias("n_tokens")
+    ).localCheckpoint(eager=True)  # two policy rankings read it
+
+    def policy(ranked: DataFrame, name: str) -> DataFrame:
+        bs = (
+            ranked.select(
+                "n_tokens",
+                F.expr(f"(rank - 1) div {PAD_BATCH}").alias("batch"),
+            )
+            .groupBy("batch")
+            .agg(
+                F.count(F.lit(1)).alias("bn"),
+                F.max("n_tokens").alias("mx"),
+                F.sum("n_tokens").alias("toks"),
+            )
+        )
+        pad = F.sum(F.col("mx") * F.col("bn")).cast("bigint")
+        tok = F.sum("toks").cast("bigint")
+        return bs.agg(
+            F.lit(name).alias("policy"),
+            F.count(F.lit(1)).alias("n_batches"),
+            tok.alias("total_tokens"),
+            pad.alias("padded_tokens"),
+            ((pad - tok) * F.lit(1.0) / pad).alias("waste_share"),
+        )
+
+    sorted_rk = global_rank(t, ["n_tokens", "doc_id"], rank_name="rank")
+    arrival_rk = global_rank(t, ["doc_id"], rank_name="rank")
+    return policy(sorted_rk, "length_sorted").unionByName(
+        policy(arrival_rk, "arrival_order")
     )

@@ -400,3 +400,29 @@ def test_conversion_curve_monotone(spark, sf_dir):
     assert conv == sorted(conv)  # cumulative curve is monotone
     assert all(0.0 <= r["conversion_share"] <= 1.0 for r in rows)
     assert len({r["n_signups"] for r in rows}) == 1
+
+
+def test_mix_temperature_quota_sums_to_budget(spark, sf_dir):
+    from data_pipeline_playground_spark.queries.sampling import MIX_TEMP_SEATS
+
+    rows = _Q["training_mix_temperature"](spark, sf_dir).collect()
+    assert sum(r["sample_quota"] for r in rows) == MIX_TEMP_SEATS
+    # temperature flattens: quota share ordering follows doc counts,
+    # but the ratio max/min in quota is <= the ratio in raw counts
+    big = max(rows, key=lambda r: r["n_docs"])
+    small = min(rows, key=lambda r: r["n_docs"])
+    if small["n_docs"] > 0 and small["sample_quota"] > 0:
+        assert (
+            big["sample_quota"] / small["sample_quota"]
+            <= big["n_docs"] / small["n_docs"] + 1e-9
+        )
+
+
+def test_padding_sorted_never_worse(spark, sf_dir):
+    rows = {r["policy"]: r for r in _Q["padding_waste_audit"](spark, sf_dir).collect()}
+    assert set(rows) == {"length_sorted", "arrival_order"}
+    assert rows["length_sorted"]["waste_share"] <= rows["arrival_order"]["waste_share"] + 1e-12
+    for r in rows.values():
+        assert r["total_tokens"] <= r["padded_tokens"]
+        assert 0.0 <= r["waste_share"] < 1.0
+    assert rows["length_sorted"]["total_tokens"] == rows["arrival_order"]["total_tokens"]

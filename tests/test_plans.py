@@ -1623,3 +1623,19 @@ def test_conversion_curve_broadcast_grid(spark, sf_dir):
     plan = _plan(spark, sf_dir, "signup_conversion_curve")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_mix_temperature_dimension_sized(spark, sf_dir):
+    """One lang aggregate; totals broadcast; the apportionment window
+    runs over the <=|langs| frame."""
+    plan = _plan(spark, sf_dir, "training_mix_temperature")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_padding_audit_two_level_ranking(spark, sf_dir):
+    """Both policy batchings use the range-partitioned two-level
+    ranking — no single-partition global sort of the corpus."""
+    plan = _plan(spark, sf_dir, "padding_waste_audit")
+    assert "rangepartitioning" in plan
+    assert "CartesianProduct" not in plan
