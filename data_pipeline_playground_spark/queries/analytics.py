@@ -2448,3 +2448,130 @@ def revenue_concentration_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("spend").cast("decimal(18,2)").cast("double")
         ).alias("top1pct_share"),
     )
+
+
+# --- Simpson's paradox audit -----------------------------------------------------
+
+_SIMPSON_SIGN = """CASE WHEN {num} > 0 THEN 1
+     WHEN {num} < 0 THEN -1 ELSE 0 END"""
+
+# covariance-sign numerator from downcast exact sums: n·Σxy − Σx·Σy,
+# cross-multiplied in DECIMAL so the sign test is exact — no doubles
+_SIMPSON_NUM = (
+    "(CAST(n AS DECIMAL(18,0)) * CAST(sxy AS DECIMAL(18,4))"
+    " - CAST(sx AS DECIMAL(18,4)) * CAST(sy AS DECIMAL(18,4)))"
+)
+
+_SIMPSON_SQL = f"""
+WITH b AS (
+  SELECT p.p_brand AS brand,
+         CAST(l.l_discount AS DECIMAL(4,2)) AS x,
+         CAST(l.l_quantity AS DECIMAL(6,2)) AS y
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+g AS (
+  SELECT brand,
+         CAST(count(*) AS BIGINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(CAST(x AS DECIMAL(10,4)) * CAST(y AS DECIMAL(10,4))) AS sxy,
+         SUM(CAST(x AS DECIMAL(10,4)) * CAST(x AS DECIMAL(10,4))) AS sxx
+  FROM b GROUP BY brand
+),
+gs AS (
+  SELECT {_SIMPSON_SIGN.format(num=_SIMPSON_NUM)} AS sgn
+  FROM g WHERE n >= 2
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n,
+         CAST(SUM(sx) AS DECIMAL(18,4)) AS sx,
+         CAST(SUM(sy) AS DECIMAL(18,4)) AS sy,
+         CAST(SUM(sxy) AS DECIMAL(18,4)) AS sxy,
+         CAST(SUM(sxx) AS DECIMAL(18,4)) AS sxx
+  FROM g
+),
+tsign AS (
+  SELECT {_SIMPSON_SIGN.format(num=_SIMPSON_NUM)} AS gsgn,
+         CAST({_SIMPSON_NUM} AS DOUBLE)
+           / CAST(CAST(n AS DECIMAL(18,0)) * CAST(sxx AS DECIMAL(18,4))
+                  - CAST(sx AS DECIMAL(18,4)) * CAST(sx AS DECIMAL(18,4))
+                  AS DOUBLE) AS global_slope
+  FROM tot
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_groups,
+         CAST(SUM(CASE WHEN gs.sgn = t.gsgn THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_same_sign,
+         CAST(SUM(CASE WHEN gs.sgn = -t.gsgn AND gs.sgn <> 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_opposite_sign
+  FROM gs CROSS JOIN tsign t
+)
+SELECT t.gsgn AS global_sign, t.global_slope,
+       s.n_groups, s.n_same_sign, s.n_opposite_sign
+FROM tsign t CROSS JOIN stats s
+"""
+
+
+@query("simpson_paradox_audit", oracle=_SIMPSON_SQL)
+def simpson_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox screen for the discount→quantity relationship:
+    the covariance SIGN computed globally and within every brand
+    stratum, with the count of strata whose sign opposes the global
+    one — the aggregation trap detector every metrics review needs
+    (a positive global trend made of negative within-group trends is
+    a confounded read, Simpson 1951).
+
+    All sign tests are EXACT: inputs snap to small decimals, the
+    sufficient statistics are exact decimal sums downcast to
+    DECIMAL(18,4), and n·Σxy − Σx·Σy cross-multiplies inside decimal
+    (int128-exact in both engines) — doubles appear only in the
+    reported global slope. One fact join + two combinable aggregates.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    b = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey")).select(
+        F.col("p_brand").alias("brand"),
+        F.col("l_discount").cast("decimal(4,2)").alias("x"),
+        F.col("l_quantity").cast("decimal(6,2)").alias("y"),
+    )
+    g = b.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(10,4)") * F.col("y").cast("decimal(10,4)")).alias(
+            "sxy"
+        ),
+        F.sum(F.col("x").cast("decimal(10,4)") * F.col("x").cast("decimal(10,4)")).alias(
+            "sxx"
+        ),
+    )
+    g = g.localCheckpoint(eager=True)  # consumed by strata AND totals
+    sgn = F.expr(_SIMPSON_SIGN.format(num=_SIMPSON_NUM))
+    gs = g.filter(F.col("n") >= 2).select(sgn.alias("sgn"))
+    tot = g.agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("sx").cast("decimal(18,4)").alias("sx"),
+        F.sum("sy").cast("decimal(18,4)").alias("sy"),
+        F.sum("sxy").cast("decimal(18,4)").alias("sxy"),
+        F.sum("sxx").cast("decimal(18,4)").alias("sxx"),
+    )
+    slope = F.expr(
+        f"CAST({_SIMPSON_NUM} AS DOUBLE)"
+        " / CAST(CAST(n AS DECIMAL(18,0)) * CAST(sxx AS DECIMAL(18,4))"
+        " - CAST(sx AS DECIMAL(18,4)) * CAST(sx AS DECIMAL(18,4)) AS DOUBLE)"
+    )
+    stats = gs.crossJoin(F.broadcast(tot.select(sgn.alias("gsgn")))).agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("sgn") == F.col("gsgn"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_same_sign"),
+        F.sum(
+            F.when((F.col("sgn") == -F.col("gsgn")) & (F.col("sgn") != 0), 1).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("n_opposite_sign"),
+    )
+    return tot.select(sgn.alias("global_sign"), slope.alias("global_slope")).crossJoin(
+        F.broadcast(stats)
+    )

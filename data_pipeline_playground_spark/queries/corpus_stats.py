@@ -919,3 +919,95 @@ def collocation_dice(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dice"), "w1", "w2")
         .limit(DICE_TOP_K)
     )
+
+
+# ---- vocabulary growth curve (Heaps' law observation) -------------------------
+
+VOCAB_CURVE_STEPS = 10
+
+_VOCAB_GROWTH_SQL = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+d AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         ntile({VOCAB_CURVE_STEPS}) OVER (ORDER BY doc_id) AS step
+  FROM t
+),
+fo AS (
+  SELECT min(d.step) AS first_step
+  FROM (SELECT doc_id, unnest(toks) AS term FROM t) x
+  JOIN d ON d.doc_id = x.doc_id
+  GROUP BY x.term
+),
+nv AS (SELECT first_step AS step, CAST(count(*) AS BIGINT) AS new_terms
+       FROM fo GROUP BY first_step),
+tok AS (SELECT step, CAST(SUM(n_tokens) AS BIGINT) AS step_tokens
+        FROM d GROUP BY step)
+SELECT tok.step,
+       CAST(SUM(tok.step_tokens) OVER (ORDER BY tok.step
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+       CAST(SUM(COALESCE(nv.new_terms, 0)) OVER (ORDER BY tok.step
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+FROM tok LEFT JOIN nv ON nv.step = tok.step
+"""
+
+
+@query("vocab_growth_curve", oracle=_VOCAB_GROWTH_SQL)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (the Heaps'-law observation V(n) ~
+    K·nᵝ, reported as raw exact points — fitting the exponent needs
+    logs, reading saturation doesn't): cumulative distinct vocabulary
+    vs cumulative tokens at ten equal corpus checkpoints in doc-id
+    order. Flat tail = vocabulary saturated (more data adds tokens,
+    not words); still-steep = the corpus under-covers its domain.
+
+    First occurrences are order-free min(step) per term (NOT a
+    sequential scan); cumulative sums run over the 10-row checkpoint
+    frame. The doc-order decile uses the two-level global ranking +
+    integer ntile law (bucket-identical to the oracle's ntile, no
+    single-partition corpus window); all counts int64.
+    """
+    docs = table(spark, sf_dir, "documents")
+    from data_pipeline_playground_spark.operators.ranking import (
+        exact_ntile,
+        global_rank,
+    )
+
+    t = docs.select("doc_id", tokenize(F.col("text")).alias("toks")).localCheckpoint(
+        eager=True
+    )  # consumed by both the step map and the term explode
+    # two-level ranking + the integer ntile law — identical buckets to
+    # the oracle's ntile() but with NO single-partition corpus window
+    rk = global_rank(
+        t.select("doc_id", F.size("toks").alias("n_tokens")),
+        ["doc_id"],
+        rank_name="rank",
+    )
+    d = rk.select(
+        "doc_id",
+        "n_tokens",
+        exact_ntile(F.col("rank"), F.col("n_total"), VOCAB_CURVE_STEPS).alias(
+            "step"
+        ),
+    )
+    fo = (
+        t.select("doc_id", F.explode("toks").alias("term"))
+        .join(d.select("doc_id", "step"), "doc_id")
+        .groupBy("term")
+        .agg(F.min("step").alias("first_step"))
+    )
+    nv = fo.groupBy(F.col("first_step").alias("step")).agg(
+        F.count(F.lit(1)).alias("new_terms")
+    )
+    tok = d.groupBy("step").agg(F.sum("n_tokens").cast("bigint").alias("step_tokens"))
+    wc = Window.orderBy("step").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        tok.join(nv, "step", "left")
+        .select(
+            "step",
+            F.sum("step_tokens").over(wc).cast("bigint").alias("cum_tokens"),
+            F.sum(F.coalesce("new_terms", F.lit(0)))
+            .over(wc)
+            .cast("bigint")
+            .alias("cum_vocab"),
+        )
+    )

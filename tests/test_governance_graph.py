@@ -426,3 +426,22 @@ def test_padding_sorted_never_worse(spark, sf_dir):
         assert r["total_tokens"] <= r["padded_tokens"]
         assert 0.0 <= r["waste_share"] < 1.0
     assert rows["length_sorted"]["total_tokens"] == rows["arrival_order"]["total_tokens"]
+
+
+def test_vocab_growth_monotone_and_totals(spark, sf_dir):
+    rows = sorted(
+        _Q["vocab_growth_curve"](spark, sf_dir).collect(), key=lambda r: r["step"]
+    )
+    assert [r["step"] for r in rows] == list(range(1, 11))
+    toks = [r["cum_tokens"] for r in rows]
+    vocab = [r["cum_vocab"] for r in rows]
+    assert toks == sorted(toks) and vocab == sorted(vocab)
+    assert all(v <= t for v, t in zip(vocab, toks))
+
+
+def test_simpson_counts_partition_groups(spark, sf_dir):
+    r = _Q["simpson_paradox_audit"](spark, sf_dir).collect()[0]
+    assert r["n_same_sign"] + r["n_opposite_sign"] <= r["n_groups"]
+    assert r["global_sign"] in (-1, 0, 1)
+    if r["global_sign"] != 0:
+        assert (r["global_slope"] > 0) == (r["global_sign"] > 0)

@@ -1639,3 +1639,21 @@ def test_padding_audit_two_level_ranking(spark, sf_dir):
     plan = _plan(spark, sf_dir, "padding_waste_audit")
     assert "rangepartitioning" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_vocab_growth_two_level_ranking_no_corpus_window(spark, sf_dir):
+    """Checkpoints come from the range-partitioned ranking + integer
+    ntile law — the oracle's global ntile() would be a
+    single-partition corpus window."""
+    plan = _plan(spark, sf_dir, "vocab_growth_curve")
+    assert "rangepartitioning" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_simpson_exact_decimal_signs(spark, sf_dir):
+    """One fact join, two combinable aggregates over a checkpointed
+    brand frame; no Python, no window."""
+    plan = _plan(spark, sf_dir, "simpson_paradox_audit")
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
