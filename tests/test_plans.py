@@ -133,6 +133,11 @@ def test_minhash_signatures_single_shuffle(spark, sf_dir):
     )
     from data_pipeline_playground_spark.tables import table
 
+    # the dedup-family memo may have cached the signature frame in an
+    # earlier test file (the s-curve invariants run before this file);
+    # this pin asserts the BUILD plan, so drop cached blocks first —
+    # caching.memo re-materializes on next retrieval.
+    spark.catalog.clearCache()
     docs = table(spark, sf_dir, "documents")
     sig = signatures(spark, shingle_hashes(docs))
     plan = sig._jdf.queryExecution().executedPlan().toString()
