@@ -1446,3 +1446,131 @@ def signup_conversion_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- cohort LTV triangle -----------------------------------------------------------
+
+_LTV_SQL = """
+WITH firsts AS (
+  SELECT o_custkey,
+         CAST(date_trunc('quarter', min(o_orderdate)) AS DATE) AS cohort
+  FROM orders GROUP BY o_custkey
+),
+rev AS (
+  SELECT f.cohort,
+         CAST(datediff('quarter',
+                       f.cohort,
+                       CAST(date_trunc('quarter', o.o_orderdate) AS DATE))
+              AS BIGINT) AS offset_q,
+         SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+  GROUP BY 1, 2
+),
+sz AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_users FROM firsts
+       GROUP BY cohort)
+SELECT r.cohort, r.offset_q, s.cohort_users,
+       CAST(CAST(SUM(r.rev) OVER (PARTITION BY r.cohort ORDER BY r.offset_q
+                ROWS UNBOUNDED PRECEDING) AS DECIMAL(18,2)) AS DOUBLE)
+         / CAST(s.cohort_users AS DOUBLE) AS cum_ltv_per_user
+FROM rev r JOIN sz s ON s.cohort = r.cohort
+"""
+
+
+@query("cohort_ltv_triangle", oracle=_LTV_SQL)
+def cohort_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LTV triangle: cumulative revenue per user for each
+    first-order-quarter cohort at every quarter offset — the payback
+    curve finance reads next to `cohort_retention`'s activity counts
+    (do newer cohorts monetize faster?).
+
+    Firsts and per-(cohort, offset) revenues are combinable decimal
+    aggregates; the cumulative window runs over the bounded
+    cohorts × offsets triangle (≤ quarters², never order-shaped);
+    sums downcast to DECIMAL(18,2) before the shared double division.
+    """
+    orders = table(spark, sf_dir, "orders")
+    firsts = orders.groupBy("o_custkey").agg(
+        F.to_date(F.date_trunc("quarter", F.min("o_orderdate"))).alias("cohort")
+    )
+    oq = F.to_date(F.date_trunc("quarter", "o_orderdate"))
+    rev = (
+        orders.join(firsts, "o_custkey")
+        .select(
+            "cohort",
+            F.expr(
+                "CAST(datediff(QUARTER, cohort,"
+                " to_date(date_trunc('quarter', o_orderdate))) AS BIGINT)"
+            ).alias("offset_q"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+        )
+        .groupBy("cohort", "offset_q")
+        .agg(F.sum("p").alias("rev"))
+    )
+    sz = firsts.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_users"))
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("offset_q")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        rev.join(F.broadcast(sz), "cohort")
+        .select(
+            "cohort",
+            "offset_q",
+            "cohort_users",
+            (
+                F.sum("rev").over(w).cast("decimal(18,2)").cast("double")
+                / F.col("cohort_users").cast("double")
+            ).alias("cum_ltv_per_user"),
+        )
+    )
+
+
+# --- monthly revenue YoY -------------------------------------------------------------
+
+_YOY_SQL = """
+WITH m AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                   AS DECIMAL(18,2)) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT month, revenue,
+       lag(revenue, 12) OVER (ORDER BY month) AS revenue_last_year,
+       CASE WHEN lag(revenue, 12) OVER (ORDER BY month) IS NULL THEN NULL
+            ELSE (revenue - lag(revenue, 12) OVER (ORDER BY month))
+                 / lag(revenue, 12) OVER (ORDER BY month) END AS yoy_growth
+FROM m
+"""
+
+
+@query("monthly_revenue_yoy", oracle=_YOY_SQL)
+def monthly_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with the same-month-last-year comparison and
+    YoY growth — the seasonality-immune counterpart of
+    `daily_revenue_wow` (a 12-month lag compares December to December,
+    where month-over-month confounds season with trend).
+
+    One month aggregate (decimal-exact, downcast before the double
+    cast); the 12-lag window runs over the bounded month frame —
+    single-partition by design on ≤ tens of rows.
+    """
+    orders = table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("revenue")
+    )
+    w = Window.orderBy("month")
+    last = F.lag("revenue", 12).over(w)
+    return m.select(
+        "month",
+        "revenue",
+        last.alias("revenue_last_year"),
+        F.when(last.isNull(), F.lit(None).cast("double"))
+        .otherwise((F.col("revenue") - last) / last)
+        .alias("yoy_growth"),
+    )

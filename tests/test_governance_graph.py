@@ -445,3 +445,24 @@ def test_simpson_counts_partition_groups(spark, sf_dir):
     assert r["global_sign"] in (-1, 0, 1)
     if r["global_sign"] != 0:
         assert (r["global_slope"] > 0) == (r["global_sign"] > 0)
+
+
+def test_ltv_curves_monotone(spark, sf_dir):
+    rows = _Q["cohort_ltv_triangle"](spark, sf_dir).collect()
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort"], []).append((r["offset_q"], r["cum_ltv_per_user"]))
+    for pts in by_cohort.values():
+        pts.sort()
+        vals = [v for _, v in pts]
+        assert vals == sorted(vals)  # cumulative LTV never decreases
+        assert all(v > 0 for v in vals)
+    assert any(pts[0][0] == 0 for pts in by_cohort.values())
+
+
+def test_yoy_math_consistent(spark, sf_dir):
+    rows = {r["month"]: r for r in _Q["monthly_revenue_yoy"](spark, sf_dir).collect()}
+    for m, r in rows.items():
+        if r["revenue_last_year"] is not None:
+            expect = (r["revenue"] - r["revenue_last_year"]) / r["revenue_last_year"]
+            assert abs(r["yoy_growth"] - expect) < 1e-12

@@ -1662,3 +1662,17 @@ def test_simpson_exact_decimal_signs(spark, sf_dir):
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ltv_triangle_windows_on_bounded_frame(spark, sf_dir):
+    """The cumulative window runs over the cohorts x offsets triangle;
+    cohort sizes broadcast."""
+    plan = _plan(spark, sf_dir, "cohort_ltv_triangle")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_yoy_single_month_aggregate(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "monthly_revenue_yoy")
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan
