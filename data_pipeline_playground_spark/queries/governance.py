@@ -494,3 +494,155 @@ def cascade_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(level("orders", o_aff, orders))
         .unionByName(level("lineitem", li_aff, li))
     )
+
+
+# --- declarative data-contract audit --------------------------------------------
+
+# (table, column, check name, SQL predicate that must hold per row)
+_CONTRACT_CHECKS = (
+    ("orders", "o_totalprice", "positive", "o_totalprice > 0"),
+    ("orders", "o_orderstatus", "enum_OFP", "o_orderstatus IN ('O','F','P')"),
+    ("orders", "o_orderdate", "date_range",
+     "o_orderdate >= TIMESTAMP '1990-01-01 00:00:00'"
+     " AND o_orderdate < TIMESTAMP '2005-01-01 00:00:00'"),
+    ("lineitem", "l_discount", "unit_interval",
+     "l_discount >= 0 AND l_discount <= 1"),
+    ("lineitem", "l_quantity", "positive", "l_quantity > 0"),
+    ("lineitem", "l_returnflag", "enum_RAN", "l_returnflag IN ('R','A','N')"),
+    ("customer", "c_acctbal", "bounded",
+     "c_acctbal >= -1000 AND c_acctbal <= 10000"),
+)
+
+
+def _contract_sql(tbl: str, col: str, name: str, pred: str) -> str:
+    return f"""
+SELECT '{tbl}' AS table_name, '{col}' AS column_name, '{name}' AS check_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN {pred} THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_violations,
+       SUM(CASE WHEN {pred} THEN 0 ELSE 1 END) = 0 AS passed
+FROM {tbl}
+"""
+
+
+_CONTRACT_AUDIT_SQL = "\nUNION ALL\n".join(
+    _contract_sql(*c) for c in _CONTRACT_CHECKS
+)
+
+
+@query("data_contract_audit", oracle=_CONTRACT_AUDIT_SQL)
+def data_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-contract checks (range / enum / sign bounds per
+    column) evaluated as conditional counts — the producer-consumer
+    contract gate (dbt-style accepted_values / bounds tests) beside
+    `dq_audit`'s structural checks. One conditional aggregate per
+    check, NULL-safe by construction (a NULL predicate counts as a
+    violation — contracts are CLOSED-world).
+
+    Each table's checks share its scan at execution (grouped unions of
+    one-row aggregates); nothing shuffles more than partial counts.
+    """
+    out: DataFrame | None = None
+    for tbl, col, name, pred in _CONTRACT_CHECKS:
+        df = table(spark, sf_dir, tbl)
+        viol = F.sum(
+            F.when(F.expr(pred), F.lit(0)).otherwise(F.lit(1))
+        ).cast("bigint")
+        row = df.agg(
+            F.lit(tbl).alias("table_name"),
+            F.lit(col).alias("column_name"),
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            viol.alias("n_violations"),
+            (viol == 0).alias("passed"),
+        )
+        out = row if out is None else out.unionByName(row)
+    assert out is not None
+    return out
+
+
+# --- checksum bucket diff (anti-entropy repair plan) -----------------------------
+
+DIFF_SIM_MOD = 997  # simulated replica loss: drop orderkey % MOD == 0
+
+_CK_DIFF_SQL = f"""
+WITH a AS (
+  SELECT o_orderkey % 1024 AS bucket,
+         count(*) AS bn,
+         SUM(((CAST(o_orderkey AS BIGINT) % 2147483647 + 2147483647)
+              % 2147483647 * 1000003
+              + (CAST(o_custkey AS BIGINT) % 2147483647 + 2147483647)
+                % 2147483647) % 2147483647) AS bsum
+  FROM orders GROUP BY 1
+),
+b AS (
+  SELECT o_orderkey % 1024 AS bucket,
+         count(*) AS bn,
+         SUM(((CAST(o_orderkey AS BIGINT) % 2147483647 + 2147483647)
+              % 2147483647 * 1000003
+              + (CAST(o_custkey AS BIGINT) % 2147483647 + 2147483647)
+                % 2147483647) % 2147483647) AS bsum
+  FROM orders WHERE o_orderkey % {DIFF_SIM_MOD} <> 0 GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(CASE WHEN b.bucket IS NULL
+                      OR a.bn <> b.bn
+                      OR a.bsum % 2147483647 <> b.bsum % 2147483647
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_buckets_differing,
+       CAST(SUM(a.bn) - CAST(SUM(COALESCE(b.bn, 0)) AS BIGINT) AS BIGINT)
+         AS n_rows_to_repair
+FROM a LEFT JOIN b ON b.bucket = a.bucket
+"""
+
+
+@query("checksum_diff_buckets", oracle=_CK_DIFF_SQL)
+def checksum_diff_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy repair plan: per-bucket (key % 1024) polynomial
+    checksums of a table vs a simulated replica missing 1/{997} of its
+    rows — how many buckets disagree, hence how much data a Merkle-
+    style repair must actually move (buckets, not tables). The
+    operational companion to `table_checksum`: the checksum detects,
+    the bucket diff LOCALIZES.
+
+    Both sides are 1024-group combinable aggregates; the diff is a
+    1024-row join. At scale the replica side reads the actual second
+    copy — the plan shape is identical.
+    """
+    orders = table(spark, sf_dir, "orders")
+    sig = F.expr(
+        "((CAST(o_orderkey AS BIGINT) % 2147483647 + 2147483647)"
+        " % 2147483647 * 1000003"
+        " + (CAST(o_custkey AS BIGINT) % 2147483647 + 2147483647)"
+        " % 2147483647) % 2147483647"
+    )
+
+    def side(df: DataFrame) -> DataFrame:
+        return (
+            df.select((F.col("o_orderkey") % 1024).alias("bucket"), sig.alias("sig"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("bn"), F.sum("sig").alias("bsum"))
+        )
+
+    a = side(orders)
+    b = side(orders.filter(F.col("o_orderkey") % DIFF_SIM_MOD != 0)).select(
+        F.col("bucket").alias("b_bucket"),
+        F.col("bn").alias("b_bn"),
+        F.col("bsum").alias("b_bsum"),
+    )
+    differs = (
+        F.col("b_bucket").isNull()
+        | (F.col("bn") != F.col("b_bn"))
+        | (F.col("bsum") % 2147483647 != F.col("b_bsum") % 2147483647)
+    )
+    return (
+        a.join(b, F.col("b_bucket") == F.col("bucket"), "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(F.when(differs, 1).otherwise(0)).cast("bigint").alias(
+                "n_buckets_differing"
+            ),
+            (F.sum("bn") - F.sum(F.coalesce("b_bn", F.lit(0))).cast("bigint"))
+            .cast("bigint")
+            .alias("n_rows_to_repair"),
+        )
+    )

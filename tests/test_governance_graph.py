@@ -466,3 +466,21 @@ def test_yoy_math_consistent(spark, sf_dir):
         if r["revenue_last_year"] is not None:
             expect = (r["revenue"] - r["revenue_last_year"]) / r["revenue_last_year"]
             assert abs(r["yoy_growth"] - expect) < 1e-12
+
+
+def test_contract_audit_all_pass_on_clean_corpus(spark, sf_dir):
+    rows = _Q["data_contract_audit"](spark, sf_dir).collect()
+    assert len(rows) == 7
+    for r in rows:
+        assert r["passed"] == (r["n_violations"] == 0)
+        assert 0 <= r["n_violations"] <= r["n_rows"]
+
+
+def test_checksum_diff_localizes_simulated_loss(spark, sf_dir):
+    from data_pipeline_playground_spark.queries.governance import DIFF_SIM_MOD
+
+    r = _Q["checksum_diff_buckets"](spark, sf_dir).collect()[0]
+    orders = table(spark, sf_dir, "orders")
+    expected_missing = orders.filter(F.col("o_orderkey") % DIFF_SIM_MOD == 0).count()
+    assert r["n_rows_to_repair"] == expected_missing
+    assert 0 < r["n_buckets_differing"] <= min(r["n_buckets"], expected_missing)

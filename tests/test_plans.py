@@ -1676,3 +1676,17 @@ def test_yoy_single_month_aggregate(spark, sf_dir):
     plan = _plan(spark, sf_dir, "monthly_revenue_yoy")
     assert plan.count("FileScan") == 1
     assert "Join" not in plan
+
+
+def test_contract_audit_conditional_counts_only(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "data_contract_audit")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_checksum_diff_bucket_join_only(spark, sf_dir):
+    """Two 1024-group combinable aggregates + a 1024-row join."""
+    plan = _plan(spark, sf_dir, "checksum_diff_buckets")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
