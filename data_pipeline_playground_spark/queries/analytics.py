@@ -2575,3 +2575,181 @@ def simpson_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tot.select(sgn.alias("global_sign"), slope.alias("global_slope")).crossJoin(
         F.broadcast(stats)
     )
+
+
+# --- unit-value price index --------------------------------------------------------
+
+_UVI_SQL = """
+WITH q AS (
+  SELECT l_partkey,
+         CAST(date_trunc('quarter', l_shipdate) AS DATE) AS quarter,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+  FROM lineitem GROUP BY 1, 2
+),
+base AS (SELECT CAST(min(quarter) AS DATE) AS q0 FROM q),
+j AS (
+  SELECT c.quarter,
+         CAST(SUM(c.rev) AS DECIMAL(18,2)) AS rev_t,
+         CAST(SUM(c.qty) AS DECIMAL(18,2)) AS qty_t,
+         CAST(SUM(b.rev) AS DECIMAL(18,2)) AS rev_0,
+         CAST(SUM(b.qty) AS DECIMAL(18,2)) AS qty_0,
+         CAST(count(*) AS BIGINT) AS n_common_parts
+  FROM q c
+  JOIN base ON TRUE
+  JOIN q b ON b.l_partkey = c.l_partkey AND b.quarter = base.q0
+  GROUP BY c.quarter
+)
+SELECT quarter, n_common_parts,
+       (CAST(rev_t AS DOUBLE) * CAST(qty_0 AS DOUBLE))
+         / (CAST(qty_t AS DOUBLE) * CAST(rev_0 AS DOUBLE)) AS unit_value_index
+FROM j
+"""
+
+
+@query("unit_value_index", oracle=_UVI_SQL)
+def unit_value_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarterly unit-value price index vs the first quarter, over the
+    parts traded in BOTH periods: (Σrev_t/Σqty_t)/(Σrev_0/Σqty_0),
+    cross-multiplied so the whole statistic is exact decimal sums
+    combined in ONE double expression (no per-part average-price
+    division anywhere) — the division-free sibling of the Laspeyres
+    index, restricted to the matched basket as price indices must be.
+
+    One (part, quarter) decimal aggregate; the base-quarter join keys
+    on part (dimension-sized); one quarter rollup.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    q = li.groupBy(
+        "l_partkey",
+        F.to_date(F.date_trunc("quarter", "l_shipdate")).alias("quarter"),
+    ).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"),
+    )
+    q = q.localCheckpoint(eager=True)  # current side + base side
+    base = q.agg(F.min("quarter").alias("q0"))
+    b = (
+        q.crossJoin(F.broadcast(base))
+        .filter(F.col("quarter") == F.col("q0"))
+        .select(
+            F.col("l_partkey").alias("b_part"),
+            F.col("rev").alias("b_rev"),
+            F.col("qty").alias("b_qty"),
+        )
+    )
+    j = (
+        q.join(b, F.col("b_part") == F.col("l_partkey"))
+        .groupBy("quarter")
+        .agg(
+            F.sum("rev").cast("decimal(18,2)").alias("rev_t"),
+            F.sum("qty").cast("decimal(18,2)").alias("qty_t"),
+            F.sum("b_rev").cast("decimal(18,2)").alias("rev_0"),
+            F.sum("b_qty").cast("decimal(18,2)").alias("qty_0"),
+            F.count(F.lit(1)).alias("n_common_parts"),
+        )
+    )
+    return j.select(
+        "quarter",
+        "n_common_parts",
+        (
+            (F.col("rev_t").cast("double") * F.col("qty_0").cast("double"))
+            / (F.col("qty_t").cast("double") * F.col("rev_0").cast("double"))
+        ).alias("unit_value_index"),
+    )
+
+
+# --- weekday variance decomposition ------------------------------------------------
+
+_ETA2_SQL = """
+WITH d AS (
+  SELECT CAST(isodow(o_orderdate) AS INTEGER) AS weekday,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS x
+  FROM orders
+),
+g AS (
+  SELECT weekday,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS DECIMAL(18,2)) AS sx,
+         CAST(SUM(CAST(x AS DECIMAL(14,2)) * CAST(x AS DECIMAL(14,2)))
+              AS DECIMAL(30,4)) AS sxx
+  FROM d GROUP BY weekday
+),
+t AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n,
+         CAST(SUM(sx) AS DECIMAL(18,2)) AS sx,
+         CAST(SUM(sxx) AS DECIMAL(30,4)) AS sxx
+  FROM g
+),
+ssb AS (
+  SELECT SUM((CAST(g.sx AS DOUBLE) * CAST(g.sx AS DOUBLE))
+             / CAST(g.n AS DOUBLE)) AS ssb_raw
+  FROM g
+)
+SELECT t.n AS n_orders,
+       (SELECT CAST(count(*) AS BIGINT) FROM g) AS n_weekdays,
+       round((ssb.ssb_raw
+              - (CAST(t.sx AS DOUBLE) * CAST(t.sx AS DOUBLE))
+                / CAST(t.n AS DOUBLE))
+             / (CAST(t.sxx AS DOUBLE)
+                - (CAST(t.sx AS DOUBLE) * CAST(t.sx AS DOUBLE))
+                  / CAST(t.n AS DOUBLE)), 9) AS eta_squared
+FROM t CROSS JOIN ssb
+"""
+
+
+@query("revenue_weekday_eta2", oracle=_ETA2_SQL)
+def revenue_weekday_eta2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much of order-value variance the weekday explains: η² =
+    SSB/SST from the one-way variance decomposition — ≈0 means
+    day-of-week pricing analyses are noise-chasing; large means
+    weekday belongs in every revenue model.
+
+    Moments are exact decimal sums per weekday (7 groups). Two float
+    liberties are masked by the closing 9-dp round (the pagerank
+    rounding-trick precedent): SSB's 7-term double association order,
+    and the int128-backed Σx²→double cast (Σx² needs 19 digits, so
+    the usual lossless DECIMAL(18,x) downcast cannot apply — η² is a
+    ratio ≤ 1, where a 1-ulp input wiggle lands ~1e-16, far inside
+    the mask). The one corpus-shaped stage is a single combinable
+    aggregate.
+    """
+    orders = table(spark, sf_dir, "orders")
+    d = orders.select(
+        F.expr("CAST(weekday(o_orderdate) + 1 AS INT)").alias("weekday"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("x"),
+    )
+    g = d.groupBy("weekday").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("decimal(18,2)").alias("sx"),
+        F.sum(F.col("x").cast("decimal(14,2)") * F.col("x").cast("decimal(14,2)"))
+        .cast("decimal(30,4)")
+        .alias("sxx"),
+    )
+    g = g.localCheckpoint(eager=True)
+    t = g.agg(
+        F.sum("n").cast("bigint").alias("tn"),
+        F.sum("sx").cast("decimal(18,2)").alias("tsx"),
+        F.sum("sxx").cast("decimal(30,4)").alias("tsxx"),
+    )
+    ssb = g.agg(
+        F.sum(
+            (F.col("sx").cast("double") * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("ssb_raw")
+    )
+    nw = g.agg(F.count(F.lit(1)).alias("n_weekdays"))
+    grand = "(CAST(tsx AS DOUBLE) * CAST(tsx AS DOUBLE)) / CAST(tn AS DOUBLE)"
+    eta = F.expr(
+        f"round((ssb_raw - {grand})"
+        f" / (CAST(tsxx AS DOUBLE) - {grand}), 9)"
+    )
+    return (
+        t.crossJoin(F.broadcast(ssb))
+        .crossJoin(F.broadcast(nw))
+        .select(
+            F.col("tn").alias("n_orders"),
+            "n_weekdays",
+            eta.alias("eta_squared"),
+        )
+    )

@@ -484,3 +484,18 @@ def test_checksum_diff_localizes_simulated_loss(spark, sf_dir):
     expected_missing = orders.filter(F.col("o_orderkey") % DIFF_SIM_MOD == 0).count()
     assert r["n_rows_to_repair"] == expected_missing
     assert 0 < r["n_buckets_differing"] <= min(r["n_buckets"], expected_missing)
+
+
+def test_uvi_base_quarter_is_one(spark, sf_dir):
+    rows = {r["quarter"]: r for r in _Q["unit_value_index"](spark, sf_dir).collect()}
+    base = min(rows)
+    assert abs(rows[base]["unit_value_index"] - 1.0) < 1e-12
+    for r in rows.values():
+        assert r["unit_value_index"] > 0
+        assert r["n_common_parts"] > 0
+
+
+def test_eta2_in_unit_interval(spark, sf_dir):
+    r = _Q["revenue_weekday_eta2"](spark, sf_dir).collect()[0]
+    assert -1e-9 <= r["eta_squared"] <= 1.0 + 1e-9
+    assert r["n_weekdays"] <= 7

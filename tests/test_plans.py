@@ -1690,3 +1690,17 @@ def test_checksum_diff_bucket_join_only(spark, sf_dir):
     plan = _plan(spark, sf_dir, "checksum_diff_buckets")
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+def test_uvi_part_quarter_aggregate_then_base_join(spark, sf_dir):
+    """One (part, quarter) decimal aggregate (checkpointed, read by
+    both sides) + a part-keyed base join + a quarter rollup."""
+    plan = _plan(spark, sf_dir, "unit_value_index")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_eta2_combinable_moments_only(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "revenue_weekday_eta2")
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
