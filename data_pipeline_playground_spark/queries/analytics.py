@@ -2627,7 +2627,13 @@ def unit_value_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev"),
         F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"),
     )
-    q = q.localCheckpoint(eager=True)  # current side + base side
+    # deliberately NOT materialized: the three references share an
+    # IDENTICAL shuffle, which ReuseExchange dedups at the physical
+    # level — measured 1.4 s plain vs 2.4-2.7 s with an eager
+    # localCheckpoint/cache (the write costs more than the re-read of
+    # a deduped exchange). Materialize only when the INPUT scan
+    # dominates the aggregate — at 100 TB that is the parquet scan,
+    # which the shared exchange already reads once.
     base = q.agg(F.min("quarter").alias("q0"))
     b = (
         q.crossJoin(F.broadcast(base))
