@@ -2759,3 +2759,101 @@ def revenue_weekday_eta2(spark: SparkSession, sf_dir: str) -> DataFrame:
             eta.alias("eta_squared"),
         )
     )
+
+
+# --- per-region metric correlation matrix -------------------------------------------
+
+# Pearson r for a metric pair from exact decimal moments, as ONE shared
+# double expression over columns n, s<a>, s<b>, s<a><b>, s<a><a>, s<b><b>.
+def _corr_expr(a: str, b: str) -> str:
+    n = "CAST(n AS DOUBLE)"
+    def d(c):  # noqa: E306
+        return f"CAST(s{c} AS DOUBLE)"
+    num = f"({n} * {d(a + b)} - {d(a)} * {d(b)})"
+    den_a = f"({n} * {d(a + a)} - {d(a)} * {d(a)})"
+    den_b = f"({n} * {d(b + b)} - {d(b)} * {d(b)})"
+    return f"{num} / sqrt({den_a} * {den_b})"
+
+
+_CORR_MATRIX_SQL = f"""
+WITH li AS (
+  SELECT n.n_regionkey AS region,
+         CAST(l.l_extendedprice AS DECIMAL(14,2)) AS p,
+         CAST(l.l_quantity AS DECIMAL(10,2)) AS q,
+         CAST(l.l_discount AS DECIMAL(6,2)) AS d
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+),
+m AS (
+  SELECT region,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(p) AS DECIMAL(18,2)) AS sp,
+         CAST(SUM(q) AS DECIMAL(18,2)) AS sq,
+         CAST(SUM(d) AS DECIMAL(18,2)) AS sd,
+         CAST(SUM(p * q) AS DECIMAL(18,4)) AS spq,
+         CAST(SUM(p * d) AS DECIMAL(18,4)) AS spd,
+         CAST(SUM(q * d) AS DECIMAL(18,4)) AS sqd,
+         SUM(CAST(p AS DECIMAL(16,2)) * CAST(p AS DECIMAL(16,2))) AS spp_w,
+         CAST(SUM(q * q) AS DECIMAL(18,4)) AS sqq,
+         CAST(SUM(d * d) AS DECIMAL(18,4)) AS sdd
+  FROM li GROUP BY region
+),
+mm AS (SELECT m.*, CAST(spp_w AS DECIMAL(30,4)) AS spp FROM m)
+SELECT region, n,
+       round({_corr_expr("p", "q")}, 9) AS corr_price_qty,
+       round({_corr_expr("p", "d")}, 9) AS corr_price_discount,
+       round({_corr_expr("q", "d")}, 9) AS corr_qty_discount
+FROM mm
+"""
+
+
+@query("region_metric_correlations", oracle=_CORR_MATRIX_SQL)
+def region_metric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of price/quantity/discount per
+    supplier region — the metric-relationship matrix behind the global
+    `discount_quantity_corr`, regionalized (a correlation that holds
+    globally but flips in one region is a segmentation lead, cf.
+    simpson_paradox_audit).
+
+    All ten moments are exact decimal sums (price² exceeds the
+    lossless-18-digit downcast, so it stays DECIMAL(30,4) into the
+    double — masked, like η², by the closing 9-dp round); each
+    correlation is one shared double expression over those moments.
+    Plan: two broadcast dim joins, ONE region-keyed combinable
+    aggregate — per-region state is ten numbers.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    base = (
+        li.join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select(
+            F.col("n_regionkey").alias("region"),
+            F.col("l_extendedprice").cast("decimal(14,2)").alias("p"),
+            F.col("l_quantity").cast("decimal(10,2)").alias("q"),
+            F.col("l_discount").cast("decimal(6,2)").alias("d"),
+        )
+    )
+    m = base.groupBy("region").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("p").cast("decimal(18,2)").alias("sp"),
+        F.sum("q").cast("decimal(18,2)").alias("sq"),
+        F.sum("d").cast("decimal(18,2)").alias("sd"),
+        F.sum(F.col("p") * F.col("q")).cast("decimal(18,4)").alias("spq"),
+        F.sum(F.col("p") * F.col("d")).cast("decimal(18,4)").alias("spd"),
+        F.sum(F.col("q") * F.col("d")).cast("decimal(18,4)").alias("sqd"),
+        F.sum(F.col("p").cast("decimal(16,2)") * F.col("p").cast("decimal(16,2)"))
+        .cast("decimal(30,4)")
+        .alias("spp"),
+        F.sum(F.col("q") * F.col("q")).cast("decimal(18,4)").alias("sqq"),
+        F.sum(F.col("d") * F.col("d")).cast("decimal(18,4)").alias("sdd"),
+    )
+    return m.select(
+        "region",
+        "n",
+        F.expr(f"round({_corr_expr('p', 'q')}, 9)").alias("corr_price_qty"),
+        F.expr(f"round({_corr_expr('p', 'd')}, 9)").alias("corr_price_discount"),
+        F.expr(f"round({_corr_expr('q', 'd')}, 9)").alias("corr_qty_discount"),
+    )

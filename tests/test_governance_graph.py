@@ -499,3 +499,11 @@ def test_eta2_in_unit_interval(spark, sf_dir):
     r = _Q["revenue_weekday_eta2"](spark, sf_dir).collect()[0]
     assert -1e-9 <= r["eta_squared"] <= 1.0 + 1e-9
     assert r["n_weekdays"] <= 7
+
+
+def test_corr_matrix_bounds(spark, sf_dir):
+    rows = _Q["region_metric_correlations"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        for c in ("corr_price_qty", "corr_price_discount", "corr_qty_discount"):
+            assert -1.0 - 1e-9 <= r[c] <= 1.0 + 1e-9

@@ -1704,3 +1704,12 @@ def test_eta2_combinable_moments_only(spark, sf_dir):
     plan = _plan(spark, sf_dir, "revenue_weekday_eta2")
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_corr_matrix_one_region_aggregate(spark, sf_dir):
+    """Two broadcast dim joins + ONE region-keyed combinable aggregate;
+    per-region state is ten moments, no window."""
+    plan = _plan(spark, sf_dir, "region_metric_correlations")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
