@@ -836,3 +836,47 @@ def region_top_nations_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("region", "nation", "customer"):
         table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_LATERAL_TOPN_SQL)
+
+
+# --- pandas-API-on-Spark surface -----------------------------------------------
+
+_PS_PROFILE_SQL = """
+SELECT o_orderstatus AS status,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+@query("ps_orders_profile", oracle=_PS_PROFILE_SQL)
+def ps_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status order profile written against the PANDAS API ON
+    SPARK (`pyspark.pandas`) — the migration path for pandas codebases
+    the engine must also serve: the groupby/agg below is authored as
+    pandas but compiles into the SAME Catalyst hash-aggregate plan as
+    the DataFrame API (plan-pinned: no Python stage, one exchange
+    family), so pandas-written pipelines inherit every optimizer
+    benefit.
+
+    Statistics are deliberately order-free (counts, nunique, min/max)
+    so the pandas layer introduces no float-summation parity surface.
+    """
+    import pyspark.pandas as ps  # noqa: F401  (registers the API)
+
+    pdf = table(spark, sf_dir, "orders").pandas_api()
+    g = pdf.groupby("o_orderstatus").agg(
+        n_orders=("o_orderkey", "count"),
+        n_customers=("o_custkey", "nunique"),
+        min_price=("o_totalprice", "min"),
+        max_price=("o_totalprice", "max"),
+    )
+    out = g.reset_index().to_spark()
+    return out.select(
+        F.col("o_orderstatus").alias("status"),
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.col("n_customers").cast("bigint").alias("n_customers"),
+        "min_price",
+        "max_price",
+    )

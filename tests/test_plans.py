@@ -1713,3 +1713,12 @@ def test_corr_matrix_one_region_aggregate(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ps_api_compiles_to_native_aggregate(spark, sf_dir):
+    """The pandas-on-Spark groupby compiles to Catalyst hash
+    aggregates — no Python evaluation anywhere in the plan."""
+    plan = _plan(spark, sf_dir, "ps_orders_profile")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
