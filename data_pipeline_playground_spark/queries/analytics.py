@@ -2857,3 +2857,102 @@ def region_metric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"round({_corr_expr('p', 'd')}, 9)").alias("corr_price_discount"),
         F.expr(f"round({_corr_expr('q', 'd')}, 9)").alias("corr_qty_discount"),
     )
+
+
+# --- personalized spend outliers -----------------------------------------------------
+
+PERSONAL_MIN_ORDERS = 5
+PERSONAL_Z = "CAST('3.0' AS DOUBLE)"
+
+_PERSONAL_OUT_SQL = f"""
+WITH m AS (
+  SELECT o_custkey,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+           AS sx,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))
+                  * CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(30,4))
+           AS sxx
+  FROM orders GROUP BY o_custkey
+  HAVING count(*) >= {PERSONAL_MIN_ORDERS}
+),
+f AS (
+  SELECT o.o_orderkey, o.o_custkey,
+         CAST(o.o_totalprice AS DOUBLE) AS price,
+         CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE) AS mu,
+         sqrt((CAST(m.n AS DOUBLE) * CAST(m.sxx AS DOUBLE)
+               - CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE))
+              / (CAST(m.n AS DOUBLE) * CAST(m.n - 1 AS DOUBLE))) AS sd
+  FROM orders o JOIN m ON m.o_custkey = o.o_custkey
+)
+SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers_checked,
+       CAST(count(*) AS BIGINT) AS n_orders_checked,
+       CAST(SUM(CASE WHEN sd > 0
+                      AND price > mu + {PERSONAL_Z} * sd
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers,
+       CAST(SUM(CASE WHEN sd > 0
+                      AND price < mu - {PERSONAL_Z} * sd
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_low_outliers
+FROM f
+"""
+
+
+@query("personal_spend_outliers", oracle=_PERSONAL_OUT_SQL)
+def personal_spend_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders anomalous AGAINST THEIR OWN CUSTOMER's history (|z| > 3
+    vs the personal mean/std, customers with ≥ {5} orders) — the
+    personalized fraud/error screen, where a global threshold
+    (events_mad_outliers' shape) misses a small account's 10× spike.
+
+    Per-customer moments are exact decimal sums (the sum-of-squares
+    stays int128-backed into its double cast — the comparison runs
+    entirely on doubles derived identically in both engines, and the
+    COUNT of threshold crossings is integer output, so one shared
+    expression tree is parity-sufficient with no rounding mask
+    needed); one customer aggregate + one co-partitioned join back.
+    """
+    orders = table(spark, sf_dir, "orders")
+    m = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("sx"),
+            F.sum(
+                F.col("o_totalprice").cast("decimal(14,2)")
+                * F.col("o_totalprice").cast("decimal(14,2)")
+            )
+            .cast("decimal(30,4)")
+            .alias("sxx"),
+        )
+        .filter(F.col("n") >= PERSONAL_MIN_ORDERS)
+    )
+    f = orders.join(
+        m.select(
+            F.col("o_custkey").alias("m_cust"), "n", "sx", "sxx"
+        ),
+        F.col("m_cust") == F.col("o_custkey"),
+    ).select(
+        "o_custkey",
+        F.col("o_totalprice").cast("double").alias("price"),
+        (F.col("sx").cast("double") / F.col("n").cast("double")).alias("mu"),
+        F.expr(
+            "sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+            " / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))"
+        ).alias("sd"),
+    )
+    hi = F.col("price") > F.col("mu") + F.expr(PERSONAL_Z) * F.col("sd")
+    lo = F.col("price") < F.col("mu") - F.expr(PERSONAL_Z) * F.col("sd")
+    pos = F.col("sd") > 0
+    return f.agg(
+        F.countDistinct("o_custkey").alias("n_customers_checked"),
+        F.count(F.lit(1)).alias("n_orders_checked"),
+        F.sum(F.when(pos & hi, 1).otherwise(0)).cast("bigint").alias(
+            "n_high_outliers"
+        ),
+        F.sum(F.when(pos & lo, 1).otherwise(0)).cast("bigint").alias(
+            "n_low_outliers"
+        ),
+    )

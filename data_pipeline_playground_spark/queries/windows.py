@@ -712,3 +712,67 @@ def daily_kpi_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("error_rate"),
     )
+
+
+# --- error burst runs ---------------------------------------------------------------
+
+_ERROR_BURST_SQL = """
+WITH s AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn,
+         row_number() OVER (PARTITION BY user_id,
+                            CASE WHEN event_type = 'error' THEN 1 ELSE 0 END
+                            ORDER BY ts, event_id) AS rk
+  FROM events
+),
+runs AS (
+  SELECT user_id, rn - rk AS grp, CAST(count(*) AS BIGINT) AS run_len
+  FROM s WHERE is_err = 1
+  GROUP BY user_id, rn - rk
+)
+SELECT run_len,
+       CAST(count(*) AS BIGINT) AS n_runs,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM runs GROUP BY run_len
+"""
+
+
+@query("error_burst_runs", oracle=_ERROR_BURST_SQL)
+def error_burst_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-error runs per user (the rn − rk gaps-and-islands
+    identity: within a user's event sequence, consecutive errors share
+    rank-difference), histogrammed by run length — a run of length 1
+    is noise, a run of 5 is an incident; the burst profile an SRE
+    reads next to `events_hourly_anomalies`' volume view.
+
+    Both rankings and the run aggregate share ONE user_id exchange
+    (the second window partitions by (user, flag) — a refinement of
+    the first partitioning, no new shuffle); the histogram is bounded
+    by the longest run.
+    """
+    ev = table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("is_err"),
+    )
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_err = Window.partitionBy("user_id", "is_err").orderBy("ts", "event_id")
+    s = base.select(
+        "user_id",
+        "is_err",
+        F.row_number().over(w_all).alias("rn"),
+        F.row_number().over(w_err).alias("rk"),
+    )
+    runs = (
+        s.filter(F.col("is_err") == 1)
+        .groupBy("user_id", (F.col("rn") - F.col("rk")).alias("grp"))
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return runs.groupBy("run_len").agg(
+        F.count(F.lit(1)).alias("n_runs"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

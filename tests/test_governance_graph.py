@@ -507,3 +507,19 @@ def test_corr_matrix_bounds(spark, sf_dir):
     for r in rows:
         for c in ("corr_price_qty", "corr_price_discount", "corr_qty_discount"):
             assert -1.0 - 1e-9 <= r[c] <= 1.0 + 1e-9
+
+
+def test_error_bursts_account_for_all_errors(spark, sf_dir):
+    rows = _Q["error_burst_runs"](spark, sf_dir).collect()
+    n_errors = (
+        table(spark, sf_dir, "events").filter(F.col("event_type") == "error").count()
+    )
+    assert sum(r["run_len"] * r["n_runs"] for r in rows) == n_errors
+    for r in rows:
+        assert r["n_users"] <= r["n_runs"]
+
+
+def test_personal_outliers_bounded(spark, sf_dir):
+    r = _Q["personal_spend_outliers"](spark, sf_dir).collect()[0]
+    assert r["n_high_outliers"] + r["n_low_outliers"] <= r["n_orders_checked"]
+    assert r["n_customers_checked"] > 0

@@ -1722,3 +1722,17 @@ def test_ps_api_compiles_to_native_aggregate(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "HashAggregate" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_error_burst_single_user_exchange(spark, sf_dir):
+    """Both run rankings and the run aggregate share the user_id
+    exchange (the (user, flag) window is a refinement)."""
+    plan = _plan(spark, sf_dir, "error_burst_runs")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_personal_outliers_one_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "personal_spend_outliers")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
