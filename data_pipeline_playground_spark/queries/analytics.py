@@ -2956,3 +2956,98 @@ def personal_spend_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_low_outliers"
         ),
     )
+
+
+# --- weekly top-k stability -----------------------------------------------------------
+
+TOPK_STAB_K = 10
+
+_TOPK_STAB_SQL = f"""
+WITH wr AS (
+  SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS week,
+         l_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+  FROM lineitem GROUP BY 1, 2
+),
+tk AS (
+  SELECT week, l_partkey FROM (
+    SELECT week, l_partkey,
+           row_number() OVER (PARTITION BY week
+                              ORDER BY rev DESC, l_partkey) AS rk
+    FROM wr
+  ) WHERE rk <= {TOPK_STAB_K}
+),
+weeks AS (SELECT DISTINCT week FROM tk),
+pairs AS (
+  SELECT c.week,
+         CAST(count(p.l_partkey) AS BIGINT) AS n_common
+  FROM weeks c
+  JOIN tk t ON t.week = c.week
+  LEFT JOIN tk p ON p.week = c.week - INTERVAL 7 DAY
+                AND p.l_partkey = t.l_partkey
+  GROUP BY c.week
+),
+has_prev AS (SELECT DISTINCT week FROM tk t
+             WHERE EXISTS (SELECT 1 FROM weeks w
+                           WHERE w.week = t.week - INTERVAL 7 DAY))
+SELECT p.week, p.n_common,
+       CAST(p.n_common AS DOUBLE)
+         / CAST(2 * {TOPK_STAB_K} - p.n_common AS DOUBLE) AS topk_jaccard
+FROM pairs p JOIN has_prev h ON h.week = p.week
+"""
+
+
+@query("topk_stability", oracle=_TOPK_STAB_SQL)
+def topk_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week stability of the top-{10} revenue parts: the
+    Jaccard overlap of consecutive weekly top-k sets — churn@k, the
+    number that says whether 'top sellers' is a stable merchandising
+    signal or week-to-week noise (complements `part_weekly_movers`'
+    per-part rank deltas with a set-level stability index).
+
+    Weekly top-k via per-week rank windows over the (week, part)
+    aggregate; the consecutive-week overlap is an equi-join on
+    (shifted week, part) between two k-row-per-week frames —
+    dimension-sized everywhere after the first aggregate.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    wr = li.groupBy(
+        F.to_date(F.date_trunc("week", "l_shipdate")).alias("week"), "l_partkey"
+    ).agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev"))
+    w = Window.partitionBy("week").orderBy(F.desc("rev"), "l_partkey")
+    tk = (
+        wr.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOPK_STAB_K)
+        .select("week", "l_partkey")
+    )
+    tk = tk.localCheckpoint(eager=True)  # current, previous, week-list sides
+    prev = tk.select(
+        F.date_add("week", 7).alias("p_week"), F.col("l_partkey").alias("p_part")
+    )
+    pairs = (
+        tk.join(
+            prev,
+            (F.col("p_week") == F.col("week"))
+            & (F.col("p_part") == F.col("l_partkey")),
+            "left",
+        )
+        .groupBy("week")
+        .agg(F.count("p_part").alias("n_common"))
+    )
+    weeks_with_prev = (
+        tk.select("week")
+        .distinct()
+        .join(
+            tk.select(F.date_add("week", 7).alias("week")).distinct(),
+            "week",
+            "left_semi",
+        )
+    )
+    return pairs.join(weeks_with_prev, "week").select(
+        "week",
+        F.col("n_common").cast("bigint").alias("n_common"),
+        (
+            F.col("n_common").cast("double")
+            / (F.lit(2 * TOPK_STAB_K) - F.col("n_common")).cast("double")
+        ).alias("topk_jaccard"),
+    )

@@ -1011,3 +1011,86 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cum_vocab"),
         )
     )
+
+
+# ---- emerging terms -------------------------------------------------------------
+
+EMERGING_TOP_K = 20
+EMERGING_MIN_C2 = 5
+
+_EMERGING_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+),
+half AS (SELECT CAST(max(doc_id) AS BIGINT) AS mx FROM t),
+tok AS (
+  SELECT CASE WHEN x.doc_id * 2 <= h.mx THEN 1 ELSE 2 END AS half,
+         x.term
+  FROM (SELECT doc_id, unnest(toks) AS term FROM t) x CROSS JOIN half h
+),
+c AS (
+  SELECT term,
+         CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM tok GROUP BY term
+),
+n AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+  FROM c
+)
+SELECT c.term, c.c1, c.c2,
+       (CAST(c.c2 AS DOUBLE) * CAST(n.n1 AS DOUBLE))
+         / ((CAST(c.c1 AS DOUBLE) + 1.0) * CAST(n.n2 AS DOUBLE))
+         AS growth_ratio
+FROM c CROSS JOIN n
+WHERE c.c2 >= {EMERGING_MIN_C2}
+ORDER BY (CAST(c.c2 AS DOUBLE) * CAST(n.n1 AS DOUBLE))
+           / ((CAST(c.c1 AS DOUBLE) + 1.0) * CAST(n.n2 AS DOUBLE)) DESC,
+         c.term
+LIMIT {EMERGING_TOP_K}
+"""
+
+
+@query("emerging_terms", oracle=_EMERGING_SQL)
+def emerging_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{20} EMERGING terms: the add-one-smoothed relative-frequency
+    growth ratio (c₂/N₂)/((c₁+1)/N₁) between the first and second
+    corpus halves (by doc id) — the trend-detection view beside
+    `split_unigram_divergence`'s whole-distribution drift number
+    (which term is driving the drift, not just how much).
+
+    Counts are exact int64; the ratio is one shared double expression
+    over four exact integers (identical in both engines, so the
+    ordering needs no rounding); ties break on the term. Two
+    combinable aggregates + a broadcast one-row totals frame +
+    TakeOrdered.
+    """
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    half = t.agg(F.max("doc_id").cast("bigint").alias("mx"))
+    tok = (
+        t.select("doc_id", F.explode("toks").alias("term"))
+        .crossJoin(F.broadcast(half))
+        .select(
+            F.when(F.col("doc_id") * 2 <= F.col("mx"), 1).otherwise(2).alias("half"),
+            "term",
+        )
+    )
+    c = tok.groupBy("term").agg(
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("bigint").alias("c1"),
+        F.sum(F.when(F.col("half") == 2, 1).otherwise(0)).cast("bigint").alias("c2"),
+    )
+    n = c.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    growth = (F.col("c2").cast("double") * F.col("n1").cast("double")) / (
+        (F.col("c1").cast("double") + F.lit(1.0)) * F.col("n2").cast("double")
+    )
+    return (
+        c.filter(F.col("c2") >= EMERGING_MIN_C2)
+        .crossJoin(F.broadcast(n))
+        .select("term", "c1", "c2", growth.alias("growth_ratio"))
+        .orderBy(F.desc("growth_ratio"), "term")
+        .limit(EMERGING_TOP_K)
+    )

@@ -523,3 +523,22 @@ def test_personal_outliers_bounded(spark, sf_dir):
     r = _Q["personal_spend_outliers"](spark, sf_dir).collect()[0]
     assert r["n_high_outliers"] + r["n_low_outliers"] <= r["n_orders_checked"]
     assert r["n_customers_checked"] > 0
+
+
+def test_topk_stability_bounds(spark, sf_dir):
+    from data_pipeline_playground_spark.queries.analytics import TOPK_STAB_K
+
+    rows = _Q["topk_stability"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_common"] <= TOPK_STAB_K
+        expect = r["n_common"] / (2 * TOPK_STAB_K - r["n_common"])
+        assert abs(r["topk_jaccard"] - expect) < 1e-12
+
+
+def test_emerging_terms_sorted_and_positive(spark, sf_dir):
+    rows = _Q["emerging_terms"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    ratios = [r["growth_ratio"] for r in rows]
+    assert ratios == sorted(ratios, reverse=True)
+    assert all(r["c2"] >= 5 for r in rows)

@@ -1736,3 +1736,17 @@ def test_personal_outliers_one_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "personal_spend_outliers")
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_topk_stability_dimension_sized_joins(spark, sf_dir):
+    """The overlap join runs between k-row-per-week frames from the
+    checkpointed top-k table; only the (week, part) aggregate is
+    fact-shaped."""
+    plan = _plan(spark, sf_dir, "topk_stability")
+    assert "CartesianProduct" not in plan
+
+
+def test_emerging_terms_takeordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "emerging_terms")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
