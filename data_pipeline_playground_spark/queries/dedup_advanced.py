@@ -837,3 +837,62 @@ def lsh_s_curve_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_s_curve_theory("j_band")).alias("theoretical_catch"),
         )
     )
+
+
+# ---- duplicate-cluster size histogram ---------------------------------------
+
+_DUP_HIST_SQL = (
+    _COMPONENTS_SQL.replace(
+        "SELECT node AS doc_id, min(label) AS component_id FROM reach GROUP BY node",
+        """comp AS (
+  SELECT node AS doc_id, min(label) AS component_id FROM reach GROUP BY node
+),
+sizes AS (
+  SELECT component_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM comp GROUP BY component_id
+)
+SELECT cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+FROM sizes GROUP BY cluster_size""",
+    ).replace(
+        """reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT ed.b, reach.label FROM reach JOIN ed ON ed.a = reach.node
+)
+""",
+        """reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT ed.b, reach.label FROM reach JOIN ed ON ed.a = reach.node
+),
+""",
+    )
+)
+
+
+@query("dup_cluster_histogram", oracle=_DUP_HIST_SQL)
+def dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size distribution of the transitive near-duplicate clusters:
+    how many singletons, pairs, and long chains the corpus carries —
+    the one-page summary that sizes a dedup pass (docs removed =
+    Σ(size−1)·clusters) and flags template farms (a fat tail of large
+    clusters). Pure rollup over the same connected-components fixpoint
+    as `dedup_minhash_components` — the iterative operator's cost is
+    shared, the histogram adds two bounded aggregates.
+    """
+    from data_pipeline_playground_spark.operators.components import (
+        connected_components,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = _minhash_est(spark, sf_dir).filter(F.col("sim") >= SIM_THRESHOLD)
+    comp = connected_components(docs.select("doc_id"), pairs)
+    sizes = comp.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("cluster_size").cast("bigint").alias("n_docs"),
+    )

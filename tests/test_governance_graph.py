@@ -542,3 +542,11 @@ def test_emerging_terms_sorted_and_positive(spark, sf_dir):
     ratios = [r["growth_ratio"] for r in rows]
     assert ratios == sorted(ratios, reverse=True)
     assert all(r["c2"] >= 5 for r in rows)
+
+
+def test_dup_histogram_covers_corpus(spark, sf_dir):
+    rows = _Q["dup_cluster_histogram"](spark, sf_dir).collect()
+    n_docs = table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
