@@ -3051,3 +3051,53 @@ def topk_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(2 * TOPK_STAB_K) - F.col("n_common")).cast("double")
         ).alias("topk_jaccard"),
     )
+
+
+# --- discount-depth lift ----------------------------------------------------------
+
+_DISCOUNT_LIFT_SQL = """
+WITH b AS (
+  SELECT CASE WHEN l_discount = 0 THEN 'none'
+              WHEN l_discount <= 0.05 THEN 'shallow'
+              ELSE 'deep' END AS discount_band,
+         CAST(l_quantity AS DECIMAL(10,2)) AS q,
+         CAST(l_extendedprice AS DECIMAL(14,2)) AS p
+  FROM lineitem
+)
+SELECT discount_band,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(CAST(SUM(q) AS DECIMAL(18,2)) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS avg_quantity,
+       CAST(CAST(SUM(p) AS DECIMAL(18,2)) AS DOUBLE) AS gross_revenue
+FROM b GROUP BY discount_band
+"""
+
+
+@query("discount_depth_lift", oracle=_DISCOUNT_LIFT_SQL)
+def discount_depth_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average quantity and gross revenue by discount depth (none /
+    ≤5% / deeper) — the promo-effectiveness readout whose CAUSAL
+    version is `ab_test_lift`; this is the observational cut every
+    merch review starts from. One conditional aggregate; decimal-exact
+    sums downcast before double casts; band boundaries compare the
+    raw double discounts identically in both engines.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    band = (
+        F.when(F.col("l_discount") == 0, "none")
+        .when(F.col("l_discount") <= 0.05, "shallow")
+        .otherwise("deep")
+    )
+    return li.groupBy(band.alias("discount_band")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        (
+            F.sum(F.col("l_quantity").cast("decimal(10,2)"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_quantity"),
+        F.sum(F.col("l_extendedprice").cast("decimal(14,2)"))
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("gross_revenue"),
+    )

@@ -880,3 +880,52 @@ def ps_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_price",
         "max_price",
     )
+
+
+# --- open-order aging ------------------------------------------------------------
+
+_ORDER_AGING_SQL = """
+WITH mx AS (SELECT CAST(max(o_orderdate) AS DATE) AS dmax FROM orders),
+a AS (
+  SELECT o_orderstatus,
+         CAST(datediff('day', CAST(o_orderdate AS DATE), mx.dmax) AS BIGINT)
+           AS age_days
+  FROM orders CROSS JOIN mx
+),
+b AS (
+  SELECT o_orderstatus,
+         CASE WHEN age_days <= 365 THEN '0-1y'
+              WHEN age_days <= 1095 THEN '1-3y'
+              WHEN age_days <= 1825 THEN '3-5y'
+              ELSE '5y+' END AS age_band
+  FROM a
+)
+SELECT o_orderstatus AS status, age_band,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM b GROUP BY o_orderstatus, age_band
+"""
+
+
+@query("order_status_aging", oracle=_ORDER_AGING_SQL)
+def order_status_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order age-band distribution per status, relative to the corpus's
+    newest order date (deterministic, not wall-clock) — the backlog
+    aging report: old 'O' (open) orders are stuck work, old 'P'
+    (pending) ones are reconciliation debt. One broadcast one-row max,
+    one conditional aggregate; ages via date-truncated differences
+    (the boundary-aligned idiom).
+    """
+    orders = table(spark, sf_dir, "orders")
+    mx = orders.agg(F.to_date(F.max("o_orderdate")).alias("dmax"))
+    age = F.expr("CAST(datediff(DAY, CAST(o_orderdate AS DATE), dmax) AS BIGINT)")
+    band = (
+        F.when(age <= 365, "0-1y")
+        .when(age <= 1095, "1-3y")
+        .when(age <= 1825, "3-5y")
+        .otherwise("5y+")
+    )
+    return (
+        orders.crossJoin(F.broadcast(mx))
+        .groupBy(F.col("o_orderstatus").alias("status"), band.alias("age_band"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )

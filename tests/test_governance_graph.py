@@ -550,3 +550,15 @@ def test_dup_histogram_covers_corpus(spark, sf_dir):
     assert sum(r["n_docs"] for r in rows) == n_docs
     for r in rows:
         assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
+
+
+def test_order_aging_covers_orders(spark, sf_dir):
+    rows = _Q["order_status_aging"](spark, sf_dir).collect()
+    assert sum(r["n_orders"] for r in rows) == table(spark, sf_dir, "orders").count()
+
+
+def test_discount_lift_covers_lineitem(spark, sf_dir):
+    rows = _Q["discount_depth_lift"](spark, sf_dir).collect()
+    assert sum(r["n_lines"] for r in rows) == table(spark, sf_dir, "lineitem").count()
+    for r in rows:
+        assert r["avg_quantity"] > 0 and r["gross_revenue"] > 0
