@@ -16,10 +16,37 @@ no double division anywhere near a bucket boundary.
 
 from __future__ import annotations
 
+from collections import deque
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 RANGE_BUCKETS = 32
+
+# Cached ranked frames, retired FIFO (ADVICE r7): a long session
+# (driver correctness sweep, oracle-mirror pytest) invokes global_rank
+# dozens of times and a per-invocation permanent cache accumulates
+# storage blocks for its lifetime. The operator only needs ONE
+# materialization while the consuming query runs; the deepest consumer
+# holds 3 ranked frames at once (value_ks_drift), so keeping the last
+# 8 live is generous. A frame retired early merely recomputes through
+# its already-frozen range-shuffle on any later re-execution — the
+# bucket assignment is pinned in the shuffle dependency, not the cache.
+_LIVE_CACHES: deque[tuple[int, DataFrame]] = deque()
+_MAX_LIVE = 8
+
+
+def _register_cache(df: DataFrame) -> None:
+    # CacheManager entries are keyed by canonical plan: two frames with
+    # the same analyzed plan SHARE one entry, and unpersisting either
+    # evicts both. Track the semantic hash so retiring an old frame
+    # never evicts a live twin's materialization.
+    h = df._jdf.queryExecution().analyzed().semanticHash()
+    _LIVE_CACHES.append((h, df))
+    while len(_LIVE_CACHES) > _MAX_LIVE:
+        h0, d0 = _LIVE_CACHES.popleft()
+        if all(h1 != h0 for h1, _ in _LIVE_CACHES):
+            d0.unpersist(blocking=False)
 
 
 def global_rank(
@@ -45,6 +72,7 @@ def global_rank(
     wb = Window.partitionBy("_pid").orderBy(*keys)
     local = ranged.withColumn("_local_rn", F.row_number().over(wb)).cache()
     local.count()
+    _register_cache(local)
     counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n_pid"))
     wo = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(

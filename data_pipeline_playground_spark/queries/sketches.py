@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from data_pipeline_playground_spark.functions.text import (
     rolling_hash,
@@ -430,17 +431,21 @@ n AS (
          CAST(sum(1 - is_a) AS BIGINT) AS n2
   FROM pooled
 ),
-r AS (
-  SELECT is_a,
-         CAST(sum(is_a) OVER w AS BIGINT) AS c1,
-         CAST(sum(1 - is_a) OVER w AS BIGINT) AS c2
-  FROM pooled
-  WINDOW w AS (ORDER BY v, is_a, event_id
+per_v AS (
+  SELECT v, CAST(sum(is_a) AS BIGINT) AS a_cnt,
+         CAST(sum(1 - is_a) AS BIGINT) AS b_cnt
+  FROM pooled GROUP BY v
+),
+g AS (
+  SELECT CAST(sum(a_cnt) OVER w AS BIGINT) AS c1,
+         CAST(sum(b_cnt) OVER w AS BIGINT) AS c2
+  FROM per_v
+  WINDOW w AS (ORDER BY v
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ),
 d AS (
   SELECT CAST(max(abs(c1 * n.n2 - c2 * n.n1)) AS BIGINT) AS d_num
-  FROM r CROSS JOIN n
+  FROM g CROSS JOIN n
 )
 SELECT n.n1, n.n2,
        CAST(d.d_num AS DOUBLE) / (CAST(n.n1 AS DOUBLE) * CAST(n.n2 AS DOUBLE))
@@ -461,17 +466,24 @@ def value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     same-distribution test a feature pipeline runs between snapshots),
     plus the alpha=0.05 Smirnov decision.
 
-    Exactness: D = sup|F1 − F2| is maximized over pooled order
-    positions as max|c1·n2 − c2·n1| — PURE INT64 (no float ECDF), one
+    Exactness: D = sup|F1 − F2| is maximized over DISTINCT pooled
+    values as max|c1·n2 − c2·n1| — PURE INT64 (no float ECDF), one
     final double division; the critical-value comparison is a shared
     double tree (sqrt is correctly rounded).
 
-    The oracle states the cumulative counts with a single global
-    window; the Spark side computes them scale-safe with THREE
-    two-level rankings (operators/ranking.global_rank — pooled rank r
-    plus per-sample ranks): for an A row c1 = rank_A and
-    c2 = r − rank_A, symmetrically for B. No single-partition pass
-    over the fact table anywhere.
+    Tie handling (ADVICE r7): the ECDFs are step functions evaluated
+    AT each distinct value v, i.e. with the full tie group included —
+    evaluating mid-group (per pooled row) overstates D whenever ties
+    straddle the two samples (A={1,1}, B={1,1} would read D=1 instead
+    of 0). The oracle aggregates per distinct v then takes one global
+    cumulative window; the Spark side keeps the THREE two-level
+    rankings (operators/ranking.global_rank — pooled rank r plus
+    per-sample ranks give per-row c1/c2) and snaps each row to its
+    tie-group boundary via max(c1)/max(c2) over a v-partitioned
+    window: within a group ordered (is_a, event_id) B rows precede A
+    rows and both counts are monotone, so the group maxima are exactly
+    #A≤v and #B≤v. No single-partition pass over the fact table
+    anywhere (the only added exchange is hashpartitioning by v).
     """
     from data_pipeline_playground_spark.operators.ranking import global_rank
 
@@ -501,10 +513,16 @@ def value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     c2 = F.when(F.col("is_a") == 0, F.col("rsub")).otherwise(
         F.col("r") - F.col("rsub")
     )
+    wv = Window.partitionBy("v")
     d = (
-        both.crossJoin(F.broadcast(n))
+        both.select(
+            F.max(c1).over(wv).alias("c1g"),
+            F.max(c2).over(wv).alias("c2g"),
+        )
+        .crossJoin(F.broadcast(n))
         .select(
-            F.abs(c1 * F.col("n2") - c2 * F.col("n1")).alias("dn")
+            F.abs(F.col("c1g") * F.col("n2") - F.col("c2g") * F.col("n1"))
+            .alias("dn")
         )
         .agg(F.max("dn").cast("bigint").alias("d_num"))
     )

@@ -77,3 +77,49 @@ def test_memo_nondataframe_values_pass_through(spark, sf_dir):
     value = caching.memo(spark, "t_memo_scalar", sf_dir, lambda: {"k": 1})
     assert value == {"k": 1}
     assert caching.memo(spark, "t_memo_scalar", sf_dir, lambda: None) == {"k": 1}
+
+
+def test_global_rank_retires_old_caches_fifo(spark):
+    """ADVICE r7 (low): repeated global_rank calls must not accumulate
+    cached frames for the session lifetime — only the most recent
+    _MAX_LIVE stay persisted, and a retired frame still yields correct
+    ranks by recomputing through its frozen range-shuffle."""
+    from data_pipeline_playground_spark.operators import ranking
+
+    ranking._LIVE_CACHES.clear()
+
+    def build(m):  # distinct modulo -> distinct canonical plan per call
+        base = spark.range(100).select(
+            F.col("id"), (F.col("id") % m).alias("k")
+        )
+        return ranking.global_rank(base, ["k", "id"], rank_name="r")
+
+    first = build(7)
+    frames = [build(11 + i) for i in range(ranking._MAX_LIVE + 2)]
+    assert len(ranking._LIVE_CACHES) == ranking._MAX_LIVE
+    live = sum(
+        1 for _, d in list(ranking._LIVE_CACHES)
+        if d.storageLevel.useMemory or d.storageLevel.useDisk
+    )
+    assert live == ranking._MAX_LIVE
+    # plan-keyed sharing: registering the SAME plan twice must not let
+    # retirement evict the live twin's shared cache entry — after
+    # twin_a is pushed out, EVERY deque entry (including twin_b's
+    # internal ranked frame, which shares twin_a's cache entry) must
+    # still be materialized
+    twin_a, twin_b = build(7), build(7)
+    for i in range(ranking._MAX_LIVE - 1):
+        build(101 + i)  # push twin_a out of the deque
+    assert all(
+        d.storageLevel.useMemory or d.storageLevel.useDisk
+        for _, d in list(ranking._LIVE_CACHES)
+    )
+    assert twin_a is not twin_b  # two invocations, one shared cache
+    # `first`'s backing cache was retired — re-executing it recomputes
+    # and the ranks stay the exact 1..n permutation
+    rows = first.orderBy("r").select("r", "k", "id").collect()
+    assert [x.r for x in rows] == list(range(1, 101))
+    assert [(x.k, x.id) for x in rows] == sorted(
+        (x.k, x.id) for x in rows
+    )
+    assert frames  # keep refs alive through the assertion above

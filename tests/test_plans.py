@@ -1247,11 +1247,16 @@ def test_ks_three_rankings_no_single_partition_fact(spark, sf_dir):
     assert "rangepartitioning" in plan
     # the oracle needs a global cumulative window over the pooled
     # values; the Spark plan may only contain the ranking operator's
-    # windows: per-bucket row_numbers (partitioned by _pid) and the
-    # <=P-row offsets scan (ordered by _pid). An UNPARTITIONED window
-    # ordered by the value key would be the single-partition scan we
-    # exist to avoid.
-    assert "windowspecdefinition(v#" not in plan
+    # windows (per-bucket row_numbers partitioned by _pid, the <=P-row
+    # offsets scan ordered by _pid) plus the tie-group snap window,
+    # which is PARTITIONED by v (hashpartitioning exchange). An
+    # UNPARTITIONED window ordered by the value key would be the
+    # single-partition scan we exist to avoid.
+    # (v is DOUBLE, so the exchange key is NaN/zero-normalized)
+    assert re.search(
+        r"hashpartitioning\((?:knownfloatingpointnormalized\("
+        r"normalizenanandzero\()?v#", plan)
+    assert not re.search(r"windowspecdefinition\(v#\d+ ASC", plan)
 
 
 def test_triplet_broadcast_negatives_no_cartesian(spark, sf_dir):
