@@ -117,6 +117,27 @@ def _minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     return memo(spark, "minhash_est", sf_dir, build)
 
 
+def _minhash_est_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`_minhash_est` over the deterministic document hash-sample (see
+    the sampled-truth audit tiers below). Band-key candidacy and
+    signature similarity are PAIRWISE properties, so the sub-corpus
+    pipeline's pair set equals the full pipeline's pair set restricted
+    to sampled endpoints — running it on half the docs is strictly
+    cheaper with identical audit semantics."""
+    from data_pipeline_playground_spark.caching import memo
+
+    def build():
+        docs = table(spark, sf_dir, "documents").where(
+            _doc_sample_pred(F.col("doc_id"))
+        )
+        sig = signatures(spark, shingle_hashes(docs)).cache()
+        sig.count()
+        cand = candidate_pairs(band_keys(sig))
+        return estimated_similarity(cand, sig).cache()
+
+    return memo(spark, "minhash_est_sampled", sf_dir, build)
+
+
 @query("dedup_minhash_pairs", oracle=_MINHASH_PAIRS_SQL)
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs with signature-estimate Jaccard ≥ 0.5."""
@@ -372,17 +393,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 JACCARD_THRESHOLD = 0.4
 
 
-def _shingle_hash_ex(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _shingle_hash_ex(spark: SparkSession, sf_dir: str,
+                     doc_pred=None,
+                     memo_key: str = "shingle_hash_ex") -> DataFrame:
     """Distinct (doc_id, xxhash64(shingle)) table — memoized: shared by
     the Jaccard and containment tiers, cached because every consumer's
     plan references it 3+ times (gdf, prefix, verify).
 
     Shingles build via posexplode + lead windows (whole-stage codegen,
-    ~5× the interpreted array-lambda form)."""
+    ~5× the interpreted array-lambda form). ``doc_pred`` restricts the
+    corpus BEFORE the tokenize/explode stage (the sampled audit tiers
+    pass the hash sample here — filtering post-explode would pay the
+    full shingle build for half the output); pass a distinct
+    ``memo_key`` with it."""
     from data_pipeline_playground_spark.caching import memo
 
     def build():
         docs = table(spark, sf_dir, "documents")
+        if doc_pred is not None:
+            docs = docs.where(doc_pred(F.col("doc_id")))
         toks = docs.select(
             "doc_id", F.posexplode(tokenize(F.col("text"))).alias("pos", "tok")
         )
@@ -406,7 +435,7 @@ def _shingle_hash_ex(spark: SparkSession, sf_dir: str) -> DataFrame:
         ex.count()
         return ex
 
-    return memo(spark, "shingle_hash_ex", sf_dir, build)
+    return memo(spark, memo_key, sf_dir, build)
 
 _JACCARD_SQL = f"""
 WITH s AS (
@@ -429,7 +458,8 @@ WHERE i.ninter * 1.0 / (sa.n + sb.n - i.ninter) >= {JACCARD_THRESHOLD}
 
 
 def _exact_jaccard_pairs(spark: SparkSession, sf_dir: str,
-                         threshold: float) -> DataFrame:
+                         threshold: float,
+                         doc_pred=None) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs ≥ 0.4, via prefix filtering
     (the PPJoin idea): each doc's shingles are globally ordered
     rarest-first; if jaccard(A,B) ≥ t the two docs MUST share a shingle
@@ -439,8 +469,21 @@ def _exact_jaccard_pairs(spark: SparkSession, sf_dir: str,
     Candidates are then verified exactly with array_intersect on the
     full sorted hash sets. Join keys are xxhash64(shingle): 8-byte
     codegen'd keys; a 64-bit collision among ~10⁵ shingles (p≈10⁻¹¹)
-    is the only divergence source vs the oracle's string-equality join."""
-    ex = _shingle_hash_ex(spark, sf_dir)
+    is the only divergence source vs the oracle's string-equality join.
+
+    ``doc_pred`` (Column -> Column, optional) restricts the corpus to
+    documents satisfying the predicate BEFORE shingling (its own memo
+    key, half the explode/distinct work) — the sampled-truth audit
+    tiers pass the deterministic hash sample here so the quadratic
+    truth join runs on the sub-corpus only. The rarity order is then
+    computed within the sample, which is fine: prefix filtering is
+    exact under ANY consistent global shingle order; rarity only
+    minimizes fan-out."""
+    if doc_pred is not None:
+        ex = _shingle_hash_ex(spark, sf_dir, doc_pred=doc_pred,
+                              memo_key="shingle_hash_ex_sampled")
+    else:
+        ex = _shingle_hash_ex(spark, sf_dir)
     # global rarity order: document frequency asc, hash as tie-break
     gdf = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("gdf"))
     w_doc = Window.partitionBy("doc_id").orderBy(F.asc("gdf"), F.asc("sh"))
@@ -834,6 +877,251 @@ def lsh_s_curve_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_caught").cast("double") / F.col("n_pairs").cast("double")).alias(
                 "catch_rate"
             ),
+            F.expr(_s_curve_theory("j_band")).alias("theoretical_catch"),
+        )
+    )
+
+
+# ---- sampled-truth audit tiers (VERDICT r7 #2) ------------------------------
+#
+# The exact audits above pay the full exact-Jaccard truth join — the
+# right contrast tier at sf0.1, a scale-killer at 100 TB (the prefix
+# filter degrades at low thresholds). The production tiers below
+# estimate the SAME curves on a deterministic document sample: a
+# Park–Miller hash of doc_id keeps 1/TRUTH_SAMPLE_K of the docs, so
+# the quadratic truth join shrinks by ~K² while every pair statistic
+# (per-decile catch rate, P/R ratios) remains an unbiased estimate —
+# pairs survive iff both endpoints are sampled (rate 1/K²), uniformly
+# across similarity strata. Deterministic + integer-only, so the
+# oracle mirrors it bit-for-bit.
+#
+# The multiplier is ~P·φ (golden-ratio multiplicative hash, Knuth
+# TAOCP §6.4): the product wraps the modulus for EVERY id ≥ 2, so
+# consecutive ids decorrelate immediately. A small multiplier (e.g.
+# Park–Miller's 48271) would NOT wrap for ids < P/mult ≈ 44k and the
+# whole small-id corpus would land on one side of the threshold
+# (measured: 500/500 docs "sampled" at sf0.01).
+
+_SAMPLE_P = 2147483647  # 2^31 - 1 (prime modulus)
+_SAMPLE_MULT = 1327217885  # ≈ P · (golden ratio − 1)
+TRUTH_SAMPLE_K = 2  # keep 1/2 of docs -> ~1/4 of truth-join work
+
+
+def _doc_sample_pred(col):
+    """True for the deterministic 1/TRUTH_SAMPLE_K document sample.
+    (doc_id % P) * MULT stays < 2^62 — no ANSI overflow for any id."""
+    return (
+        F.pmod(F.pmod(col.cast("bigint"), F.lit(_SAMPLE_P)) * _SAMPLE_MULT,
+               F.lit(_SAMPLE_P))
+        < _SAMPLE_P // TRUTH_SAMPLE_K
+    )
+
+
+def _sql_sample_pred(col: str) -> str:
+    return (
+        f"(({col} % {_SAMPLE_P}) * {_SAMPLE_MULT}) % {_SAMPLE_P}"
+        f" < {_SAMPLE_P // TRUTH_SAMPLE_K}"
+    )
+
+
+# The whole minhash pipeline runs on the sub-corpus too: band-key
+# candidacy and signature similarity are pairwise, so the sub-corpus
+# pair set IS the full pair set restricted to sampled endpoints — and
+# the signature build halves along with the truth join. The replace
+# order matters: retarget ex's table ref first, THEN prepend the sdocs
+# CTE (which itself reads documents).
+_MINHASH_CTES_SAMPLED = _MINHASH_CTES.replace(
+    "FROM documents", "FROM sdocs"
+).replace(
+    "WITH ex AS",
+    "WITH sdocs AS (SELECT doc_id, text FROM documents WHERE "
+    f"{_sql_sample_pred('doc_id')}),\nex AS",
+    1,
+)
+
+_PR_AUDIT_SAMPLED_SQL = _MINHASH_CTES_SAMPLED + f""",
+js AS (SELECT doc_id, {_sql_shingles(SHINGLE_N)} AS shs FROM sdocs),
+jex AS (SELECT doc_id, unnest(shs) AS sh FROM js),
+jsizes AS (SELECT doc_id, len(shs) AS n FROM js),
+jinter AS (
+  SELECT a.doc_id AS ci, b.doc_id AS cj, count(*) AS ninter
+  FROM jex a JOIN jex b ON a.sh = b.sh AND b.doc_id < a.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+truth AS (
+  SELECT i.ci, i.cj
+  FROM jinter i
+  JOIN jsizes sa ON sa.doc_id = i.ci
+  JOIN jsizes sb ON sb.doc_id = i.cj
+  WHERE i.ninter * 1.0 / (sa.n + sb.n - i.ninter) >= {JACCARD_THRESHOLD}
+),
+pred AS (SELECT ci, cj FROM est WHERE sim >= {SIM_THRESHOLD}),
+m AS (
+  SELECT
+    CAST(sum(CASE WHEN p.ci IS NOT NULL AND t.ci IS NOT NULL
+             THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+    CAST(sum(CASE WHEN p.ci IS NOT NULL AND t.ci IS NULL
+             THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+    CAST(sum(CASE WHEN p.ci IS NULL AND t.ci IS NOT NULL
+             THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM pred p FULL OUTER JOIN truth t ON p.ci = t.ci AND p.cj = t.cj
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM sdocs) AS n_docs_sampled,
+       tp, fp, fn,
+       CAST(tp AS DOUBLE) / CAST(NULLIF(tp + fp, 0) AS DOUBLE) AS precision_,
+       CAST(tp AS DOUBLE) / CAST(NULLIF(tp + fn, 0) AS DOUBLE) AS recall_,
+       CAST(2 * tp AS DOUBLE) / CAST(NULLIF(2 * tp + fp + fn, 0) AS DOUBLE)
+         AS f1
+FROM m
+"""
+
+
+@query("dedup_pr_audit_sampled", oracle=_PR_AUDIT_SAMPLED_SQL)
+def dedup_pr_audit_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-truth precision/recall of the LSH candidate pairs — the
+    tier you actually run at 100 TB. Identical statistic to
+    `dedup_pr_audit`, but the exact-Jaccard ground truth is computed
+    only among the deterministic 1/{K} document hash-sample and the
+    predicted pairs are restricted to sampled endpoints, so the
+    quadratic truth join shrinks ~K²-fold while P/R stay consistent
+    ratio estimates (each pair survives the sample independently of
+    its similarity). The predicted side is the LSH pipeline run on the
+    SAME sub-corpus — band candidacy and signature similarity are
+    pairwise, so this equals the full pipeline's pairs restricted to
+    sampled endpoints, at half the signature cost. The exact query
+    remains as the contrast tier — same pattern as dedup_fuzzy vs
+    dedup_fuzzy_minhash.
+    """
+    docs = table(spark, sf_dir, "documents")
+    n_s = docs.where(_doc_sample_pred(F.col("doc_id"))).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_sampled")
+    )
+    pred = (
+        _minhash_est_sampled(spark, sf_dir)
+        .filter(F.col("sim") >= SIM_THRESHOLD)
+        .select("ci", "cj")
+    )
+    truth = _exact_jaccard_pairs(
+        spark, sf_dir, JACCARD_THRESHOLD, doc_pred=_doc_sample_pred
+    ).select(F.col("ci").alias("tci"), F.col("cj").alias("tcj"))
+    m = (
+        pred.join(
+            truth,
+            (F.col("ci") == F.col("tci")) & (F.col("cj") == F.col("tcj")),
+            "full_outer",
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("ci").isNotNull() & F.col("tci").isNotNull(), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("tp"),
+            F.sum(
+                F.when(
+                    F.col("ci").isNotNull() & F.col("tci").isNull(), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("fp"),
+            F.sum(
+                F.when(
+                    F.col("ci").isNull() & F.col("tci").isNotNull(), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("fn"),
+        )
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    nz = lambda c: F.nullif(c, F.lit(0)).cast("double")  # noqa: E731
+    return m.crossJoin(F.broadcast(n_s)).select(
+        "n_docs_sampled",
+        "tp",
+        "fp",
+        "fn",
+        (tp.cast("double") / nz(tp + fp)).alias("precision_"),
+        (tp.cast("double") / nz(tp + fn)).alias("recall_"),
+        ((2 * tp).cast("double") / nz(2 * tp + fp + fn)).alias("f1"),
+    )
+
+
+_S_CURVE_SAMPLED_SQL = _MINHASH_CTES_SAMPLED + f""",
+js AS (SELECT doc_id, {_sql_shingles(SHINGLE_N)} AS shs FROM sdocs),
+jex AS (SELECT doc_id, unnest(shs) AS sh FROM js),
+jsizes AS (SELECT doc_id, len(shs) AS n FROM js),
+jinter AS (
+  SELECT a.doc_id AS ci, b.doc_id AS cj, count(*) AS ninter
+  FROM jex a JOIN jex b ON a.sh = b.sh AND b.doc_id < a.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+truth AS (
+  SELECT i.ci, i.cj,
+         CAST(floor(round(i.ninter * 1.0 / (sa.n + sb.n - i.ninter), 6)
+                    * 10.0) AS INTEGER) AS j_band
+  FROM jinter i
+  JOIN jsizes sa ON sa.doc_id = i.ci
+  JOIN jsizes sb ON sb.doc_id = i.cj
+  WHERE i.ninter * 1.0 / (sa.n + sb.n - i.ninter) >= {S_CURVE_MIN_J}
+),
+caught AS (SELECT DISTINCT ci, cj FROM cand)
+SELECT t.j_band,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN c.ci IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_caught,
+       CAST(SUM(CASE WHEN c.ci IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS catch_rate,
+       {_s_curve_theory("t.j_band")} AS theoretical_catch
+FROM truth t LEFT JOIN caught c ON c.ci = t.ci AND c.cj = t.cj
+GROUP BY t.j_band
+"""
+
+
+@query("lsh_s_curve_audit_sampled", oracle=_S_CURVE_SAMPLED_SQL)
+def lsh_s_curve_audit_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH S-curve measured on the deterministic 1/{K} document
+    hash-sample — the scale tier of `lsh_s_curve_audit`. Truth pairs
+    survive the sample iff both endpoints do (probability 1/K²
+    independent of similarity), so each decile's catch_rate is an
+    unbiased estimate of the full-corpus rate; the curve's conclusion
+    is statistical either way (VERDICT r7 #2). The caught side is the
+    banded candidate set of the SAME sub-corpus, which equals the full
+    candidate set restricted to sampled pairs (band-key collision is
+    pairwise) — so a sampled truth pair is never miscounted, and the
+    signature build halves along with the truth join.
+    """
+    truth = _exact_jaccard_pairs(
+        spark, sf_dir, S_CURVE_MIN_J, doc_pred=_doc_sample_pred
+    ).select(
+        "ci",
+        "cj",
+        F.expr("CAST(floor(jaccard * 10.0) AS INT)").alias("j_band"),
+    )
+    caught = (
+        _minhash_est_sampled(spark, sf_dir)
+        .select(F.col("ci").alias("mci"), F.col("cj").alias("mcj"))
+        .distinct()
+    )
+    m = truth.join(
+        caught,
+        (F.col("mci") == F.col("ci")) & (F.col("mcj") == F.col("cj")),
+        "left",
+    )
+    return (
+        m.groupBy("j_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.when(F.col("mci").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_caught"),
+        )
+        .select(
+            "j_band",
+            "n_pairs",
+            "n_caught",
+            (F.col("n_caught").cast("double")
+             / F.col("n_pairs").cast("double")).alias("catch_rate"),
             F.expr(_s_curve_theory("j_band")).alias("theoretical_catch"),
         )
     )

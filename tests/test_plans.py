@@ -1574,6 +1574,22 @@ def test_s_curve_reuses_prefix_filter_no_all_pairs(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_sampled_audit_tiers_filter_before_shingling(spark, sf_dir):
+    """VERDICT r7 #2: the sampled tiers must push the deterministic
+    hash sample to the document scan side of BOTH pipelines (truth and
+    LSH) — the golden-ratio multiplier literal appearing in a Filter
+    over the parquet scan, never a post-explode filter — and stay
+    equi-join-only like their exact contrast tiers."""
+    for name in ("dedup_pr_audit_sampled", "lsh_s_curve_audit_sampled"):
+        plan = _plan(spark, sf_dir, name)
+        assert "1327217885" in plan, name  # sample predicate present
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        # the sub-corpus memos materialize at plan-build time; both
+        # consumers must read the cached frames, not rebuild them
+        assert "InMemoryTableScan" in plan, name
+
+
 def test_wilson_broadcast_dim_two_aggs(spark, sf_dir):
     plan = _plan(spark, sf_dir, "segment_conversion_wilson")
     assert "BroadcastHashJoin" in plan
