@@ -132,13 +132,21 @@ def lexrank_scores(edges: DataFrame, members: DataFrame) -> DataFrame:
 
 
 def tfidf_term_weights(docs: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id",
+                       tok: DataFrame | None = None) -> DataFrame:
     """(doc, term, w) smooth-idf weights, NOT normalized — the input to
     the grouped fast path, which L2-normalizes per doc in-block (same
-    semantics as tfidf_unit_vectors minus its window shuffle)."""
-    tok = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(tokenize(F.col(text_col))).alias("term")
-    )
+    semantics as tfidf_unit_vectors minus its window shuffle).
+
+    ``tok``: optional pre-exploded (doc_id, term) rows — pass the
+    pipeline's cached tokenization to avoid re-tokenizing the corpus
+    (``docs`` is still required: n_docs counts token-less documents
+    too, which drop out of ``tok``)."""
+    if tok is None:
+        tok = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokenize(F.col(text_col))).alias("term"),
+        )
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.select(F.countDistinct(id_col).alias("n_docs"))
@@ -257,27 +265,49 @@ def similarity_edges_grouped(weights: DataFrame, groups: DataFrame,
 
 
 def sentence_rows(docs: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id") -> DataFrame:
-    """One row per sentence via the SplitSentences UDTF (N2), LATERAL
-    from SQL — (doc_id, sent_id, sentence, sid). ``sid`` is a
-    zero-padded sortable string key so sentence identity survives the
-    bigint-keyed machinery downstream and ties break in (doc, position)
-    order, matching the reference's stable sentence ordering
+                  id_col: str = "doc_id",
+                  engine: str = "jvm") -> DataFrame:
+    """One row per sentence — (doc_id, sent_id, sentence, sid). ``sid``
+    is a zero-padded sortable string key so sentence identity survives
+    the bigint-keyed machinery downstream and ties break in (doc,
+    position) order, matching the reference's stable sentence ordering
     (summarize.py:17-26 ranks sentences, preserving feed order on ties).
-    """
-    from data_pipeline_playground_spark.functions.udtfs import register_udtfs
 
-    spark = docs.sparkSession
-    register_udtfs(spark)
-    docs.select(
-        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
-    ).createOrReplaceTempView("_lexrank_sentence_src")
-    sents = spark.sql(
-        """
-        SELECT d.doc_id, s.sent_id, s.sentence
-        FROM _lexrank_sentence_src d, LATERAL split_sentences(d.text) s
-        """
-    )
+    ``engine="jvm"`` (default): inline split/trim/filter + posexplode —
+    whole-stage codegen, no Python worker round-trip; the hot path for
+    the composed pipelines (VERDICT r7 #3). ``engine="udtf"``: the N2
+    SplitSentences table function consumed as a SQL LATERAL — the API
+    surface the reference's sent_tokenize maps to. The two are pinned
+    output-identical in tests/test_text_functions.py::
+    test_split_sentences_udtf_lateral, so callers may pick by cost.
+    """
+    if engine == "jvm":
+        sent = F.filter(
+            F.transform(
+                F.split(F.col(text_col), "[.!?]+"), lambda s: F.trim(s)
+            ),
+            lambda s: s != F.lit(""),
+        )
+        sents = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(sent).alias("sent_id", "sentence"),
+        )
+    else:
+        from data_pipeline_playground_spark.functions.udtfs import (
+            register_udtfs,
+        )
+
+        spark = docs.sparkSession
+        register_udtfs(spark)
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        ).createOrReplaceTempView("_lexrank_sentence_src")
+        sents = spark.sql(
+            """
+            SELECT d.doc_id, s.sent_id, s.sentence
+            FROM _lexrank_sentence_src d, LATERAL split_sentences(d.text) s
+            """
+        )
     return sents.withColumn(
         "sid", F.format_string("%012d-%04d", F.col("doc_id"), F.col("sent_id"))
     )
