@@ -182,6 +182,135 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- ExactSubstr maximal duplicated spans (VERDICT r7 #5) -------------------
+#
+# duplicate_spans (above) flags fixed-8-token repeated windows; the
+# operator a training pipeline actually runs (Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better" —
+# ExactSubstr) removes MAXIMAL duplicated substrings above a length
+# floor. Distributed formulation: stride-1 W-token windows keyed by
+# window text; matched window-position pairs land on a (doc_a, doc_b,
+# pos_a − pos_b) DIAGONAL, where a run of L consecutive matching
+# positions is exactly a duplicated substring of L + W − 1 tokens,
+# maximal because the bounding windows fail to match. Runs come from
+# one gaps-and-islands pass (row_number per diagonal), so the whole
+# operator is two shuffles + a window — no recursion, no all-pairs.
+
+EXSUB_MIN_TOKENS = 16  # report spans at least this many tokens
+EXSUB_MAX_OCC = 64  # heavy-hitter guard: skip window texts beyond this
+
+_EXSUB_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+  WHERE len({_SQL_TOKENS}) >= {SPAN_W}
+),
+w AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS p,
+         array_to_string(list_slice(toks, i, i + {SPAN_W} - 1), ' ') AS span
+  FROM (SELECT doc_id, toks,
+               unnest(range(1, len(toks) - {SPAN_W} + 2)) AS i
+        FROM t)
+),
+occ AS (
+  SELECT doc_id, p, span,
+         count(*) OVER (PARTITION BY span) AS n_occ
+  FROM w
+),
+keep AS (SELECT doc_id, p, span FROM occ
+         WHERE n_occ >= 2 AND n_occ <= {EXSUB_MAX_OCC}),
+pairs AS (
+  SELECT a.doc_id AS doc_a, a.p AS pa, b.doc_id AS doc_b, b.p AS pb
+  FROM keep a JOIN keep b
+    ON a.span = b.span
+   AND (a.doc_id < b.doc_id OR (a.doc_id = b.doc_id AND a.p < b.p))
+),
+isl AS (
+  SELECT doc_a, doc_b, pa, pb,
+         pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                 ORDER BY pa) AS grp
+  FROM pairs
+)
+SELECT doc_a, doc_b,
+       CAST(min(pa) AS BIGINT) AS pos_a,
+       CAST(min(pb) AS BIGINT) AS pos_b,
+       CAST(count(*) + {SPAN_W} - 1 AS BIGINT) AS span_tokens
+FROM isl
+GROUP BY doc_a, doc_b, pa - pb, grp
+HAVING count(*) + {SPAN_W} - 1 >= {EXSUB_MIN_TOKENS}
+"""
+
+
+@query("exact_substr_spans", oracle=_EXSUB_SQL)
+def exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated substrings ≥ {EXSUB_MIN_TOKENS} tokens, per
+    occurrence pair: (doc_a, doc_b, pos_a, pos_b, span_tokens) with
+    1-based token positions — the ExactSubstr removal unit (Lee et al.
+    2022), distributed without a suffix array (see the section comment
+    for the diagonal-islands construction and its maximality argument).
+
+    Exactness: the join key is the raw window TEXT, so matches are
+    literal; at 100 TB the key becomes xxhash64(window) (8-byte
+    shuffle keys, same plan — the duplicate_spans note applies). The
+    heavy-hitter guard drops window texts with > {EXSUB_MAX_OCC}
+    occurrences (df² join-guard; boilerplate that frequent is caught
+    by duplicate_spans and would be removed wholesale, not span-wise),
+    mirrored in the oracle. Windows partition by (doc_a, doc_b,
+    diagonal) — bounded by a single document pair's overlap, never
+    global."""
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokenize(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= SPAN_W
+    )
+    w = t.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {SPAN_W} + 1), "
+                f"i -> concat_ws(' ', slice(toks, i, {SPAN_W})))"
+            )
+        ).alias("p0", "span"),
+    ).select(
+        "doc_id", (F.col("p0") + 1).cast("bigint").alias("p"), "span"
+    )
+    occ = w.withColumn(
+        "n_occ", F.count(F.lit(1)).over(Window.partitionBy("span"))
+    )
+    keep = occ.filter(
+        (F.col("n_occ") >= 2) & (F.col("n_occ") <= EXSUB_MAX_OCC)
+    ).select("doc_id", "p", "span")
+    a = keep.select(
+        F.col("doc_id").alias("doc_a"), F.col("p").alias("pa"),
+        F.col("span").alias("span_a"),
+    )
+    b = keep.select(
+        F.col("doc_id").alias("doc_b"), F.col("p").alias("pb"),
+        F.col("span").alias("span_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("span_a") == F.col("span_b"))
+        & (
+            (F.col("doc_a") < F.col("doc_b"))
+            | ((F.col("doc_a") == F.col("doc_b")) & (F.col("pa") < F.col("pb")))
+        ),
+    ).select("doc_a", "pa", "doc_b", "pb")
+    diag = F.col("pa") - F.col("pb")
+    w_isl = Window.partitionBy("doc_a", "doc_b", diag).orderBy("pa")
+    isl = pairs.withColumn(
+        "grp", F.col("pa") - F.row_number().over(w_isl)
+    )
+    return (
+        isl.groupBy("doc_a", "doc_b", diag.alias("diag"), "grp")
+        .agg(
+            F.min("pa").cast("bigint").alias("pos_a"),
+            F.min("pb").cast("bigint").alias("pos_b"),
+            (F.count(F.lit(1)) + SPAN_W - 1).cast("bigint").alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= EXSUB_MIN_TOKENS)
+        .select("doc_a", "doc_b", "pos_a", "pos_b", "span_tokens")
+    )
+
+
 # ---- BPE tokenizer induction: first merge iteration ------------------------
 
 BPE_TOPK = 20

@@ -1590,6 +1590,18 @@ def test_sampled_audit_tiers_filter_before_shingling(spark, sf_dir):
         assert "InMemoryTableScan" in plan, name
 
 
+def test_exact_substr_diagonal_islands_no_global_window(spark, sf_dir):
+    """ExactSubstr runs as window-text equi-join + partitioned windows
+    (occurrence count by span, islands by doc-pair diagonal) — never a
+    nested loop, never an unpartitioned ordered window, no Python."""
+    plan = _plan(spark, sf_dir, "exact_substr_spans")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # both windows carry a partition spec; no global ordered window
+    assert "SinglePartition" not in plan
+
+
 def test_wilson_broadcast_dim_two_aggs(spark, sf_dir):
     plan = _plan(spark, sf_dir, "segment_conversion_wilson")
     assert "BroadcastHashJoin" in plan

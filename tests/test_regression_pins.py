@@ -50,3 +50,39 @@ def test_ks_drift_cross_sample_ties_synthetic(spark, tmp_path):
     # F1 steps at 1(.5) 2(1.0); F2 at 1(.5) 3(1.0) -> sup gap 0.5 at v=2
     half = run([("click", 1), ("click", 2), ("purchase", 1), ("purchase", 3)])
     assert half.ks_d == 0.5
+
+
+def test_exact_substr_spans_maximality_synthetic(spark, tmp_path):
+    """ExactSubstr diagonal-islands construction, pinned on crafted
+    docs: a 20-token substring shared at different offsets must emit
+    EXACTLY one span with the true length and both 1-based start
+    positions; a within-doc verbatim repeat must surface as a
+    same-doc pair. Maximality: the reported length is exactly 20 even
+    though the surrounding tokens differ (the bounding windows fail)."""
+    from data_pipeline_playground_spark.queries.corpus_stats import (
+        exact_substr_spans,
+    )
+
+    s = " ".join(f"s{i:02d}" for i in range(20))  # unique 20 tokens
+    doc_a = "a1 a2 a3 a4 a5 " + s + " b1 b2 b3 b4 b5"
+    doc_b = "c1 c2 c3 " + s + " d1 d2 d3 d4"
+    doc_c = "e1 e2 " + s + " f1 f2 f3 " + s + " g1"  # within-doc repeat
+    df = spark.createDataFrame(
+        [(1, doc_a, "en", "t", len(doc_a)),
+         (2, doc_b, "en", "t", len(doc_b)),
+         (3, doc_c, "en", "t", len(doc_c))],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    d = str(tmp_path / "exsub")
+    df.write.mode("overwrite").parquet(d + "/documents.parquet")
+    rows = {
+        (r.doc_a, r.doc_b, r.pos_a, r.pos_b): r.span_tokens
+        for r in exact_substr_spans(spark, d).collect()
+    }
+    # cross-doc: S starts at token 6 of doc_a, token 4 of doc_b
+    assert rows[(1, 2, 6, 4)] == 20
+    # within-doc: S at tokens 3 and 26 of doc_c (2 + 20 + 3 + 1 = 26)
+    assert rows[(3, 3, 3, 26)] == 20
+    # doc_a/doc_c and doc_b/doc_c share S too; nothing longer than 20
+    assert all(v == 20 for v in rows.values())
+    assert len(rows) == 6  # C(3,2) cross-doc pairs x offsets + within-doc
