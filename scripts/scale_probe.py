@@ -1,0 +1,130 @@
+"""One-off 10× scaling probe for the document/ANN query families
+(VERDICT r7 #6): generate a 10×-documents corpus under /tmp (never
+touching /root/testdata), run the heaviest doc-family queries at 1×
+and 10×, and print the measured runtime exponent per query
+(log10(t10/t1) — 1.0 = linear, 2.0 = quadratic).
+
+    python scripts/scale_probe.py [--replicas 10] [--out /tmp/scale10]
+
+Corpus construction: each replica r shifts doc_id by r·10⁷ and
+suffixes EVERY token with "zq{r}" — within-replica token structure
+(lengths, repetition pattern, near-dup pairs) is preserved while
+cross-replica shingle/window overlap is exactly zero, so pair-shaped
+work (dedup candidates, truth joins, span matches) scales ×R, not
+×R² as verbatim replication would force (every doc would gain R−1
+exact copies, measuring duplicate-blowup rather than engine scaling).
+Embeddings replicate with the same id shift and a +r·10⁻³ per-vector
+offset (ANN bucket structure preserved, no cross-replica exact ties).
+The other TPC-H tables are symlinked 1× — the probed queries only
+read documents/embeddings.
+
+Absolute times on a burst-credit-throttled host are meaningless; the
+RATIO within one run is the signal (both scales measured back to
+back, per query, 1× first). Run AFTER the round's clean bench.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF1 = "/root/testdata/sf0.1"
+ID_OFFSET = 10_000_000
+
+# heaviest doc/ANN-family queries with known scaling laws to check;
+# dedup_fuzzy (banded-Levenshtein spec tier) is deliberately absent:
+# it is O(pairs-in-band) by D1 spec and would dominate the probe.
+PROBE_QUERIES = [
+    "dedup_fuzzy_minhash",
+    "dedup_minhash_pairs",
+    "dedup_minhash_components",
+    "dedup_simhash_pairs",
+    "dedup_jaccard_pairs",
+    "dedup_pr_audit_sampled",
+    "lsh_s_curve_audit_sampled",
+    "exact_substr_spans",
+    "dup_cluster_histogram",
+    "winnow_fingerprints",
+    "ngram_novelty",
+    "bm25_topk",
+    "hybrid_rrf_topk",
+    "embedding_cosine_topk",
+    "ann_lsh_topk",
+    "ann_pq_topk",
+    "mutual_nn_pairs",
+]
+
+
+def build_corpus(out: str, replicas: int) -> None:
+    import duckdb
+
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    reps = " UNION ALL ".join(
+        f"""SELECT doc_id + {r * ID_OFFSET} AS doc_id,
+               array_to_string(list_transform(
+                   regexp_split_to_array(text, ' '), t -> t || 'zq{r}'), ' ')
+                 AS text,
+               lang, source, n_chars
+            FROM read_parquet('{SF1}/documents.parquet')"""
+        for r in range(replicas)
+    )
+    con.execute(f"COPY ({reps}) TO '{out}/documents.parquet' (FORMAT PARQUET)")
+    ereps = " UNION ALL ".join(
+        f"""SELECT vec_id + {r * ID_OFFSET} AS vec_id,
+               list_transform(embedding,
+                              x -> CAST(x + {r} * 0.001 AS FLOAT))
+                 AS embedding,
+               label
+            FROM read_parquet('{SF1}/embeddings.parquet')"""
+        for r in range(replicas)
+    )
+    con.execute(f"COPY ({ereps}) TO '{out}/embeddings.parquet' (FORMAT PARQUET)")
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events"):
+        dst = f"{out}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{SF1}/{t}.parquet", dst)
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--replicas", type=int, default=10)
+    p.add_argument("--out", default="/tmp/scale10")
+    args = p.parse_args()
+
+    from data_pipeline_playground_spark.registry import all_queries
+    from data_pipeline_playground_spark.session import get_spark
+
+    build_corpus(args.out, args.replicas)
+    spark = get_spark("dpp-scale-probe")
+    queries = all_queries()
+
+    print(f"{'query':34s} {'t1x':>8s} {'t10x':>8s} {'ratio':>7s} {'exp':>5s}")
+    for name in PROBE_QUERIES:
+        if name not in queries:
+            print(f"{name:34s} (not registered, skipped)")
+            continue
+        try:
+            queries[name](spark, "/root/testdata/sf0.001").count()  # warm
+            row = []
+            for sf_dir in (SF1, args.out):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                queries[name](spark, sf_dir).count()
+                row.append(time.perf_counter() - t0)
+            t1, t10 = row
+            ratio = t10 / t1
+            exp = math.log10(ratio) / math.log10(args.replicas)
+            print(f"{name:34s} {t1:8.2f} {t10:8.2f} {ratio:7.2f} {exp:5.2f}")
+        except Exception as exc:
+            print(f"{name:34s} ERROR {type(exc).__name__}: {exc}"[:110])
+
+
+if __name__ == "__main__":
+    main()
