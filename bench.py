@@ -321,6 +321,13 @@ def main() -> None:
         out["rerun_queries"] = rerun
     out["sentinel_probes"] = probes
     out["probe_names"] = probe_names
+    # per-module family rollup of the merged timings (compact-summary
+    # material: round totals attributable at a glance)
+    fam: dict[str, float] = {}
+    for name, t in timings.items():
+        f = queries[name].__module__.rsplit(".", 1)[-1]
+        fam[f] = fam.get(f, 0.0) + t
+    out["families"] = {k: round(v, 1) for k, v in sorted(fam.items())}
     if heal_log:
         out["heal"] = heal_log
     # Contention verdict AFTER healing: only queries that never saw a
@@ -396,6 +403,8 @@ def _compact_summary(out: dict, full_path: str,
     if out.get("merged_from"):
         summary["merged_from"] = out["merged_from"]
         summary["rerun_n"] = len(out.get("rerun_queries", []))
+    if out.get("families"):
+        summary["families"] = out["families"]
 
     for top_k in (10, 5, 3, 0):
         summary["queries"] = {q: timings[q] for q in slowest[:top_k]}
@@ -403,6 +412,7 @@ def _compact_summary(out: dict, full_path: str,
         if len(json.dumps(summary, separators=(",", ":"))) <= budget:
             return summary
         summary.pop("still_hot_sample", None)
+        summary.pop("families", None)
         if "contention_warning" in summary:
             summary["contention_warning"] = (
                 summary["contention_warning"][:117] + "...")

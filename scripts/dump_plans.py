@@ -120,6 +120,16 @@ SHOWCASE = [
      "window: a Generate (7-day forward fan-out) over the DISTINCT "
      "user-day frame, then one distinct-aggregate per day — fan-out "
      "factor = window length, independent of volume."),
+    ("exact_substr_spans", "suffix-array-free ExactSubstr: window "
+     "texts equi-join (SortMergeJoin, heavy-hitter capped), then ONE "
+     "gaps-and-islands window partitioned by (doc_a, doc_b, "
+     "diagonal) — maximality with no recursion, no SinglePartition, "
+     "no Python."),
+    ("lsh_s_curve_audit_sampled", "the production audit tier: the "
+     "golden-ratio sample predicate sits in the Filter directly over "
+     "BOTH document scans (truth and LSH sides), so every downstream "
+     "stage — shingles, signatures, PPJoin truth — runs on the "
+     "sub-corpus; joins stay equi, windows stay partitioned."),
 ]
 
 
