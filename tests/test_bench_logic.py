@@ -96,3 +96,44 @@ def test_merge_drops_unregistered_and_errored():
         timings, errors, {"qd": 3.0, "qe": 2.0, "qa": 1.2}, {"qa", "qe"}
     )
     assert timings == {"qa": 1.0}
+
+
+def test_compact_summary_fits_tail_capture_worst_case():
+    """VERDICT r7 #1: the stdout line must be a complete JSON object
+    inside any ~2000-char tail capture, even for a large registry with
+    long names, a contention warning, still-hot samples and the family
+    rollup — and must keep the driver-contract fields."""
+    import json
+
+    queries = {f"a_very_long_query_name_number_{i:04d}": i * 0.017
+               for i in range(1000)}
+    out = {
+        "metric": "total_query_wall_seconds",
+        "value": round(sum(queries.values()), 4),
+        "unit": "sec",
+        "sf": 0.1,
+        "queries": queries,
+        "sentinel_probes": {str(i * 10): 0.6 for i in range(100)},
+        "still_hot": sorted(queries)[:300],
+        "errors": {"qe": "Boom"},
+        "contention_warning": "sentinel queries exceeded idle-box "
+        "bounds (section_rank_topk=42.5s; 300 queries never measured "
+        "in a clean window); host was likely CPU-throttled",
+        "merged_from": "BENCH_local_prev.json",
+        "rerun_queries": sorted(queries)[:60],
+        "families": {f"family_{i:02d}": i * 1.7 for i in range(30)},
+    }
+    line = json.dumps(
+        bench._compact_summary(out, "/root/repo/BENCH_full_latest.json"),
+        separators=(",", ":"),
+    )
+    assert len(line) <= 1500
+    parsed = json.loads(line)
+    for field in ("metric", "value", "unit", "sf", "queries",
+                  "n_queries", "full_record", "still_hot_n"):
+        assert field in parsed, field
+    assert parsed["n_queries"] == 1000
+    # top of the queries map is the slowest query
+    if parsed["queries"]:
+        worst = max(queries, key=queries.get)
+        assert worst in parsed["queries"]
