@@ -174,8 +174,13 @@ def main() -> None:
             base = json.loads(text)
         except json.JSONDecodeError:  # legacy multi-line stdout capture
             base = json.loads(text.splitlines()[-1])
-        if "queries" not in base and base.get("full_record"):
-            # compact stdout summary: follow it to the full record
+        if "queries_elided" in base and base.get("full_record"):
+            # compact stdout summary (identified by its own marker —
+            # it ALWAYS carries a "queries" key, elided to the top-K
+            # slowest, so "queries not in base" never fires): follow it
+            # to the full record so still_hot/sentinel_probes/errors
+            # drive contamination detection instead of degrading to
+            # "re-run everything except 10 un-vetted timings"
             with open(base["full_record"]) as fh:
                 base = json.loads(fh.read().strip())
         contaminated = _contaminated_names(base)
@@ -293,6 +298,15 @@ def main() -> None:
         hot = still
 
     rerun = sorted(timings)
+    # historical minima the re-run timings were min-merged against
+    # (VERDICT r8 #7): lets a third-party read of a heal record judge
+    # each re-run entry against its prior best without chasing the
+    # base-file chain.
+    hist_min = {
+        q: base.get("queries", {})[q]
+        for q in rerun
+        if q in base.get("queries", {})
+    } if base else {}
     if base:
         _merge_base_timings(
             timings, errors, base.get("queries", {}), set(queries)
@@ -319,6 +333,8 @@ def main() -> None:
     if base:
         out["merged_from"] = base_path
         out["rerun_queries"] = rerun
+        if hist_min:
+            out["hist_min"] = hist_min
     out["sentinel_probes"] = probes
     out["probe_names"] = probe_names
     # per-module family rollup of the merged timings (compact-summary
@@ -416,6 +432,25 @@ def _compact_summary(out: dict, full_path: str,
         if "contention_warning" in summary:
             summary["contention_warning"] = (
                 summary["contention_warning"][:117] + "...")
+    # last resort: env-supplied paths (full_record / merged_from are
+    # embedded verbatim) can push even the top-0 form past the budget —
+    # shrink them to basenames, then hard-truncate, so the <=1.5 KB
+    # tail-capture contract holds for ANY input.
+    for key in ("full_record", "merged_from"):
+        if len(json.dumps(summary, separators=(",", ":"))) <= budget:
+            break
+        if key in summary:
+            summary[key] = os.path.basename(str(summary[key]))
+    while len(json.dumps(summary, separators=(",", ":"))) > budget and (
+            summary.get("full_record") or summary.get("merged_from")):
+        longest = max(
+            (k for k in ("full_record", "merged_from") if summary.get(k)),
+            key=lambda k: len(str(summary[k])),
+        )
+        summary[longest] = str(summary[longest])[:max(
+            0, len(str(summary[longest])) // 2)]
+        if not summary[longest]:
+            del summary[longest]
     return summary
 
 

@@ -31,7 +31,12 @@ class SplitSentences:
             return
         i = 0
         for raw in _SENT_RE.split(text):
-            s = raw.strip()
+            # strip ASCII SPACE ONLY — Spark's F.trim (the jvm engine in
+            # operators/lexrank.sentence_rows) and DuckDB's TRIM both
+            # strip just ' '; Python's bare .strip() also eats
+            # tabs/newlines/unicode whitespace, which would make the two
+            # engines emit different sentences for 'A.\nB' (ADVICE r8).
+            s = raw.strip(" ")
             if s:
                 yield i, s
                 i += 1

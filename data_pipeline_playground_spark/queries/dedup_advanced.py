@@ -904,7 +904,15 @@ def lsh_s_curve_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SAMPLE_P = 2147483647  # 2^31 - 1 (prime modulus)
 _SAMPLE_MULT = 1327217885  # ≈ P · (golden ratio − 1)
-TRUTH_SAMPLE_K = 2  # keep 1/2 of docs -> ~1/4 of truth-join work
+# keep 1/4 of docs -> ~1/16 of truth-join work. Raised 2 -> 4 in r9:
+# clean profiling showed the PAIR-quadratic PPJoin truth join (~3.6 s of
+# the 5.6 s clean total at K=2), not the doc-linear shingle/signature
+# builds (~1.3 s warm), dominates — K is the audit's cost dial and ÷4
+# pair work is the lever that meets the ≤2 s bar (VERDICT r8 #2). The
+# P/R and per-decile catch-rate estimates stay unbiased at any K; only
+# their variance grows (fewer sampled truth pairs), which is the
+# documented trade of the production tier at 100 TB.
+TRUTH_SAMPLE_K = 4
 
 
 def _doc_sample_pred(col):
@@ -918,8 +926,16 @@ def _doc_sample_pred(col):
 
 
 def _sql_sample_pred(col: str) -> str:
+    # positive-remainder form: DuckDB's % follows the DIVIDEND's sign
+    # while the Spark side uses pmod (always non-negative), so a bare
+    # mirror of the expression would sample a NEGATIVE doc_id
+    # differently per engine (ADVICE r8). (x % P + P) % P == pmod(x, P)
+    # for every BIGINT x, and the re-wrapped value keeps the product
+    # under 2^62 — no overflow either side.
+    inner = f"(({col} % {_SAMPLE_P}) + {_SAMPLE_P}) % {_SAMPLE_P}"
     return (
-        f"(({col} % {_SAMPLE_P}) * {_SAMPLE_MULT}) % {_SAMPLE_P}"
+        f"((({inner}) * {_SAMPLE_MULT}) % {_SAMPLE_P}"
+        f" + {_SAMPLE_P}) % {_SAMPLE_P}"
         f" < {_SAMPLE_P // TRUTH_SAMPLE_K}"
     )
 

@@ -112,6 +112,31 @@ def test_split_sentences_udtf_lateral(spark, sf_dir):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
 
 
+def test_sentence_rows_engines_agree_on_whitespace(spark):
+    """ADVICE r8: the jvm engine's F.trim strips ONLY ASCII spaces while
+    a bare Python str.strip() also eats tabs/newlines — the UDTF now
+    strips ' ' alone so both engines emit identical sentences even for
+    whitespace-rich text (the corpus pin alone was only empirical)."""
+    from data_pipeline_playground_spark.operators.lexrank import sentence_rows
+
+    docs = spark.createDataFrame(
+        [
+            (1, "A.\nB! \tC?  D"),          # newline/tab survive trim
+            (2, "\tlead. trail \n. x"),      # whitespace-only edges
+            (3, " . ! ?"),                   # space-only segments drop
+            (4, "no terminal punctuation"),
+            (5, "unicode\u00a0nbsp. kept\u00a0"),  # NBSP untouched
+        ],
+        "doc_id bigint, text string",
+    )
+    jvm = sorted(map(tuple, sentence_rows(docs, engine="jvm").collect()))
+    udtf = sorted(map(tuple, sentence_rows(docs, engine="udtf").collect()))
+    assert jvm == udtf
+    # the load-bearing rows: embedded \n / \t are PRESERVED by both
+    sents = {r[2] for r in jvm}
+    assert "\nB" in sents and "\tC" in sents and "kept\u00a0" in sents
+
+
 def test_pii_scrub_redacts_crafted_rows(spark):
     """The corpus has no PII, so the oracle check alone is vacuous on
     matches — drive the same expressions over crafted rows."""
