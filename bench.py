@@ -43,9 +43,13 @@ transients of a few minutes were observed mid-run in r5/r6):
   in-run heal, so a burst that slips BETWEEN probes during the re-run
   (observed: 18 s on a 2 s query with both flanking probes ≤ 0.8 s)
   cannot overwrite a cleaner base measurement. Cross-run min-merge is
-  only sound while the code is unchanged between the two runs; a run
-  after a query rewrite must start from a fresh base. The merged
-  record carries "merged_from" + "rerun_queries" provenance.
+  only sound while the code is unchanged between the two runs; for
+  REWRITTEN queries list them in SPARK_GRAFT_BENCH_FRESH instead —
+  they are re-run but their base timing is NOT min-merged (it measured
+  different code; ADVICE r9 #1), so the record carries this run's own
+  measurement. The merged record carries "merged_from" +
+  "rerun_queries" + "fresh_queries" provenance, and "hist_min" keeps
+  each re-run/fresh query's prior base value for lineage comparison.
 """
 
 from __future__ import annotations
@@ -129,20 +133,57 @@ def _contaminated_names(base: dict) -> set[str]:
     return names
 
 
+def _load_base(base_path: str) -> dict:
+    """Load a prior bench record for cross-run self-heal.
+
+    Accepts a full-record file (single JSON object), a legacy
+    multi-line stdout capture (last line wins), or a compact stdout
+    summary — the latter identified by its own "queries_elided" marker
+    (it ALWAYS carries a "queries" key, elided to the top-K slowest, so
+    "queries not in base" never fires) and FOLLOWED to its full record
+    so still_hot/sentinel_probes/errors drive contamination detection
+    instead of degrading to "re-run everything except 10 un-vetted
+    timings". The recorded full_record path may have been
+    basename-shrunk or truncated by the summary's own byte budget
+    (ADVICE r9) — resolve relative to the summary file's directory, and
+    if the record is gone entirely, degrade to the compact summary
+    itself (re-run everything outside its top-K) instead of crashing."""
+    with open(base_path) as fh:
+        text = fh.read().strip()
+    try:  # full-record file (single JSON object, possibly pretty)
+        base = json.loads(text)
+    except json.JSONDecodeError:  # legacy multi-line stdout capture
+        base = json.loads(text.splitlines()[-1])
+    if "queries_elided" in base and base.get("full_record"):
+        rec = str(base["full_record"])
+        for cand in (rec, os.path.join(os.path.dirname(
+                os.path.abspath(base_path)), os.path.basename(rec))):
+            try:
+                with open(cand) as fh:
+                    base = json.loads(fh.read().strip())
+                break
+            except (OSError, json.JSONDecodeError):
+                continue
+    return base
+
+
 def _merge_base_timings(
     timings: dict[str, float],
     errors: dict[str, str],
     base_queries: dict[str, float],
     registered: set[str],
+    fresh: set[str] = frozenset(),
 ) -> None:
     """Merge a prior run's timings into this run's, in place: clean
     base timings fill queries not re-run; a re-run query keeps
     min(base, rerun) — contention noise is one-sided, and a throttle
     burst can land between probes DURING the heal re-run itself.
     Base entries for unregistered queries are dropped; a query that
-    errored this run keeps no timing at all."""
+    errored this run keeps no timing at all. ``fresh`` queries
+    (rewritten since the base run) never take the base value: their
+    pre-rewrite timing measured different code (ADVICE r9 #1)."""
     for name, t in base_queries.items():
-        if name in registered and name not in errors:
+        if name in registered and name not in errors and name not in fresh:
             timings[name] = min(timings.get(name, float("inf")), t)
 
 
@@ -165,29 +206,27 @@ def main() -> None:
     queries = all_queries()
 
     base: dict = {}
+    fresh: set = set()
     base_path = os.environ.get("SPARK_GRAFT_BENCH_BASE", "")
     to_run = sorted(queries)
     if base_path:
-        with open(base_path) as fh:
-            text = fh.read().strip()
-        try:  # full-record file (single JSON object, possibly pretty)
-            base = json.loads(text)
-        except json.JSONDecodeError:  # legacy multi-line stdout capture
-            base = json.loads(text.splitlines()[-1])
-        if "queries_elided" in base and base.get("full_record"):
-            # compact stdout summary (identified by its own marker —
-            # it ALWAYS carries a "queries" key, elided to the top-K
-            # slowest, so "queries not in base" never fires): follow it
-            # to the full record so still_hot/sentinel_probes/errors
-            # drive contamination detection instead of degrading to
-            # "re-run everything except 10 un-vetted timings"
-            with open(base["full_record"]) as fh:
-                base = json.loads(fh.read().strip())
+        base = _load_base(base_path)
         contaminated = _contaminated_names(base)
         # explicit additions: suspect queries outside any flagged window
         # (e.g. inflated vs history while nearby probes stayed sub-hot)
         extra = os.environ.get("SPARK_GRAFT_BENCH_RERUN", "")
         contaminated.update(q for q in extra.split(",") if q)
+        # FRESH list (ADVICE r9 #1): queries whose CODE changed since
+        # the base run. They are re-run like RERUN entries but their
+        # base timing is NOT min-merged in — cross-run min-merge is
+        # only sound while the code is unchanged, and a rewritten
+        # query min-merged against its pre-rewrite base conflates two
+        # code versions in one record.
+        fresh.update(
+            q for q in
+            os.environ.get("SPARK_GRAFT_BENCH_FRESH", "").split(",")
+            if q)
+        contaminated.update(fresh)
         to_run = sorted(
             name
             for name in queries
@@ -309,7 +348,7 @@ def main() -> None:
     } if base else {}
     if base:
         _merge_base_timings(
-            timings, errors, base.get("queries", {}), set(queries)
+            timings, errors, base.get("queries", {}), set(queries), fresh
         )
 
     total = round(sum(timings.values()), 4)
@@ -333,6 +372,11 @@ def main() -> None:
     if base:
         out["merged_from"] = base_path
         out["rerun_queries"] = rerun
+        if fresh:
+            # rewritten queries: timing is THIS run's alone (no base
+            # min-merge); hist_min still shows the pre-rewrite value
+            # for lineage comparison.
+            out["fresh_queries"] = sorted(fresh)
         if hist_min:
             out["hist_min"] = hist_min
     out["sentinel_probes"] = probes
@@ -432,23 +476,27 @@ def _compact_summary(out: dict, full_path: str,
         if "contention_warning" in summary:
             summary["contention_warning"] = (
                 summary["contention_warning"][:117] + "...")
-    # last resort: env-supplied paths (full_record / merged_from are
-    # embedded verbatim) can push even the top-0 form past the budget —
-    # shrink them to basenames, then hard-truncate, so the <=1.5 KB
-    # tail-capture contract holds for ANY input.
-    for key in ("full_record", "merged_from"):
+    # last resort: env-supplied strings (full_record / merged_from are
+    # paths embedded verbatim; "sf" falls back to the WHOLE
+    # $SPARK_GRAFT_SF_DIR when the path carries no "sf" marker) can
+    # push even the top-0 form past the budget — shrink them to
+    # basenames, then hard-truncate, so the <=1.5 KB tail-capture
+    # contract holds for ANY input. Numeric sf values are never
+    # touched (only str-typed entries are shrinkable).
+    _shrinkable = ("full_record", "merged_from", "sf")
+
+    def _strkeys():
+        return [k for k in _shrinkable if isinstance(summary.get(k), str)
+                and summary[k]]
+
+    for key in _strkeys():
         if len(json.dumps(summary, separators=(",", ":"))) <= budget:
             break
-        if key in summary:
-            summary[key] = os.path.basename(str(summary[key]))
-    while len(json.dumps(summary, separators=(",", ":"))) > budget and (
-            summary.get("full_record") or summary.get("merged_from")):
-        longest = max(
-            (k for k in ("full_record", "merged_from") if summary.get(k)),
-            key=lambda k: len(str(summary[k])),
-        )
-        summary[longest] = str(summary[longest])[:max(
-            0, len(str(summary[longest])) // 2)]
+        summary[key] = os.path.basename(summary[key])
+    while (len(json.dumps(summary, separators=(",", ":"))) > budget
+           and _strkeys()):
+        longest = max(_strkeys(), key=lambda k: len(summary[k]))
+        summary[longest] = summary[longest][:len(summary[longest]) // 2]
         if not summary[longest]:
             del summary[longest]
     return summary

@@ -137,3 +137,106 @@ def test_compact_summary_fits_tail_capture_worst_case():
     if parsed["queries"]:
         worst = max(queries, key=queries.get)
         assert worst in parsed["queries"]
+
+def test_merge_fresh_queries_skip_base_min():
+    """ADVICE r9 #1: a rewritten query must NOT take min(base, rerun) —
+    the base timing measured different code. Non-fresh re-runs keep the
+    one-sided-noise min policy unchanged."""
+    timings = {"rewritten": 5.0, "unchanged": 3.0}
+    bench._merge_base_timings(
+        timings, {},
+        {"rewritten": 1.2, "unchanged": 2.0, "untouched": 0.7},
+        {"rewritten", "unchanged", "untouched"},
+        fresh={"rewritten"},
+    )
+    # fresh keeps ITS OWN timing even though base was faster
+    assert timings == {"rewritten": 5.0, "unchanged": 2.0, "untouched": 0.7}
+
+
+def test_load_base_follows_compact_summary(tmp_path):
+    """VERDICT r9 #7: a compact stdout summary passed as
+    SPARK_GRAFT_BENCH_BASE must follow its full_record pointer so
+    contamination detection runs on the full record, not on 10
+    un-vetted top-K timings."""
+    import json
+
+    full = {"queries": {"qa": 1.0, "qb": 2.0}, "still_hot": ["qb"],
+            "sentinel_probes": {"0": 0.5}}
+    full_path = tmp_path / "full.json"
+    full_path.write_text(json.dumps(full))
+    summary = {"metric": "total_query_wall_seconds", "value": 3.0,
+               "queries": {"qb": 2.0}, "queries_elided": 1,
+               "full_record": str(full_path)}
+    sum_path = tmp_path / "summary.json"
+    sum_path.write_text(json.dumps(summary))
+    base = bench._load_base(str(sum_path))
+    assert base["queries"] == {"qa": 1.0, "qb": 2.0}
+    assert bench._contaminated_names(base) == {"qb"}
+
+
+def test_load_base_resolves_shrunk_record_path(tmp_path):
+    """ADVICE r9 #2: the summary's full_record may have been
+    basename-shrunk by the byte budget — resolve it relative to the
+    summary file's directory instead of crashing."""
+    import json
+
+    full = {"queries": {"qa": 1.0}, "still_hot": []}
+    (tmp_path / "full.json").write_text(json.dumps(full))
+    summary = {"queries": {"qa": 1.0}, "queries_elided": 0,
+               "full_record": "full.json"}  # basename only
+    sum_path = tmp_path / "summary.json"
+    sum_path.write_text(json.dumps(summary))
+    base = bench._load_base(str(sum_path))
+    assert base["still_hot"] == []
+
+
+def test_load_base_degrades_to_summary_when_record_gone(tmp_path):
+    """ADVICE r9 #2: a truncated/deleted full_record must degrade to
+    the compact summary itself (re-run everything outside its top-K),
+    not raise FileNotFoundError."""
+    import json
+
+    summary = {"queries": {"qa": 1.0}, "queries_elided": 5,
+               "full_record": "BENCH_full_lat"}  # truncated, gone
+    sum_path = tmp_path / "summary.json"
+    sum_path.write_text(json.dumps(summary))
+    base = bench._load_base(str(sum_path))
+    assert base["queries"] == {"qa": 1.0}  # summary itself
+
+
+def test_compact_summary_truncates_huge_env_paths():
+    """VERDICT r9 #7 / ADVICE r9 #3: env-supplied strings — a 2 KB
+    SPARK_GRAFT_BENCH_OUT path AND an sf that fell back to the whole
+    $SPARK_GRAFT_SF_DIR (no 'sf' marker in the path) — must still
+    produce one <=1500-byte stdout line."""
+    import json
+
+    huge_path = "/x/" + "deep_dir/" * 220 + "BENCH_full.json"  # ~2 KB
+    out = {
+        "metric": "total_query_wall_seconds", "value": 1.0,
+        "unit": "sec", "sf": "/y/" + "testdata_dir/" * 160 + "parquet",
+        "queries": {f"q{i}": 0.1 for i in range(50)},
+        "sentinel_probes": {}, "merged_from": huge_path,
+    }
+    line = json.dumps(bench._compact_summary(out, huge_path),
+                      separators=(",", ":"))
+    assert len(line) <= 1500
+    parsed = json.loads(line)
+    assert parsed["metric"] == "total_query_wall_seconds"
+
+
+def test_compact_summary_numeric_sf_never_shrunk():
+    """The sf shrink path only applies to str-typed fallback values —
+    a numeric sf must pass through untouched even under budget stress."""
+    import json
+
+    out = {
+        "metric": "total_query_wall_seconds", "value": 1.0,
+        "unit": "sec", "sf": 0.1,
+        "queries": {f"q{i}": 0.1 for i in range(50)},
+        "sentinel_probes": {},
+        "merged_from": "/x/" + "d/" * 900 + "b.json",
+    }
+    parsed = bench._compact_summary(out, "/x/" + "d/" * 900 + "f.json")
+    assert parsed["sf"] == 0.1
+    assert len(json.dumps(parsed, separators=(",", ":"))) <= 1500
