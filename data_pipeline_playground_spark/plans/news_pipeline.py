@@ -72,51 +72,61 @@ def run_news_pipeline(spark: SparkSession, sf_dir: str,
 
     from data_pipeline_playground_spark.functions.text import tokenize
 
-    # Tokenize ONCE and cache (VERDICT r7 #3): the CV fit, the IDF fit
-    # and the feature materialization each re-read their input — an
-    # uncached toks re-runs the regex tokenizer three times over the
-    # corpus, and the keyword + term-weight stages would add two more.
+    # Tokenization is ONE logical definition shared by the CV fit, the
+    # IDF fit and the feature materialization — but deliberately NOT
+    # cached: materializing per-doc token ARRAYS costs more than the
+    # regex re-runs it saves (measured +0.9 s at sf0.1 — the r8
+    # tokenize-once cache was the news_pipeline regression, VERDICT r9
+    # #2; the regex split stays inside whole-stage codegen over the
+    # already-cached deduped frame, so each re-read is a cheap scan).
     toks = deduped.select(
         "doc_id", "text", tokenize(F.col("text")).alias("tokens")
-    ).cache()
+    )
     cv_model = CountVectorizer(inputCol="tokens", outputCol="tf").fit(toks)
     tf = cv_model.transform(toks)
     idf = IDF(inputCol="tf", outputCol="tfidf").fit(tf)
-    # cached BEFORE the fit: every Lloyd iteration re-reads the feature
-    # frame — uncached, each one replays tokenize+CV+IDF+normalize
-    feats = Normalizer(inputCol="tfidf", outputCol="features", p=2.0).transform(
-        idf.transform(tf)
-    ).cache()
     from data_pipeline_playground_spark.queries.ml import (
         KMEANS_K_CAP,
         KMEANS_MAX_ITER,
     )
 
     n = deduped.count()
+    # cached BEFORE the fit: every Lloyd iteration re-reads the feature
+    # frame — uncached, each one replays tokenize+CV+IDF+normalize
+    feats = Normalizer(inputCol="tfidf", outputCol="features", p=2.0).transform(
+        idf.transform(tf)
+    ).cache()
     # k = n//4 per cluster.py:51-53, capped (see queries/ml.py
     # KMEANS_K_CAP): uncapped, KMeans cost grows O(n²d) with the corpus.
     # maxIter is the shared fidelity knob recorded in the bench JSON
     # (the fit does NOT converge early at sf0.1 — measured numIter=10 —
     # so changing it changes assignments; kept at the documented value).
     k = max(2, min(n // 4, KMEANS_K_CAP))
+    # Fit on a COALESCED read of the cache: every Lloyd iteration is
+    # one job over the feature frame, and 32 shuffle-partition slices
+    # of a small corpus are scheduling-dominated (measured: fit
+    # 2.4 s → 1.3 s at sf0.1, identical assignments). The coalesce is
+    # fit-only — downstream consumers keep the cache's full partition
+    # count for branch parallelism (a coalesced `clustered` cache
+    # measured +1 s across the branches). Count grows back toward the
+    # session default as the corpus grows; coalesce past the existing
+    # partition count is a no-op.
     km = KMeans(
         k=k, maxIter=KMEANS_MAX_ITER, seed=42, featuresCol="features"
-    ).fit(feats)
+    ).fit(feats.coalesce(max(4, 1 + n // 600)))
     # cached: four downstream consumers (groups, keywords, sizes,
-    # summaries) would otherwise re-run the whole featurize+predict;
-    # tokens ride along so the keyword stage never re-tokenizes
+    # summaries) would otherwise re-run the whole featurize+predict.
+    # tokens do NOT ride along: storing token arrays in the cache costs
+    # more than the keyword stage's one regex re-pass (VERDICT r9 #2).
     clustered = km.transform(feats).select(
-        "doc_id", "text", "tokens", F.col("prediction").alias("cluster_id")
+        "doc_id", "text", F.col("prediction").alias("cluster_id")
     ).cache()
 
     # --- summarize: LexRank top-1 per cluster (N10/T4) ---
     # clusters are bounded (≲ n/KMEANS_K_CAP docs each), so the grouped
     # applyInPandas fast path beats the join-based iteration
     groups = clustered.select("doc_id", F.col("cluster_id").alias("group"))
-    weights = tfidf_term_weights(
-        deduped,
-        tok=toks.select("doc_id", F.explode("tokens").alias("term")),
-    )
+    weights = tfidf_term_weights(deduped)
     scores = lexrank_scores_grouped(weights, groups, group_type="int")
     best = (
         top_k_representatives(scores, k=1)
@@ -124,9 +134,9 @@ def run_news_pipeline(spark: SparkSession, sf_dir: str,
     )
 
     # --- keywords: top TF-IDF terms per cluster (A3 shape) ---
-    # explode the cached tokens carried through clustered — no re-tokenize
     tok_c = clustered.select(
-        "cluster_id", "doc_id", F.explode("tokens").alias("term")
+        "cluster_id", "doc_id",
+        F.explode(tokenize(F.col("text"))).alias("term"),
     )
     ctf = tok_c.groupBy("cluster_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     cdf = ctf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
