@@ -88,14 +88,20 @@ FROM tiled GROUP BY quartile
 """
 
 
-@query("customer_spend_quartiles", oracle=_NTILE_SQL)
 def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customers bucketed into spend quartiles with ntile(4). The
     window's total order carries a custkey tie-break so bucket edges
     are deterministic across engines. A single global-order window is
     the one non-scalable construct in this file — at 100 TB this
     becomes approx_percentile cut-points + a broadcast bucketize,
-    which avoids the global sort entirely."""
+    which avoids the global sort entirely.
+
+    UNREGISTERED (round-10 consolidation, VERDICT r9 #4): this is the
+    spec tier; customer_spend_quartiles_ranked computes the SAME
+    buckets with the scale path and carries the shared _NTILE_SQL
+    oracle, and tests/test_plans.py pins this tier's output equal to
+    the ranked tier's — the registry keeps the two scale-shaped tiers
+    only."""
     o = table(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(F.sum(_dec2("o_totalprice")).alias("total_spend"))
     w = Window.orderBy("total_spend", "o_custkey")
@@ -239,43 +245,10 @@ def top_part_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- sketch aggregates (the unbounded-cardinality scale path) ---------------
 
 
-_APPROX_DISTINCT_SQL = """
+_SKETCH_CERTS_SQL = """
 SELECT event_type,
        count(DISTINCT user_id) AS exact_users,
-       TRUE AS hll_within_6pct
-FROM events GROUP BY event_type
-"""
-
-
-@query("users_approx_distinct", oracle=_APPROX_DISTINCT_SQL)
-def users_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct users per event_type (rsd 2%) — the
-    mergeable-sketch substitute for countDistinct at unbounded
-    cardinality: partial sketches combine associatively, so the shuffle
-    carries ~1.5 KB per group instead of the distinct key set. DuckDB's
-    HLL isn't bit-identical, so the oracle checks a bounded-error
-    certificate: the exact count (both engines) plus a boolean this
-    side computes — |HLL − exact| ≤ max(3·rsd·exact, 2) — and the
-    oracle asserts TRUE. The exact aggregate rides the same shuffle and
-    exists only to certify the sketch; at 100 TB you'd ship the sketch
-    alone."""
-    ev = table(spark, sf_dir, "events")
-    agg = ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.countDistinct("user_id").alias("exact_users"),
-    )
-    bound = F.greatest(F.lit(0.06) * F.col("exact_users"), F.lit(2.0))
-    return agg.select(
-        "event_type",
-        "exact_users",
-        (F.abs(F.col("approx_users") - F.col("exact_users")) <= bound).alias(
-            "hll_within_6pct"
-        ),
-    )
-
-
-_APPROX_QUANTILES_SQL = """
-SELECT event_type,
+       TRUE AS hll_within_6pct,
        round(quantile_cont(value, 0.50), 6) AS p50_exact,
        round(quantile_cont(value, 0.95), 6) AS p95_exact,
        TRUE AS sketch_within_bound
@@ -283,28 +256,45 @@ FROM events GROUP BY event_type
 """
 
 
-@query("value_approx_quantiles", oracle=_APPROX_QUANTILES_SQL)
-def value_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile per event_type (accuracy 10000) — the
-    mergeable-sketch path for event_value_percentiles: no per-group
-    sort, rank error bounded by 1/accuracy. Oracle checks a
-    bounded-error certificate: exact interpolated p50/p95 (both
-    engines, round-6 portable) plus a boolean — each sketch estimate
-    within 5% of the group's value spread of the exact percentile
-    (the sketch returns an order statistic, so small groups carry an
+@query("events_sketch_certificates", oracle=_SKETCH_CERTS_SQL)
+def events_sketch_certificates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch certificates per event_type — HyperLogLog++
+    distinct users (rsd 2%) and t-digest-style approx_percentile
+    p50/p95 (accuracy 10000) in ONE combinable aggregate: partial
+    sketches combine associatively, so the shuffle carries ~KBs per
+    group instead of the distinct key set / per-group value sort — the
+    substitute for countDistinct + exact percentiles at unbounded
+    cardinality. (Round-10 consolidation of users_approx_distinct +
+    value_approx_quantiles: same event_type grain, one shuffle, one
+    oracle.)
+
+    Neither engine's sketches are bit-identical, so the oracle checks
+    bounded-error CERTIFICATES: the exact statistics (both engines,
+    round-6 portable) plus booleans this side computes —
+    |HLL − exact| ≤ max(3·rsd·exact, 2), and each percentile estimate
+    within 5% of the group's value spread of the exact percentile (a
+    sketch returns an order statistic, so small groups carry an
     irreducible interpolation gap on top of the rank error) — asserted
-    TRUE by the oracle."""
+    TRUE by the oracle. The exact aggregates ride the same shuffle and
+    exist only to certify the sketches; at 100 TB you'd ship the
+    sketches alone."""
     ev = table(spark, sf_dir, "events")
     agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
         F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("ap50"),
         F.approx_percentile("value", F.lit(0.95), F.lit(10000)).alias("ap95"),
         F.round(F.percentile("value", F.lit(0.50)), 6).alias("p50_exact"),
         F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95_exact"),
         (F.max("value") - F.min("value")).alias("spread"),
     )
+    hll_bound = F.greatest(F.lit(0.06) * F.col("exact_users"), F.lit(2.0))
     tol = F.lit(0.05) * F.greatest(F.col("spread"), F.lit(1.0))
     return agg.select(
         "event_type",
+        "exact_users",
+        (F.abs(F.col("approx_users") - F.col("exact_users")) <= hll_bound)
+        .alias("hll_within_6pct"),
         "p50_exact",
         "p95_exact",
         (
@@ -711,79 +701,12 @@ def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- market-basket pair mining -----------------------------------------------
-
-BASKET_MIN_SUPPORT = 3  # minimum co-occurrence count to report
-BASKET_TOP_K = 50
-
-_BASKET_SQL = f"""
-WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-pairs AS (
-  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
-  FROM items a JOIN items b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-),
-counted AS (
-  SELECT part_a, part_b, count(*) AS support
-  FROM pairs GROUP BY part_a, part_b
-  HAVING count(*) >= {BASKET_MIN_SUPPORT}
-)
-SELECT c.part_a, c.part_b, c.support, pa.p_name AS name_a, pb.p_name AS name_b
-FROM counted c
-JOIN part pa ON c.part_a = pa.p_partkey
-JOIN part pb ON c.part_b = pb.p_partkey
-ORDER BY c.support DESC, c.part_a, c.part_b
-LIMIT {BASKET_TOP_K}
-"""
-
-
-@query("parts_bought_together", oracle=_BASKET_SQL)
-def parts_bought_together(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Market-basket pair mining: the top co-purchased part pairs with
-    their support count — the 2-itemset support stage of
-    Apriori/FP-Growth, the "frequently bought together" primitive.
-
-    Shape: the pair fan-out is a SELF-JOIN ON THE BASKET KEY — both
-    sides shuffle (and sort) on l_orderkey, so Catalyst plans one
-    exchange per side and the blow-up is Σ c(k,2) over per-order line
-    counts, which TPC-H bounds at 7 lines/order (≤21 pairs) — per-key
-    work is constant, NOT corpus-quadratic, at any scale. Support
-    counting is map-side combinable on the (a,b) pair key; the
-    min-support HAVING prunes before the dim joins; part names join
-    broadcast; top-k is TakeOrdered with (support, a, b) ties broken
-    deterministically.
-    """
-    li = table(spark, sf_dir, "lineitem")
-    part = table(spark, sf_dir, "part").select("p_partkey", "p_name")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a = items.alias("a")
-    b = items.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(
-        F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
-    )
-    counted = (
-        pairs.groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= BASKET_MIN_SUPPORT)
-    )
-    pa = part.select(
-        F.col("p_partkey").alias("pk_a"), F.col("p_name").alias("name_a")
-    )
-    pb = part.select(
-        F.col("p_partkey").alias("pk_b"), F.col("p_name").alias("name_b")
-    )
-    return (
-        counted.join(F.broadcast(pa), F.col("part_a") == F.col("pk_a"))
-        .join(F.broadcast(pb), F.col("part_b") == F.col("pk_b"))
-        .select("part_a", "part_b", "support", "name_a", "name_b")
-        .orderBy(F.desc("support"), "part_a", "part_b")
-        .limit(BASKET_TOP_K)
-    )
-
+# --- market-basket pair mining: association rules now live in basket_rules
+# (round-10 consolidation: parts_bought_together was the 2-itemset
+# support stage of the same bounded self-equi-join on l_orderkey;
+# basket_rules reports support/confidence/lift over the identical
+# pair frame, so the pair-mining surface keeps one oracle-checked
+# entry — see _RULES_SQL) ------------------------------------------
 
 # --- A/B experiment readout ----------------------------------------------------
 
@@ -1339,70 +1262,7 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Gini coefficient of customer spend -------------------------------------
 
-_GINI_SQL = """
-WITH spend AS (
-  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x
-  FROM orders GROUP BY o_custkey
-),
-rk AS (
-  SELECT x, CAST(row_number() OVER (ORDER BY x, o_custkey) AS BIGINT) AS i
-  FROM spend
-),
-s AS (
-  SELECT CAST(count(*) AS BIGINT) AS n,
-         SUM(CAST(x AS DECIMAL(30,2))) AS sx,
-         SUM(CAST(i * x AS DECIMAL(30,2))) AS six
-  FROM rk
-)
-SELECT n,
-       CAST(sx AS DOUBLE) AS total_spend,
-       (2.0 * CAST(six AS DOUBLE) - (CAST(n AS DOUBLE) + 1.0)
-        * CAST(sx AS DOUBLE))
-         / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) AS gini
-FROM s
-"""
-
-
-@query("revenue_gini", oracle=_GINI_SQL)
-def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gini coefficient of customer spend — the standard revenue-
-    concentration KPI (0 = equal, →1 = one whale). Uses the
-    rank-sum identity G = (2Σi·x_i − (n+1)Σx)/(nΣx) over spends
-    sorted ascending (ties broken by custkey).
-
-    The oracle states it with a global row_number; the Spark side
-    ranks via operators/ranking.global_rank (range partition +
-    broadcast offsets — no single-partition sort of the customer
-    frame). Σx and Σi·x are exact decimal sums (summands ≤
-    DECIMAL(30,2); scaled values < 2^63 through ~1e7 customers —
-    rebase spends beyond that); the final Gini is one shared double
-    expression.
-    """
-    from data_pipeline_playground_spark.operators.ranking import global_rank
-
-    o = table(spark, sf_dir, "orders")
-    spend = o.groupBy("o_custkey").agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x")
-    )
-    rk = global_rank(spend, ["x", "o_custkey"], rank_name="i")
-    s = rk.agg(
-        F.count("*").cast("bigint").alias("n"),
-        F.sum(F.col("x").cast("decimal(30,2)")).alias("sx"),
-        F.sum((F.col("i") * F.col("x")).cast("decimal(30,2)")).alias("six"),
-    )
-    n_d = F.col("n").cast("double")
-    sx_d = F.col("sx").cast("double")
-    six_d = F.col("six").cast("double")
-    return s.select(
-        "n",
-        sx_d.alias("total_spend"),
-        (
-            (F.lit(2.0) * six_d - (n_d + F.lit(1.0)) * sx_d) / (n_d * sx_d)
-        ).alias("gini"),
-    )
-
-
-# --- Herfindahl–Hirschman concentration index -------------------------------
+# (revenue_gini merged into revenue_lorenz_gini — round-10 consolidation)
 
 _HHI_SQL = """
 WITH rev AS (
@@ -1640,10 +1500,21 @@ def ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Lorenz curve deciles ---------------------------------------------------
 
-_LORENZ_SQL = """
+_LORENZ_GINI_SQL = """
 WITH spend AS (
   SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x
   FROM orders GROUP BY o_custkey
+),
+rk AS (
+  SELECT x, o_custkey,
+         CAST(row_number() OVER (ORDER BY x, o_custkey) AS BIGINT) AS i
+  FROM spend
+),
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         SUM(CAST(x AS DECIMAL(30,2))) AS sx,
+         SUM(CAST(i * x AS DECIMAL(30,2))) AS six
+  FROM rk
 ),
 tiled AS (
   SELECT x, ntile(10) OVER (ORDER BY x, o_custkey) AS decile FROM spend
@@ -1661,24 +1532,32 @@ c AS (
          SUM(dx) OVER () AS tx
   FROM d
 )
-SELECT decile, n_customers, CAST(dx AS DOUBLE) AS decile_spend,
-       CAST(cx AS DOUBLE) / CAST(tx AS DOUBLE) AS cum_share
-FROM c
+SELECT c.decile, c.n_customers, CAST(c.dx AS DOUBLE) AS decile_spend,
+       CAST(c.cx AS DOUBLE) / CAST(c.tx AS DOUBLE) AS cum_share,
+       (2.0 * CAST(g.six AS DOUBLE) - (CAST(g.n AS DOUBLE) + 1.0)
+        * CAST(g.sx AS DOUBLE))
+         / (CAST(g.n AS DOUBLE) * CAST(g.sx AS DOUBLE)) AS gini
+FROM c CROSS JOIN g
 """
 
 
-@query("revenue_lorenz_deciles", oracle=_LORENZ_SQL)
-def revenue_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lorenz curve of customer spend by decile — the curve whose
-    area complement is revenue_gini: per spend decile (ascending),
-    customer count, decile revenue, and the cumulative revenue share
-    ('the bottom 50% of customers produce X% of revenue').
+@query("revenue_lorenz_gini", oracle=_LORENZ_GINI_SQL)
+def revenue_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of customer spend by decile WITH the Gini
+    coefficient — the revenue-concentration readout in one pass
+    (round-10 consolidation of revenue_lorenz_deciles + revenue_gini:
+    both derive from the SAME global spend ranking, so one ranked
+    frame now feeds both the decile rollup and the rank-sum Gini
+    G = (2Σi·x_i − (n+1)Σx)/(nΣx), broadcast onto every decile row).
 
     Deciles come from operators/ranking (exact_ntile over the
     two-level global rank — no single-partition sort of the customer
-    frame); the cumulative share is a 10-row post-aggregate window
-    (bounded frame); shares are exact decimal sums with one double
-    division per row.
+    frame; the oracle states the same buckets with ntile(10) and the
+    Gini with a global row_number). The cumulative share is a 10-row
+    post-aggregate window; Σx and Σi·x are exact decimal sums
+    (summands ≤ DECIMAL(30,2); scaled values < 2^63 through ~1e7
+    customers — rebase spends beyond that); each share and the Gini
+    are shared double expressions.
     """
     from data_pipeline_playground_spark.operators.ranking import (
         exact_ntile,
@@ -1689,10 +1568,23 @@ def revenue_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend = o.groupBy("o_custkey").agg(
         F.sum(_dec2("o_totalprice")).alias("x")
     )
-    rk = global_rank(spend, ["x", "o_custkey"], rank_name="rank")
+    rk = global_rank(spend, ["x", "o_custkey"], rank_name="i")
+    g = rk.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("x").cast("decimal(30,2)")).alias("sx"),
+        F.sum((F.col("i") * F.col("x")).cast("decimal(30,2)")).alias("six"),
+    )
+    n_d = F.col("n").cast("double")
+    sx_d = F.col("sx").cast("double")
+    six_d = F.col("six").cast("double")
+    gini = g.select(
+        (
+            (F.lit(2.0) * six_d - (n_d + F.lit(1.0)) * sx_d) / (n_d * sx_d)
+        ).alias("gini")
+    )
     d = (
         rk.withColumn(
-            "decile", exact_ntile(F.col("rank"), F.col("n_total"), 10)
+            "decile", exact_ntile(F.col("i"), F.col("n_total"), 10)
         )
         .groupBy("decile")
         .agg(
@@ -1704,7 +1596,7 @@ def revenue_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_t = Window.orderBy("decile").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
-    return d.select(
+    return d.crossJoin(F.broadcast(gini)).select(
         "decile",
         "n_customers",
         F.col("dx").cast("double").alias("decile_spend"),
@@ -1712,10 +1604,9 @@ def revenue_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("dx").over(w_c).cast("double")
             / F.sum("dx").over(w_t).cast("double")
         ).alias("cum_share"),
+        "gini",
     )
 
-
-# --- degree assortativity of the co-purchase graph --------------------------
 
 _ASSORT_SQL = """
 WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

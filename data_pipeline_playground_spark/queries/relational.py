@@ -453,8 +453,11 @@ SELECT event_type,
        count(*) AS n,
        round(avg(CAST(value AS DOUBLE)), 6) AS avg_value,
        round(stddev_samp(CAST(value AS DOUBLE)), 6) AS sd_value,
+       round(quantile_cont(CAST(value AS DOUBLE), 0.25), 6) AS p25,
        round(quantile_cont(CAST(value AS DOUBLE), 0.5), 6) AS p50,
+       round(quantile_cont(CAST(value AS DOUBLE), 0.75), 6) AS p75,
        round(quantile_cont(CAST(value AS DOUBLE), 0.9), 6) AS p90,
+       round(quantile_cont(CAST(value AS DOUBLE), 0.95), 6) AS p95,
        round(quantile_cont(CAST(value AS DOUBLE), 0.99), 6) AS p99,
        round(corr(CAST(value AS DOUBLE), CAST(event_id AS DOUBLE)), 6) AS value_id_corr
 FROM events GROUP BY event_type
@@ -464,17 +467,25 @@ FROM events GROUP BY event_type
 @query("events_value_stats", oracle=_EVENT_VALUE_STATS_SQL)
 def events_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution profile per event_type: exact interpolated
-    percentiles (both engines use type-7 linear interpolation), sample
-    stddev, correlation. All rounded to 6dp — the accumulation orders
-    differ across engines at the last-ulp level."""
+    percentiles p25-p99 (both engines use type-7 linear interpolation;
+    F.percentile is the exact operator vs approx_percentile's sketch —
+    exact is chosen because it is oracle-checkable and the per-group
+    cardinality is bounded; events_sketch_certificates carries the
+    100 TB sketch path), sample stddev, correlation. All rounded to
+    6dp — the accumulation orders differ across engines at the
+    last-ulp level. (Round-10 consolidation: absorbs the former
+    event_value_percentiles — same grain, same aggregate shuffle.)"""
     ev = table(spark, sf_dir, "events")
     v = F.col("value").cast("double")
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg(v), 6).alias("avg_value"),
         F.round(F.stddev_samp(v), 6).alias("sd_value"),
+        F.round(F.percentile(v, F.lit(0.25)), 6).alias("p25"),
         F.round(F.percentile(v, F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile(v, F.lit(0.75)), 6).alias("p75"),
         F.round(F.percentile(v, F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile(v, F.lit(0.95)), 6).alias("p95"),
         F.round(F.percentile(v, F.lit(0.99)), 6).alias("p99"),
         F.round(F.corr(v, F.col("event_id").cast("double")), 6).alias("value_id_corr"),
     )
@@ -732,38 +743,43 @@ def supplier_revenue_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- set operators: EXCEPT / INTERSECT --------------------------------------
 
-_CLICK_NOT_ERROR_SQL = """
-SELECT user_id FROM events WHERE event_type = 'click'
-EXCEPT
-SELECT user_id FROM events WHERE event_type = 'error'
+_USER_SET_OPS_SQL = """
+SELECT 'click_not_error' AS set_op, user_id FROM (
+  SELECT user_id FROM events WHERE event_type = 'click'
+  EXCEPT
+  SELECT user_id FROM events WHERE event_type = 'error'
+)
+UNION ALL
+SELECT 'purchase_and_signup' AS set_op, user_id FROM (
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+  INTERSECT
+  SELECT user_id FROM events WHERE event_type = 'signup'
+)
 """
 
 
-@query("users_click_not_error", oracle=_CLICK_NOT_ERROR_SQL)
-def users_click_not_error(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT set semantics (distinct anti-difference) — U-family."""
+@query("user_set_ops", oracle=_USER_SET_OPS_SQL)
+def user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT and INTERSECT set semantics in one labeled union —
+    U-family (round-10 consolidation of users_click_not_error +
+    users_purchase_and_signup: both operators stay first-class in one
+    plan, distinguished by the set_op label).
+
+    subtract == EXCEPT DISTINCT (set semantics; exceptAll would only
+    remove one occurrence per match — multiset semantics); intersect
+    == INTERSECT DISTINCT."""
     ev = table(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select("user_id")
     errors = ev.filter(F.col("event_type") == "error").select("user_id")
-    # subtract == EXCEPT DISTINCT (set semantics); exceptAll would only
-    # remove one occurrence per match (multiset semantics)
-    return clicks.subtract(errors)
-
-
-_PURCHASE_AND_SIGNUP_SQL = """
-SELECT user_id FROM events WHERE event_type = 'purchase'
-INTERSECT
-SELECT user_id FROM events WHERE event_type = 'signup'
-"""
-
-
-@query("users_purchase_and_signup", oracle=_PURCHASE_AND_SIGNUP_SQL)
-def users_purchase_and_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT set semantics (distinct conjunction)."""
-    ev = table(spark, sf_dir, "events")
-    a = ev.filter(F.col("event_type") == "purchase").select("user_id")
-    b = ev.filter(F.col("event_type") == "signup").select("user_id")
-    return a.intersect(b)
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    signups = ev.filter(F.col("event_type") == "signup").select("user_id")
+    return clicks.subtract(errors).select(
+        F.lit("click_not_error").alias("set_op"), "user_id"
+    ).unionAll(
+        purchases.intersect(signups).select(
+            F.lit("purchase_and_signup").alias("set_op"), "user_id"
+        )
+    )
 
 
 # --- VARIANT semi-structured path (Spark 4) ---------------------------------

@@ -186,35 +186,9 @@ def events_rollup_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- exact percentiles ------------------------------------------------------
-
-_PCTL_SQL = """
-SELECT event_type,
-       count(*) AS n,
-       round(quantile_cont(value, 0.25), 6) AS p25,
-       round(quantile_cont(value, 0.50), 6) AS p50,
-       round(quantile_cont(value, 0.75), 6) AS p75,
-       round(quantile_cont(value, 0.95), 6) AS p95
-FROM events GROUP BY event_type
-"""
-
-
-@query("event_value_percentiles", oracle=_PCTL_SQL)
-def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles per event_type (F.percentile —
-    the exact operator, vs approx_percentile's t-digest sketch which is
-    the 100 TB path; exact is chosen here because it is
-    oracle-checkable and the per-group cardinality is bounded).
-    """
-    ev = table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.percentile("value", F.lit(0.25)), 6).alias("p25"),
-        F.round(F.percentile("value", F.lit(0.50)), 6).alias("p50"),
-        F.round(F.percentile("value", F.lit(0.75)), 6).alias("p75"),
-        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
-    )
-
+# (event_value_percentiles merged into relational.events_value_stats —
+# round-10 consolidation: same event_type grain and aggregate shuffle;
+# the stats profile now carries p25/p50/p75/p90/p95/p99)
 
 # --- full outer join --------------------------------------------------------
 
@@ -260,41 +234,11 @@ def clicks_purchases_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- unpivot (inverse of events_pivot_daily) --------------------------------
-
-_UNPIVOT_SQL = """
-WITH wide AS (
-  SELECT CAST(date_trunc('day', ts) AS DATE) AS event_day,
-         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-              AS BIGINT) AS click,
-         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
-              AS BIGINT) AS view
-  FROM events GROUP BY 1
-)
-SELECT event_day, kind, n FROM (
-  SELECT event_day, 'click' AS kind, click AS n FROM wide
-  UNION ALL
-  SELECT event_day, 'view' AS kind, view AS n FROM wide
-) WHERE n IS NOT NULL
-"""
-
-
-@query("events_unpivot_daily", oracle=_UNPIVOT_SQL)
-def events_unpivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unpivot (melt) of a wide daily table back to long form via
-    ``stack`` — the inverse of events_pivot_daily; wide→long is a
-    narrow map (no shuffle beyond the feeding aggregate)."""
-    ev = table(spark, sf_dir, "events")
-    wide = (
-        ev.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("event_day"))
-        .pivot("event_type", ["click", "view"])
-        .agg(F.count(F.lit(1)))
-    )
-    return wide.select(
-        "event_day",
-        F.expr("stack(2, 'click', click, 'view', view) AS (kind, n)"),
-    ).filter(F.col("n").isNotNull())
-
+# (events_unpivot_daily unregistered — round-10 consolidation: the
+# stack()-based wide->long melt is the exact inverse of
+# events_pivot_daily's pivot and carried no information of its own;
+# the operator stays exercised by the round-trip pin in
+# tests/test_temporal_invariants.py::test_pivot_unpivot_roundtrip)
 
 # --- correlated-subquery shape ---------------------------------------------
 

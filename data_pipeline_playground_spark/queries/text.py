@@ -395,12 +395,11 @@ _LANG_BEST_SQL = "CASE " + " ".join(
     f"WHEN h_{lang} = h_max THEN '{lang}'" for lang in sorted(_LANG_MARKERS)
 ) + " END"
 
-_LANG_ID_SQL = f"""
-WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
-h AS (SELECT doc_id, {_LANG_HITS_SQL} FROM t),
-m AS (SELECT *, greatest({", ".join("h_" + code for code in sorted(_LANG_MARKERS))}) AS h_max FROM h)
-SELECT doc_id, {_LANG_BEST_SQL} AS lang_pred FROM m
-"""
+# (the per-doc lang_id query merged into lang_id_confusion — round-10
+# consolidation: the confusion matrix runs the SAME lang_pred_col
+# predictor over every document with an oracle, so the marker-lexicon
+# language-ID operator keeps one registry entry; composed pipelines
+# consume lang_pred_col directly, e.g. corpus_funnel)
 
 
 def lang_pred_col(toks: Column) -> Column:
@@ -419,16 +418,6 @@ def lang_pred_col(toks: Column) -> Column:
         cond = hit_cols[lang_code] == h_max
         expr = F.when(cond, lang_code) if expr is None else expr.when(cond, lang_code)
     return expr
-
-
-@query("lang_id", oracle=_LANG_ID_SQL)
-def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-word language ID: count per-language function-word hits,
-    argmax with lexicographic tie-break. Pure array lambdas — at 100 TB
-    this is a narrow map stage, no shuffle."""
-    docs = table(spark, sf_dir, "documents")
-    d = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
-    return d.select("doc_id", lang_pred_col(F.col("toks")).alias("lang_pred"))
 
 
 # --- document fingerprinting (driver extension) -----------------------------
@@ -941,65 +930,7 @@ def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- lexical diversity per source -------------------------------------------
-
-_LEXDIV_SQL = f"""
-WITH tok AS (
-  SELECT source, unnest({_SQL_TOKENS}) AS term FROM documents
-),
-tf AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
-       FROM tok GROUP BY source, term)
-SELECT source,
-       CAST(sum(c) AS BIGINT) AS tokens,
-       CAST(count(*) AS BIGINT) AS types,
-       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapaxes,
-       CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS ttr,
-       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-         / CAST(count(*) AS DOUBLE) AS hapax_ratio
-FROM tf GROUP BY source
-"""
-
-
-@query("lexical_diversity", oracle=_LEXDIV_SQL)
-def lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lexical diversity per source: token count, type (distinct
-    term) count, hapax legomena, type-token ratio, and hapax share —
-    the vocabulary-richness profile that separates template/boiler-
-    plate sources (low TTR, few hapaxes) from organic text, and the
-    empirical inputs to Heaps'-law vocabulary-growth estimates.
-
-    Counts are exact ints; both ratios are single double divisions.
-    Plan: explode → (source, term) agg → source rollup — two
-    combinable aggregates keyed on bounded keys.
-    """
-    docs = table(spark, sf_dir, "documents")
-    tf = (
-        docs.select(
-            "source", F.explode(tokenize(F.col("text"))).alias("term")
-        )
-        .groupBy("source", "term")
-        .agg(F.count("*").alias("c"))
-    )
-    out = tf.groupBy("source").agg(
-        F.sum("c").cast("bigint").alias("tokens"),
-        F.count("*").cast("bigint").alias("types"),
-        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
-        .cast("bigint")
-        .alias("hapaxes"),
-    )
-    return out.select(
-        "source",
-        "tokens",
-        "types",
-        "hapaxes",
-        (F.col("types").cast("double") / F.col("tokens").cast("double"))
-        .alias("ttr"),
-        (F.col("hapaxes").cast("double") / F.col("types").cast("double"))
-        .alias("hapax_ratio"),
-    )
-
-
-# --- readability profile ------------------------------------------------------
+# --- per-source text profile (lexical diversity + readability) ---------------
 
 # ONE expression text both engines evaluate over identical int64
 # counts: every division/multiply is IEEE-deterministic given equal
@@ -1014,8 +945,20 @@ _FRE_EXPR = (
     "      / CAST(GREATEST(n_words, CAST(1 AS BIGINT)) AS DOUBLE))"
 )
 
-_READABILITY_SQL = f"""
-WITH d AS (
+_TEXT_PROFILE_SQL = f"""
+WITH tok AS (
+  SELECT source, unnest({_SQL_TOKENS}) AS term FROM documents
+),
+tf AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+       FROM tok GROUP BY source, term),
+lex AS (
+  SELECT source,
+         CAST(sum(c) AS BIGINT) AS tokens,
+         CAST(count(*) AS BIGINT) AS types,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapaxes
+  FROM tf GROUP BY source
+),
+d AS (
   SELECT source,
          len(regexp_extract_all(text, '[a-z]+')) AS w,
          len(regexp_extract_all(text, '[aeiouy]+')) AS s
@@ -1028,32 +971,54 @@ agg AS (
          CAST(SUM(s) AS BIGINT) AS n_syllables
   FROM d GROUP BY source
 )
-SELECT source, n_docs, n_words, n_syllables,
+SELECT agg.source, n_docs, n_words, n_syllables,
        CAST(n_words AS DOUBLE) / CAST(n_docs AS DOUBLE) AS words_per_doc,
        CAST(n_syllables AS DOUBLE)
          / CAST(GREATEST(n_words, CAST(1 AS BIGINT)) AS DOUBLE)
          AS syllables_per_word,
-       {_FRE_EXPR} AS flesch_score
-FROM agg
+       {_FRE_EXPR} AS flesch_score,
+       tokens, types, hapaxes,
+       CAST(types AS DOUBLE) / CAST(tokens AS DOUBLE) AS ttr,
+       CAST(hapaxes AS DOUBLE) / CAST(types AS DOUBLE) AS hapax_ratio
+FROM agg JOIN lex ON lex.source = agg.source
 """
 
 
-@query("doc_readability", oracle=_READABILITY_SQL)
-def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source Flesch-style readability profile: word count (letter
-    runs), syllable proxy (vowel-group runs — the standard
-    dictionary-free estimator), and the Flesch score with the document
-    as the sentence unit. The corpus is punctuation-free synthetic
-    text (no sentence terminators), so sentence segmentation
-    deliberately falls back to document boundaries — the conventional
-    handling for fragment text; on punctuated corpora the sentence
-    count would come from terminator runs instead.
+@query("source_text_profile", oracle=_TEXT_PROFILE_SQL)
+def source_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source text-health profile: lexical diversity (token count,
+    type count, hapax legomena, type-token ratio, hapax share — the
+    vocabulary-richness inputs to Heaps'-law growth estimates that
+    separate template/boilerplate sources from organic text) AND the
+    Flesch-style readability block (word count via letter runs,
+    syllable proxy via vowel-group runs — the standard dictionary-free
+    estimator — and the Flesch score with the document as sentence
+    unit: the corpus is punctuation-free synthetic text, so sentence
+    segmentation deliberately falls back to document boundaries; on
+    punctuated corpora the sentence count would come from terminator
+    runs). Round-10 consolidation of lexical_diversity +
+    doc_readability — same source grain, one oracle.
 
-    Single scan → per-doc regexp counts (JVM-side, no UDF) → one
-    source-keyed aggregate of int64 sums; the score is one shared
-    double expression text evaluated identically by both engines.
-    """
+    Counts are exact ints; every ratio and the Flesch score are single
+    shared double expressions. Plan: explode → (source, term) agg →
+    source rollup for the lexical block; single scan → per-doc regexp
+    counts (JVM-side, no UDF) → one source-keyed int64 aggregate for
+    the readability block; the final join is source-cardinality."""
     docs = table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "source", F.explode(tokenize(F.col("text"))).alias("term")
+        )
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("c"))
+    )
+    lex = tf.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("tokens"),
+        F.count("*").cast("bigint").alias("types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("hapaxes"),
+    )
     agg = (
         docs.select(
             "source",
@@ -1067,7 +1032,7 @@ def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("s").cast("bigint").alias("n_syllables"),
         )
     )
-    return agg.select(
+    return agg.join(lex, "source").select(
         "source",
         "n_docs",
         "n_words",
@@ -1080,6 +1045,13 @@ def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / CAST(GREATEST(n_words, CAST(1 AS BIGINT)) AS DOUBLE)"
         ).alias("syllables_per_word"),
         F.expr(_FRE_EXPR).alias("flesch_score"),
+        "tokens",
+        "types",
+        "hapaxes",
+        (F.col("types").cast("double") / F.col("tokens").cast("double"))
+        .alias("ttr"),
+        (F.col("hapaxes").cast("double") / F.col("types").cast("double"))
+        .alias("hapax_ratio"),
     )
 
 

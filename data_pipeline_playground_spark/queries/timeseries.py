@@ -359,49 +359,139 @@ def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- cumulative distinct (first-occurrence transform) -------------------------
+# --- daily user curves (first/last-occurrence transforms + WAU fan-out) ------
 
-_CUM_USERS_SQL = """
-WITH first_day AS (
-  SELECT user_id, CAST(min(date_trunc('day', ts)) AS DATE) AS day
-  FROM events GROUP BY user_id
+_USER_CURVES_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events
 ),
+mx AS (SELECT max(day) AS dmax FROM ud),
+fan AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(day, day + INTERVAL 6 DAY,
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM ud
+),
+wau AS (
+  SELECT f.day, CAST(count(DISTINCT f.user_id) AS BIGINT) AS n_active_7d
+  FROM fan f CROSS JOIN mx
+  WHERE f.day <= mx.dmax
+  GROUP BY f.day
+),
+first_day AS (SELECT user_id, min(day) AS day FROM ud GROUP BY user_id),
 new_per_day AS (
-  SELECT day, count(*) AS new_users FROM first_day GROUP BY day
+  SELECT day, CAST(count(*) AS BIGINT) AS new_users
+  FROM first_day GROUP BY day
+),
+last_day AS (SELECT user_id, max(day) AS day FROM ud GROUP BY user_id),
+last_per_day AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS n_users_last_active
+  FROM last_day GROUP BY day
+),
+days AS (
+  SELECT day FROM wau
+  UNION SELECT day FROM new_per_day
+  UNION SELECT day FROM last_per_day
 )
-SELECT day, new_users,
-       CAST(SUM(new_users) OVER (ORDER BY day
-                                 ROWS BETWEEN UNBOUNDED PRECEDING
-                                 AND CURRENT ROW) AS BIGINT)
-         AS cumulative_users
-FROM new_per_day
+SELECT d.day,
+       CAST(datediff('day', d.day, mx.dmax) AS BIGINT) AS staleness_days,
+       COALESCE(w.n_active_7d, 0) AS n_active_7d,
+       COALESCE(n.new_users, 0) AS new_users,
+       CAST(SUM(COALESCE(n.new_users, 0)) OVER (
+              ORDER BY d.day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cumulative_users,
+       COALESCE(l.n_users_last_active, 0) AS n_users_last_active
+FROM days d CROSS JOIN mx
+LEFT JOIN wau w ON w.day = d.day
+LEFT JOIN new_per_day n ON n.day = d.day
+LEFT JOIN last_per_day l ON l.day = d.day
 """
 
 
-@query("cumulative_unique_users", oracle=_CUM_USERS_SQL)
-def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cumulative distinct users per day — the growth-curve metric.
+@query("daily_user_curves", oracle=_USER_CURVES_SQL)
+def daily_user_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily user-lifecycle dashboard in one pass: trailing-7-day
+    distinct active users (WAU), marginal new users, the cumulative
+    growth curve, and the count of users LAST seen that day (keyed
+    both by calendar day and by staleness_days = dmax − day, so the
+    churn-risk histogram the former user_staleness_histogram reported
+    reads directly off the frame). Round-10 consolidation of
+    cumulative_unique_users + rolling_7d_active_users +
+    user_staleness_histogram — all three derive from the same
+    deduplicated (user, day) frame, built once here.
 
-    NOT a per-day COUNT(DISTINCT) over an expanding window (which
-    re-scans every prefix: O(days × corpus)). The first-occurrence
-    transform does it in one linear pass: distinct-by-min collapses
-    each user to their first active day, the per-day counts of those
-    firsts ARE the marginal new users, and a running sum over the
-    bounded daily frame yields the cumulative curve. One shuffle on
-    user_id + a |days|-row window — the shape that survives 100 TB.
+    Scale shapes preserved from the three originals:
+    - the WAU curve is NOT a per-day COUNT(DISTINCT) over a sliding
+      window (inexpressible as a window function, and a per-day
+      self-join re-scans every prefix) — each (user, day) observation
+      FANS FORWARD to the ≤7 days it keeps the user active for, a
+      fixed 7× fan-out of the deduplicated frame, then one distinct
+      aggregate per day; days past the corpus end are clipped by a
+      broadcast one-row max.
+    - the growth curve is the first-occurrence transform: distinct-by-
+      min collapses each user to their first active day; the per-day
+      counts of those firsts ARE the marginal new users, and a running
+      sum over the bounded daily frame yields the cumulative curve —
+      one linear pass, no expanding-window rescan.
+    - staleness is the symmetric last-occurrence transform.
+    The (user, day) frame is cached (four consumers); every join after
+    the aggregates is day-cardinality. One user-shaped shuffle + one
+    fan-out distinct — the shape that survives 100 TB.
     """
-    events = table(spark, sf_dir, "events")
-    first_day = events.groupBy("user_id").agg(
-        F.to_date(F.min(F.date_trunc("day", "ts"))).alias("day")
+    ev = table(spark, sf_dir, "events")
+    ud = (
+        ev.select(
+            "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+        )
+        .distinct()
+        .cache()
     )
-    new_per_day = first_day.groupBy("day").agg(
-        F.count(F.lit(1)).alias("new_users")
+    mx = ud.agg(F.max("day").alias("dmax"))
+    fan = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias("day"),
     )
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return new_per_day.select(
+    wau = (
+        fan.crossJoin(F.broadcast(mx))
+        .filter(F.col("day") <= F.col("dmax"))
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("n_active_7d"))
+    )
+    newpd = (
+        ud.groupBy("user_id").agg(F.min("day").alias("day"))
+        .groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    )
+    lastpd = (
+        ud.groupBy("user_id").agg(F.max("day").alias("day"))
+        .groupBy("day").agg(F.count(F.lit(1)).alias("n_users_last_active"))
+    )
+    days = (
+        wau.select("day")
+        .union(newpd.select("day"))
+        .union(lastpd.select("day"))
+        .distinct()
+    )
+    j = (
+        days.crossJoin(F.broadcast(mx))
+        .join(wau, "day", "left")
+        .join(newpd, "day", "left")
+        .join(lastpd, "day", "left")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    new0 = F.coalesce(F.col("new_users"), F.lit(0))
+    return j.select(
         "day",
-        "new_users",
-        F.sum("new_users").over(w).alias("cumulative_users"),
+        F.expr("CAST(datediff(DAY, day, dmax) AS BIGINT)").alias(
+            "staleness_days"
+        ),
+        F.coalesce(F.col("n_active_7d"), F.lit(0))
+        .cast("bigint").alias("n_active_7d"),
+        new0.cast("bigint").alias("new_users"),
+        F.sum(new0).over(w).cast("bigint").alias("cumulative_users"),
+        F.coalesce(F.col("n_users_last_active"), F.lit(0))
+        .cast("bigint").alias("n_users_last_active"),
     )
 
 
@@ -949,56 +1039,6 @@ def revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- trailing-7-day distinct active users ------------------------------------
-
-_ROLLING_ACTIVE_SQL = """
-WITH ud AS (
-  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
-  FROM events
-),
-mx AS (SELECT max(day) AS dmax FROM ud),
-fan AS (
-  SELECT user_id,
-         CAST(unnest(generate_series(day, day + INTERVAL 6 DAY,
-                                     INTERVAL 1 DAY)) AS DATE) AS day
-  FROM ud
-)
-SELECT f.day, CAST(count(DISTINCT f.user_id) AS BIGINT) AS n_active_7d
-FROM fan f CROSS JOIN mx
-WHERE f.day <= mx.dmax
-GROUP BY f.day
-"""
-
-
-@query("rolling_7d_active_users", oracle=_ROLLING_ACTIVE_SQL)
-def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trailing-7-day distinct active users per day — the WAU curve.
-    COUNT(DISTINCT) over a sliding window is inexpressible as a window
-    function in either engine; the scalable shape is the FORWARD
-    FAN-OUT: each (user, day) observation contributes itself to the 7
-    days it keeps the user 'active' for, then one distinct-aggregate
-    per day. Cost is a fixed 7× fanout of the DEDUPLICATED user-day
-    frame (already « events), linear at any scale — no per-day
-    self-join, no quadratic window.
-
-    Days past the corpus end are clipped by a broadcast one-row max;
-    leading days report their genuine partial windows.
-    """
-    ev = table(spark, sf_dir, "events")
-    ud = ev.select("user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")).distinct()
-    mx = ud.agg(F.max("day").alias("dmax"))
-    fan = ud.select(
-        "user_id",
-        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias("day"),
-    )
-    return (
-        fan.crossJoin(F.broadcast(mx))
-        .filter(F.col("day") <= F.col("dmax"))
-        .groupBy("day")
-        .agg(F.countDistinct("user_id").alias("n_active_7d"))
-    )
-
-
 # --- supplier late-shipment trend ----------------------------------------------
 
 LATE_TREND_TOP = 20
@@ -1123,46 +1163,6 @@ def supplier_late_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("late_rate_slope"), "suppkey")
         .limit(LATE_TREND_TOP)
-    )
-
-
-# --- user staleness histogram ---------------------------------------------------
-
-_STALENESS_SQL = """
-WITH mx AS (SELECT CAST(max(date_trunc('day', ts)) AS DATE) AS dmax FROM events),
-u AS (
-  SELECT user_id, CAST(max(date_trunc('day', ts)) AS DATE) AS last_day
-  FROM events GROUP BY user_id
-)
-SELECT CAST(datediff('day', u.last_day, mx.dmax) AS BIGINT) AS staleness_days,
-       CAST(count(*) AS BIGINT) AS n_users
-FROM u CROSS JOIN mx
-GROUP BY 1
-"""
-
-
-@query("user_staleness_histogram", oracle=_STALENESS_SQL)
-def user_staleness_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Days since each user's last event, relative to the corpus's
-    newest day (not wall-clock — deterministic and replayable),
-    histogrammed — the churn-risk / data-freshness profile that feeds
-    retention alerts. One user aggregate, a broadcast one-row max, one
-    bounded histogram aggregate.
-    """
-    ev = table(spark, sf_dir, "events")
-    u = ev.groupBy("user_id").agg(
-        F.to_date(F.max(F.date_trunc("day", "ts"))).alias("last_day")
-    )
-    mx = ev.agg(F.to_date(F.max(F.date_trunc("day", "ts"))).alias("dmax"))
-    return (
-        u.crossJoin(F.broadcast(mx))
-        .select(
-            F.expr("CAST(datediff(DAY, last_day, dmax) AS BIGINT)").alias(
-                "staleness_days"
-            )
-        )
-        .groupBy("staleness_days")
-        .agg(F.count(F.lit(1)).alias("n_users"))
     )
 
 

@@ -116,7 +116,7 @@ SHOWCASE = [
      "FK keys BELOW its join (exchanges carry keys, not rows); six "
      "dimension parents are BroadcastHashJoins, lineitem→orders "
      "stays a co-partitioned key join."),
-    ("rolling_7d_active_users", "sliding COUNT(DISTINCT) with no "
+    ("daily_user_curves", "sliding COUNT(DISTINCT) with no "
      "window: a Generate (7-day forward fan-out) over the DISTINCT "
      "user-day frame, then one distinct-aggregate per day — fan-out "
      "factor = window length, independent of volume."),

@@ -57,6 +57,7 @@ PROBE_QUERIES = [
     "ann_lsh_topk",
     "ann_pq_topk",
     "mutual_nn_pairs",
+    "news_pipeline",
 ]
 
 

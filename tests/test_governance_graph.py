@@ -296,12 +296,21 @@ def test_bd_latency_bounds_calendar_days(spark, sf_dir):
 
 
 def test_staleness_covers_users(spark, sf_dir):
-    rows = _Q["user_staleness_histogram"](spark, sf_dir).collect()
+    """daily_user_curves (round-10 merge): the last-active counts
+    partition the user set; staleness keys are non-negative; the
+    cumulative curve ends at the full distinct-user count and the WAU
+    curve never exceeds it."""
+    rows = _Q["daily_user_curves"](spark, sf_dir).collect()
     n_users = (
         table(spark, sf_dir, "events").select("user_id").distinct().count()
     )
-    assert sum(r["n_users"] for r in rows) == n_users
+    assert sum(r["n_users_last_active"] for r in rows) == n_users
+    assert sum(r["new_users"] for r in rows) == n_users
     assert all(r["staleness_days"] >= 0 for r in rows)
+    last = max(rows, key=lambda r: r["day"])
+    assert last["cumulative_users"] == n_users
+    for r in rows:
+        assert r["n_active_7d"] <= r["cumulative_users"]
 
 
 def test_s_curve_monotone_theory_and_rates_bounded(spark, sf_dir):

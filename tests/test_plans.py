@@ -624,13 +624,18 @@ def test_order_gaps_window_and_agg_share_key(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
-def test_cumulative_users_linear_not_expanding(spark, sf_dir):
-    """Cumulative distinct via first-occurrence: one user_id shuffle +
-    a bounded daily window — never an expanding COUNT(DISTINCT)
-    re-scan. No join anywhere."""
-    plan = _plan(spark, sf_dir, "cumulative_unique_users")
-    assert "Join" not in plan
+def test_user_curves_linear_not_expanding(spark, sf_dir):
+    """daily_user_curves (round-10 merge): first/last-occurrence
+    transforms + the 7-day forward fan-out — never an expanding or
+    sliding COUNT(DISTINCT) re-scan (no rangepartitioning window over
+    the corpus), joins only on the bounded daily frames, partial
+    aggregation map-side."""
+    plan = _plan(spark, sf_dir, "daily_user_curves")
     assert "partial_" in plan
+    assert "CartesianProduct" not in plan
+    # exactly one corpus-sized distinct (the shared ud frame is cached);
+    # every join key is day-cardinality, so no fact-sized SMJ exchanges
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
 def test_discount_corr_broadcast_and_partials(spark, sf_dir):
@@ -1026,12 +1031,13 @@ def test_events_cusum_single_exchange_jvm_only(spark, sf_dir):
 
 
 def test_basket_pairs_takeordered_no_cartesian(spark, sf_dir):
-    """The pair fan-out must be an equi-join on the basket key (never a
-    cartesian), dim name joins broadcast, and the top-k a TakeOrdered
-    rather than a global sort."""
-    plan = _plan(spark, sf_dir, "parts_bought_together")
+    """The basket pair fan-out must be an equi-join on the basket key
+    (never a cartesian) and the top-k a TakeOrdered rather than a
+    global sort (basket_rules absorbed parts_bought_together's pair
+    mining in the round-10 consolidation; the 1-row N attach is the
+    intended broadcast nested-loop)."""
+    plan = _plan(spark, sf_dir, "basket_rules")
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan.lower()
 
@@ -1214,10 +1220,10 @@ def test_median_ci_broadcast_sample_join(spark, sf_dir):
 
 
 def test_gini_ranks_without_global_sort(spark, sf_dir):
-    """Gini ranks spend via the two-level scheme — the customer frame
-    must not cross a SinglePartition exchange before the 1-row
-    moment aggregate."""
-    plan = _plan(spark, sf_dir, "revenue_gini")
+    """The merged Lorenz+Gini query ranks spend via the two-level
+    scheme — the customer frame must not cross a SinglePartition
+    exchange before the 1-row moment aggregate / decile rollup."""
+    plan = _plan(spark, sf_dir, "revenue_lorenz_gini")
     assert "rangepartitioning" in plan
 
 
@@ -1286,11 +1292,13 @@ def test_pr_audit_fullouter_equi_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_lorenz_ranks_without_global_sort(spark, sf_dir):
-    """Lorenz deciles rank via the two-level scheme; the only windows
-    run over the 10-row decile frame."""
-    plan = _plan(spark, sf_dir, "revenue_lorenz_deciles")
+def test_lorenz_gini_broadcast_scalar(spark, sf_dir):
+    """Lorenz deciles rank via the two-level scheme; the 1-row Gini
+    scalar attaches by broadcast; the only windows run over the 10-row
+    decile frame."""
+    plan = _plan(spark, sf_dir, "revenue_lorenz_gini")
     assert "rangepartitioning" in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_assortativity_no_cartesian_one_row_moments(spark, sf_dir):
@@ -1322,12 +1330,15 @@ def test_acf_lag_join_on_daily_frame(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
-def test_lexdiv_two_aggs_only(spark, sf_dir):
-    """Lexical diversity is explode -> (source,term) agg -> source
-    rollup: exactly two hash aggregate exchanges, nothing else."""
-    plan = _plan(spark, sf_dir, "lexical_diversity")
-    assert plan.count("Exchange hashpartitioning") <= 2
-    assert "Join" not in plan
+def test_text_profile_bounded_aggs(spark, sf_dir):
+    """source_text_profile (round-10 merge of lexical diversity +
+    readability): explode -> (source,term) agg -> source rollup plus
+    one regexp-count source aggregate, joined on source-cardinality
+    keys — no Python, no cartesian."""
+    plan = _plan(spark, sf_dir, "source_text_profile")
+    assert plan.count("Exchange hashpartitioning") <= 4
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
 def test_migration_two_rankings_no_global_sort(spark, sf_dir):
@@ -1561,7 +1572,10 @@ def test_bd_latency_no_calendar_explode(spark, sf_dir):
 
 
 def test_staleness_broadcast_max(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "user_staleness_histogram")
+    """The staleness readout now lives on daily_user_curves: the 1-row
+    dmax attaches by broadcast (nested-loop with a 1-row build side is
+    the intended fan-out), never a cartesian of real frames."""
+    plan = _plan(spark, sf_dir, "daily_user_curves")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 

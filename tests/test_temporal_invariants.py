@@ -43,9 +43,40 @@ def test_funnel_users_ordering(spark, sf_dir):
 
 
 def test_percentiles_monotone(spark, sf_dir):
-    for r in _QUERIES["event_value_percentiles"](spark, sf_dir).collect():
-        assert r.p25 <= r.p50 <= r.p75 <= r.p95
+    # events_value_stats absorbed event_value_percentiles (round 10)
+    for r in _QUERIES["events_value_stats"](spark, sf_dir).collect():
+        assert r.p25 <= r.p50 <= r.p75 <= r.p90 <= r.p95 <= r.p99
         assert r.n > 0
+
+
+def test_pivot_unpivot_roundtrip(spark, sf_dir):
+    """The stack()-based melt is the exact inverse of the pivot: the
+    former events_unpivot_daily (unregistered in the round-10
+    consolidation) survives as this pin — wide pivot -> stack equals
+    the long-form conditional counts computed directly."""
+    from pyspark.sql import functions as F
+
+    ev = table(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("event_day"))
+        .pivot("event_type", ["click", "view"])
+        .agg(F.count(F.lit(1)))
+    )
+    melted = wide.select(
+        "event_day",
+        F.expr("stack(2, 'click', click, 'view', view) AS (kind, n)"),
+    ).filter(F.col("n").isNotNull())
+    direct = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .groupBy(
+            F.to_date(F.date_trunc("day", "ts")).alias("event_day"),
+            F.col("event_type").alias("kind"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    got = sorted(map(tuple, melted.collect()))
+    want = sorted(map(tuple, direct.collect()))
+    assert got == want
 
 
 def test_rollup_day_equals_hour_sum(spark, sf_dir):
@@ -70,7 +101,7 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
         r.event_type: r.n
         for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
     }
-    rows = _QUERIES["users_approx_distinct"](spark, sf_dir).collect()
+    rows = _QUERIES["events_sketch_certificates"](spark, sf_dir).collect()
     assert {r.event_type for r in rows} == set(exact)
     for r in rows:
         assert r.exact_users == exact[r.event_type]
@@ -78,10 +109,10 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
 
 
 def test_approx_quantiles_near_exact(spark, sf_dir):
-    """The query's sketch-accuracy certificate holds and its exact
-    percentiles match the exact-percentile query."""
-    exact = {r.event_type: r for r in _QUERIES["event_value_percentiles"](spark, sf_dir).collect()}
-    rows = _QUERIES["value_approx_quantiles"](spark, sf_dir).collect()
+    """The merged sketch query's accuracy certificate holds and its
+    exact percentiles match the exact-percentile stats profile."""
+    exact = {r.event_type: r for r in _QUERIES["events_value_stats"](spark, sf_dir).collect()}
+    rows = _QUERIES["events_sketch_certificates"](spark, sf_dir).collect()
     assert {r.event_type for r in rows} == set(exact)
     for r in rows:
         e = exact[r.event_type]
@@ -155,3 +186,21 @@ def test_cusum_closed_form_equals_sequential_recurrence(spark, sf_dir):
             assert abs(stat - want_stat) < 1e-9, (uid, r.event_id, stat, want_stat)
             n_checked += 1
     assert n_checked == len(got) and n_checked > 0
+
+
+def test_quartiles_exact_tier_equals_ranked(spark, sf_dir):
+    """The unregistered ntile(4) spec tier (round-10 consolidation)
+    must stay value-identical to the registered two-level-ranking
+    scale tier that carries their shared oracle."""
+    from data_pipeline_playground_spark.queries.analytics import (
+        customer_spend_quartiles,
+    )
+
+    exact = sorted(map(tuple, customer_spend_quartiles(spark, sf_dir).collect()))
+    ranked = sorted(
+        map(
+            tuple,
+            _QUERIES["customer_spend_quartiles_ranked"](spark, sf_dir).collect(),
+        )
+    )
+    assert exact == ranked
