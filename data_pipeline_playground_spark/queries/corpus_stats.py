@@ -199,7 +199,7 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXSUB_MIN_TOKENS = 16  # report spans at least this many tokens
 EXSUB_MAX_OCC = 64  # heavy-hitter guard: skip window texts beyond this
 
-_EXSUB_SQL = f"""
+_EXSUB_CTES = f"""
 WITH t AS (
   SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
   WHERE len({_SQL_TOKENS}) >= {SPAN_W}
@@ -229,15 +229,61 @@ isl AS (
          pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
                                  ORDER BY pa) AS grp
   FROM pairs
+),
+spans AS (
+  SELECT doc_a, doc_b,
+         CAST(min(pa) AS BIGINT) AS pos_a,
+         CAST(min(pb) AS BIGINT) AS pos_b,
+         CAST(count(*) + {SPAN_W} - 1 AS BIGINT) AS span_tokens
+  FROM isl
+  GROUP BY doc_a, doc_b, pa - pb, grp
+  HAVING count(*) + {SPAN_W} - 1 >= {EXSUB_MIN_TOKENS}
+)"""
+
+_EXSUB_SQL = (
+    _EXSUB_CTES
+    + "\nSELECT doc_a, doc_b, pos_a, pos_b, span_tokens FROM spans\n"
 )
-SELECT doc_a, doc_b,
-       CAST(min(pa) AS BIGINT) AS pos_a,
-       CAST(min(pb) AS BIGINT) AS pos_b,
-       CAST(count(*) + {SPAN_W} - 1 AS BIGINT) AS span_tokens
-FROM isl
-GROUP BY doc_a, doc_b, pa - pb, grp
-HAVING count(*) + {SPAN_W} - 1 >= {EXSUB_MIN_TOKENS}
+
+# ExactSubstr REMOVAL half (Lee et al. 2022 §4; VERDICT r8 #5 / r9 #5):
+# for every duplicated span the LATER occurrence (the b side — larger
+# doc_id, or larger position within a doc) is excised, so the earliest
+# copy is the one the corpus keeps. Covered token positions are
+# exploded and DISTINCT-deduped (overlapping spans merge for free —
+# no interval-union window needed), then each doc's kept tokens are a
+# pure JVM index-filter over its token array: no token-level shuffle,
+# no reassembly sort — the only corpus-shaped work is the spans
+# pipeline itself plus one doc-keyed join of the (small) removal lists.
+_EXSUB_REMOVED_SQL = (
+    _EXSUB_CTES
+    + f""",
+rem AS (
+  SELECT DISTINCT doc_b AS doc_id,
+         CAST(unnest(range(pos_b, pos_b + span_tokens)) AS BIGINT) AS p
+  FROM spans
+),
+remlist AS (
+  SELECT doc_id, list(p ORDER BY p) AS rem_ps,
+         CAST(count(*) AS BIGINT) AS tokens_removed
+  FROM rem GROUP BY doc_id
+),
+alld AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents)
+SELECT d.doc_id,
+       CAST(len(d.toks) AS BIGINT) AS tokens_in,
+       COALESCE(r.tokens_removed, 0) AS tokens_removed,
+       CAST(len(d.toks) - COALESCE(r.tokens_removed, 0) AS BIGINT)
+         AS tokens_out,
+       COALESCE(array_to_string(
+         CASE WHEN r.doc_id IS NULL THEN d.toks
+              ELSE list_filter(d.toks,
+                     (x, i) -> NOT list_contains(r.rem_ps,
+                                                 CAST(i AS BIGINT)))
+         END, ' '), '') AS text_clean
+       -- COALESCE: DuckDB array_to_string([]) is NULL while Spark's
+       -- array_join([]) is '' — fully-excised docs must agree
+FROM alld d LEFT JOIN remlist r USING (doc_id)
 """
+)
 
 
 @query("exact_substr_spans", oracle=_EXSUB_SQL)
@@ -308,6 +354,59 @@ def exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("span_tokens") >= EXSUB_MIN_TOKENS)
         .select("doc_a", "doc_b", "pos_a", "pos_b", "span_tokens")
+    )
+
+
+@query("exact_substr_removed", oracle=_EXSUB_REMOVED_SQL)
+def exact_substr_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL half of ExactSubstr dedup (Lee et al. 2022 §4 —
+    VERDICT r8 #5): every document rewritten with its duplicated spans
+    excised. For each maximal span pair from exact_substr_spans the
+    LATER occurrence (the b side: larger doc_id, or larger position
+    within one doc) is removed, so the corpus keeps exactly the
+    earliest copy of every duplicated substring. Emits per-doc token
+    conservation columns — tokens_out + tokens_removed = tokens_in is
+    pinned in tests (tests/test_dedup.py::test_exact_substr_removal_conserves_tokens).
+
+    Scale shape: covered positions explode from the (small) span
+    frame and DISTINCT-dedupe, so overlapping spans merge without an
+    interval-union window; each doc's kept tokens are then a pure JVM
+    index-filter over its token array (no token-level shuffle, no
+    reassembly sort) — the corpus-shaped work is the spans pipeline
+    plus one doc-keyed left join of removal-position lists. Per-doc
+    removal lists are bounded by document length, never corpus-sized.
+    """
+    docs = table(spark, sf_dir, "documents")
+    spans = exact_substr_spans(spark, sf_dir)
+    rem = spans.select(
+        F.col("doc_b").alias("doc_id"),
+        F.explode(
+            F.sequence(
+                F.col("pos_b"), F.col("pos_b") + F.col("span_tokens") - 1
+            )
+        ).alias("p"),
+    ).distinct()
+    remlist = rem.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("p")).alias("rem_ps"),
+        F.count(F.lit(1)).cast("bigint").alias("removed"),
+    )
+    d = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    j = d.join(remlist, "doc_id", "left")
+    kept = F.when(F.col("rem_ps").isNull(), F.col("toks")).otherwise(
+        F.filter(
+            F.col("toks"),
+            lambda x, i: ~F.array_contains(
+                F.col("rem_ps"), (i + F.lit(1)).cast("bigint")
+            ),
+        )
+    )
+    removed0 = F.coalesce(F.col("removed"), F.lit(0)).cast("bigint")
+    return j.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("tokens_in"),
+        removed0.alias("tokens_removed"),
+        (F.size("toks").cast("bigint") - removed0).alias("tokens_out"),
+        F.array_join(kept, " ").alias("text_clean"),
     )
 
 

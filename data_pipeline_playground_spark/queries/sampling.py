@@ -427,7 +427,8 @@ FUNNEL_QUALITY_MIN = 0.32  # ≈ lower quartile of quality_score
 FUNNEL_LANG = "en"
 
 _FUNNEL_STAGES = (
-    "raw", "quality", "lang", "dedup", "decontaminated", "train",
+    "raw", "quality", "lang", "dedup", "span_dedup", "decontaminated",
+    "train",
 )
 
 
@@ -455,8 +456,11 @@ def _build_funnel_sql() -> str:
         "quality": "q_ok",
         "lang": "q_ok AND lang_ok",
         "dedup": "q_ok AND lang_ok AND NOT is_dup",
-        "decontaminated": "q_ok AND lang_ok AND NOT is_dup AND NOT is_con",
-        "train": "q_ok AND lang_ok AND NOT is_dup AND NOT is_con AND is_train",
+        "span_dedup": "q_ok AND lang_ok AND NOT is_dup AND NOT is_span_dup",
+        "decontaminated": "q_ok AND lang_ok AND NOT is_dup"
+        " AND NOT is_span_dup AND NOT is_con",
+        "train": "q_ok AND lang_ok AND NOT is_dup AND NOT is_span_dup"
+        " AND NOT is_con AND is_train",
     }
     aggs = ", ".join(
         f"CAST(count(*) FILTER (WHERE {conds[s]}) AS BIGINT) AS n{i}, "
@@ -469,9 +473,22 @@ def _build_funnel_sql() -> str:
         f"n{i} AS n_docs, c{i} AS n_chars FROM agg"
         for i, s in enumerate(_FUNNEL_STAGES, start=1)
     )
+    from data_pipeline_playground_spark.queries.corpus_stats import (
+        _EXSUB_CTES,
+    )
+
+    # splice the ExactSubstr span CTE chain in after the minhash chain
+    # (CTE names are disjoint: t/w/occ/keep/pairs/isl/spans vs
+    # ex/hh/params/sig/bands/cand/est and the funnel's own names) —
+    # same shared-SQL-fragment discipline as the other gates, so the
+    # funnel certifies the COMPOSITION of the oracle-checked operators
+    exsub_body = _EXSUB_CTES.replace("WITH ", "", 1).strip()
     return (
         _MINHASH_CTES
+        + ",\n"
+        + exsub_body
         + f""",
+spandup AS (SELECT DISTINCT doc_b AS doc_id FROM spans),
 dup AS (SELECT DISTINCT ci AS doc_id FROM est WHERE sim >= {SIM_THRESHOLD}),
 cex AS (SELECT doc_id, unnest({sh}) AS g FROM documents),
 bench AS (SELECT DISTINCT g FROM cex WHERE doc_id < {BENCH_SET_MAX_ID}),
@@ -490,11 +507,13 @@ flags AS (
          {SQL_QUALITY_EXPR} >= {FUNNEL_QUALITY_MIN} AS q_ok,
          ({_LANG_BEST_SQL}) = '{FUNNEL_LANG}' AS lang_ok,
          dup.doc_id IS NOT NULL AS is_dup,
+         spandup.doc_id IS NOT NULL AS is_span_dup,
          (qt.doc_id < {BENCH_SET_MAX_ID} OR hits.doc_id IS NOT NULL) AS is_con,
          {_SPLIT_BUCKET} < {TRAIN_PCT} AS is_train
   FROM qt
   JOIN lm USING (doc_id)
   LEFT JOIN dup ON dup.doc_id = qt.doc_id
+  LEFT JOIN spandup ON spandup.doc_id = qt.doc_id
   LEFT JOIN hits ON hits.doc_id = qt.doc_id
 ),
 agg AS (SELECT {aggs} FROM flags)
@@ -554,6 +573,20 @@ def corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("dup1", F.lit(1))
     )
+    # ExactSubstr span gate (VERDICT r8 #6): docs carrying a duplicated
+    # span whose canonical (earliest) copy lives elsewhere — the b side
+    # of exact_substr_spans, same shared operator as the standalone
+    # oracle-checked query and exact_substr_removed
+    from data_pipeline_playground_spark.queries.corpus_stats import (
+        exact_substr_spans,
+    )
+
+    sdup = (
+        exact_substr_spans(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("sd1", F.lit(1))
+    )
     con = (
         decontaminate_overlap(spark, sf_dir)
         .select("doc_id")
@@ -561,8 +594,10 @@ def corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     f = (
         flags.join(dup, "doc_id", "left")
+        .join(sdup, "doc_id", "left")
         .join(con, "doc_id", "left")
         .withColumn("is_dup", F.col("dup1").isNotNull())
+        .withColumn("is_span_dup", F.col("sd1").isNotNull())
         .withColumn(
             "is_con",
             (F.col("doc_id") < BENCH_SET_MAX_ID) | F.col("con1").isNotNull(),
@@ -573,10 +608,12 @@ def corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality": F.col("q_ok"),
         "lang": F.col("q_ok") & F.col("lang_ok"),
         "dedup": F.col("q_ok") & F.col("lang_ok") & ~F.col("is_dup"),
+        "span_dedup": F.col("q_ok") & F.col("lang_ok") & ~F.col("is_dup")
+        & ~F.col("is_span_dup"),
         "decontaminated": F.col("q_ok") & F.col("lang_ok")
-        & ~F.col("is_dup") & ~F.col("is_con"),
+        & ~F.col("is_dup") & ~F.col("is_span_dup") & ~F.col("is_con"),
         "train": F.col("q_ok") & F.col("lang_ok") & ~F.col("is_dup")
-        & ~F.col("is_con") & F.col("is_train"),
+        & ~F.col("is_span_dup") & ~F.col("is_con") & F.col("is_train"),
     }
     aggs = []
     for i, s in enumerate(_FUNNEL_STAGES, start=1):

@@ -293,9 +293,13 @@ FROM events GROUP BY event_type
 """
 
 
-@query("event_value_median_udaf", oracle=_MEDIAN_UDAF_SQL)
 def event_value_median_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact per-type median through a GROUPED_AGG pandas UDF — the
+    """UNREGISTERED (round-10 consolidation): the GROUPED_AGG pandas
+    UDAF surface stays pinned value-equal to events_value_stats' p50 in
+    tests/test_temporal_invariants.py::test_median_udaf_matches_stats;
+    the registry keeps the built-in percentile path only.
+
+    Exact per-type median through a GROUPED_AGG pandas UDF — the
     Arrow aggregate-UDF surface (each group's column ships to Python
     as one Arrow batch; built-in `percentile` stays the production
     path, this pins the extension point). Median is selection + one

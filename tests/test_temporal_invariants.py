@@ -204,3 +204,25 @@ def test_quartiles_exact_tier_equals_ranked(spark, sf_dir):
         )
     )
     assert exact == ranked
+
+
+def test_median_udaf_matches_stats(spark, sf_dir):
+    """The GROUPED_AGG pandas-UDAF surface (unregistered in the
+    round-10 consolidation) stays value-identical to the built-in
+    percentile path in events_value_stats."""
+    from data_pipeline_playground_spark.queries.temporal import (
+        event_value_median_udaf,
+    )
+
+    udaf = {
+        r.event_type: (r.n, r.median_value)
+        for r in event_value_median_udaf(spark, sf_dir).collect()
+    }
+    stats = {
+        r.event_type: (r.n, r.p50)
+        for r in _QUERIES["events_value_stats"](spark, sf_dir).collect()
+    }
+    assert set(udaf) == set(stats)
+    for k, (n, med) in udaf.items():
+        assert n == stats[k][0]
+        assert round(med, 6) == stats[k][1]
