@@ -117,20 +117,99 @@ def _minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     return memo(spark, "minhash_est", sf_dir, build)
 
 
+def _grams_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized sampled (doc_id, shingle-string) frame — the ONE
+    tokenize + n-gram pass both sampled-audit sides derive their hashes
+    from: the signature side projects the oracle-portable rolling_hash
+    (DuckDB must mirror the permutation mins), the truth side projects
+    xxhash64 join keys (engine-local, values never cross engines).
+    Round-10 profiling showed the audit tiers' cost is NOT the truth
+    join (K=2→4 moved only ~20%) but the serialized doc-linear builds —
+    two independent tokenize+shingle scans of the same sub-corpus, each
+    ~0.5 s at sf0.1, plus their eager cache materializations running
+    back-to-back. Sharing the scan removes one of them outright."""
+    from data_pipeline_playground_spark.caching import memo
+
+    def build():
+        shuffle_n = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        docs = table(spark, sf_dir, "documents").where(
+            _doc_sample_pred(F.col("doc_id"))
+        )
+        from data_pipeline_playground_spark.functions.text import word_ngrams
+
+        g = (
+            docs.repartition(shuffle_n)
+            .select(
+                "doc_id",
+                F.explode(
+                    word_ngrams(tokenize(F.col("text")), SHINGLE_N)
+                ).alias("sh"),
+            )
+            .cache()
+        )
+        g.count()
+        return g
+
+    return memo(spark, "grams_sampled", sf_dir, build)
+
+
+def _audit_builds_sampled(spark: SparkSession, sf_dir: str, threshold):
+    """(pred_est, truth_pairs) for a sampled audit tier, with the two
+    independent eager cache materializations submitted CONCURRENTLY
+    (Spark schedules jobs from separate driver threads side by side —
+    the builds are independent stages over the shared cached grams
+    frame, so overlapping them converts ~0.9 s of serial wall-clock
+    into max() of the two). The shared grams memo is built FIRST,
+    serially: caching.memo is a plain dict and must not race on one
+    key."""
+    import threading
+
+    _grams_sampled(spark, sf_dir)
+    out: dict = {}
+    err: dict = {}
+
+    def _pred():
+        try:
+            out["pred"] = _minhash_est_sampled(spark, sf_dir)
+        except Exception as exc:  # noqa: BLE001 — re-raised on the caller
+            err["pred"] = exc
+
+    def _truth():
+        try:
+            out["truth"] = _exact_jaccard_pairs(
+                spark, sf_dir, threshold, doc_pred=_doc_sample_pred
+            )
+        except Exception as exc:  # noqa: BLE001
+            err["truth"] = exc
+
+    ts = [threading.Thread(target=_pred), threading.Thread(target=_truth)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    if err:
+        raise next(iter(err.values()))
+    return out["pred"], out["truth"]
+
+
 def _minhash_est_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`_minhash_est` over the deterministic document hash-sample (see
     the sampled-truth audit tiers below). Band-key candidacy and
     signature similarity are PAIRWISE properties, so the sub-corpus
     pipeline's pair set equals the full pipeline's pair set restricted
     to sampled endpoints — running it on half the docs is strictly
-    cheaper with identical audit semantics."""
+    cheaper with identical audit semantics. Signatures derive from the
+    shared `_grams_sampled` scan (rolling_hash projection — identical
+    values to `shingle_hashes` on the filtered corpus)."""
     from data_pipeline_playground_spark.caching import memo
 
     def build():
-        docs = table(spark, sf_dir, "documents").where(
-            _doc_sample_pred(F.col("doc_id"))
+        hashes = _grams_sampled(spark, sf_dir).select(
+            "doc_id", rolling_hash(F.col("sh")).alias("h")
         )
-        sig = signatures(spark, shingle_hashes(docs)).cache()
+        sig = signatures(spark, hashes).cache()
         sig.count()
         cand = candidate_pairs(band_keys(sig))
         return estimated_similarity(cand, sig).cache()
@@ -453,6 +532,20 @@ def _shingle_hash_ex(spark: SparkSession, sf_dir: str,
     from data_pipeline_playground_spark.caching import memo
 
     def build():
+        if doc_pred is _doc_sample_pred:
+            # the sampled audit tiers: derive from the shared cached
+            # grams scan instead of a second tokenize+shingle pass —
+            # identical shingle strings (both are space-joined
+            # consecutive-token n-grams), distinct applies after the
+            # hash projection exactly as below
+            ex = (
+                _grams_sampled(spark, sf_dir)
+                .select("doc_id", F.xxhash64("sh").alias("sh"))
+                .distinct()
+                .cache()
+            )
+            ex.count()
+            return ex
         docs = table(spark, sf_dir, "documents")
         if doc_pred is not None:
             docs = docs.where(doc_pred(F.col("doc_id")))
@@ -948,16 +1041,27 @@ def lsh_s_curve_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SAMPLE_P = 2147483647  # 2^31 - 1 (prime modulus)
 _SAMPLE_MULT = 1327217885  # ≈ P · (golden ratio − 1)
-# keep 1/4 of docs -> ~1/16 of truth-join work. Raised 2 -> 4 in r9:
-# clean profiling showed the PAIR-quadratic PPJoin truth join (~3.6 s of
-# the 5.6 s clean total at K=2), not the doc-linear shingle/signature
-# builds (~1.3 s warm), dominates — K is the audit's cost dial and ÷4
-# pair work is EXPECTED to meet the ≤2 s bar (VERDICT r8 #2); the K=2
-# clean readings were 4.62/5.58 s and the K=4 configuration is
-# measured fresh (no pre-rewrite min-merge) in BENCH_local_r10a+. The
-# P/R and per-decile catch-rate estimates stay unbiased at any K; only
-# their variance grows (fewer sampled truth pairs), which is the
-# documented trade of the production tier at 100 TB.
+# keep 1/4 of docs -> ~1/16 of truth-join work. Raised 2 -> 4 in r9 on
+# the theory that the PPJoin truth join dominated; round-10 MEASUREMENT
+# refuted that theory: K=2 -> 4 moved the clean timings only ~20%
+# (5.58/4.62 s -> 4.44/3.77 s, BENCH_local_r10a, fresh — no
+# pre-rewrite min-merge), and a stage decomposition at sf0.1 shows the
+# cost is the SERIAL doc-linear machinery, not pair work: sampled
+# tokenize+shingle scan ~0.5 s, 64-permutation signature aggregate
+# ~0.5 s, band/cand/est joins ~0.7 s, truth-side rank/prefix/verify
+# ~1.2 s, plus eager cache materializations between them. Round 10
+# therefore (a) shares ONE memoized shingle-string scan between the
+# signature side (rolling_hash projection) and the truth side
+# (xxhash64 keys) and (b) overlaps the two independent builds from
+# concurrent driver threads (_audit_builds_sampled) — clean ~3.9 s,
+# from 4.4. The residual is fixed pipeline depth, so K is NOT the
+# dial at sf0.1 and the r8 ≤2 s bar is not reachable at this SF
+# without changing what the audit computes; the tier's 100 TB case
+# rests on the MEASURED scale exponents instead (0.30/0.34 at the
+# 10x probe — SCALE.md exponent table), which is the evidence that
+# matters at 1000 executors. The P/R and per-decile catch-rate
+# estimates stay unbiased at any K; only their variance grows (fewer
+# sampled truth pairs), the documented trade of the production tier.
 TRUTH_SAMPLE_K = 4
 
 
@@ -1058,14 +1162,13 @@ def dedup_pr_audit_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_s = docs.where(_doc_sample_pred(F.col("doc_id"))).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs_sampled")
     )
-    pred = (
-        _minhash_est_sampled(spark, sf_dir)
-        .filter(F.col("sim") >= SIM_THRESHOLD)
-        .select("ci", "cj")
+    est, truth_pairs = _audit_builds_sampled(
+        spark, sf_dir, JACCARD_THRESHOLD
     )
-    truth = _exact_jaccard_pairs(
-        spark, sf_dir, JACCARD_THRESHOLD, doc_pred=_doc_sample_pred
-    ).select(F.col("ci").alias("tci"), F.col("cj").alias("tcj"))
+    pred = est.filter(F.col("sim") >= SIM_THRESHOLD).select("ci", "cj")
+    truth = truth_pairs.select(
+        F.col("ci").alias("tci"), F.col("cj").alias("tcj")
+    )
     m = (
         pred.join(
             truth,
@@ -1153,18 +1256,15 @@ def lsh_s_curve_audit_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise) — so a sampled truth pair is never miscounted, and the
     signature build halves along with the truth join.
     """
-    truth = _exact_jaccard_pairs(
-        spark, sf_dir, S_CURVE_MIN_J, doc_pred=_doc_sample_pred
-    ).select(
+    est, truth_pairs = _audit_builds_sampled(spark, sf_dir, S_CURVE_MIN_J)
+    truth = truth_pairs.select(
         "ci",
         "cj",
         F.expr("CAST(floor(jaccard * 10.0) AS INT)").alias("j_band"),
     )
-    caught = (
-        _minhash_est_sampled(spark, sf_dir)
-        .select(F.col("ci").alias("mci"), F.col("cj").alias("mcj"))
-        .distinct()
-    )
+    caught = est.select(
+        F.col("ci").alias("mci"), F.col("cj").alias("mcj")
+    ).distinct()
     m = truth.join(
         caught,
         (F.col("mci") == F.col("ci")) & (F.col("mcj") == F.col("cj")),
