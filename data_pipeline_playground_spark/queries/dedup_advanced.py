@@ -1053,8 +1053,13 @@ _SAMPLE_MULT = 1327217885  # ≈ P · (golden ratio − 1)
 # therefore (a) shares ONE memoized shingle-string scan between the
 # signature side (rolling_hash projection) and the truth side
 # (xxhash64 keys) and (b) overlaps the two independent builds from
-# concurrent driver threads (_audit_builds_sampled) — clean ~3.9 s,
-# from 4.4. The residual is fixed pipeline depth, so K is NOT the
+# concurrent driver threads (_audit_builds_sampled). Post-rewrite
+# clean re-measurement (3 probe-flanked repeats, min): pr_audit 4.2 s,
+# s_curve 4.8 s — roughly flat vs the pre-rewrite 4.4/3.8 s; the
+# shared scan + overlap bought back only what the shared memo's extra
+# materialization costs. The residual is fixed pipeline depth, so
+# neither K nor scan sharing is the dial at sf0.1 and the r8 ≤2 s bar
+# is not reachable at this SF
 # dial at sf0.1 and the r8 ≤2 s bar is not reachable at this SF
 # without changing what the audit computes; the tier's 100 TB case
 # rests on the MEASURED scale exponents instead (0.30/0.34 at the

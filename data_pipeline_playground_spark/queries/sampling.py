@@ -529,13 +529,27 @@ def corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the naive funnel materializes six intermediate
     corpora (six scans + six writes); this computes every frontier in
-    ONE pass — quality, language, and split gates are narrow
+    ONE corpus pass — quality, language, and split gates are narrow
     expressions on the same scan (shared Column helpers with the
-    standalone queries), the dedup and contamination drop-sets arrive
-    as two doc_id equi-joins, and all six (docs, chars) pairs fall out
-    of a single global aggregate (12 combinable sums) unpivoted with
-    stack(). Nothing here grows with corpus size except the two
-    drop-set joins, both bounded by the dup/contaminated population.
+    standalone queries), the dedup / span-dedup / contamination
+    drop-sets arrive as three doc_id equi-joins, and all seven
+    (docs, chars) pairs fall out of a single global aggregate (14
+    combinable sums) unpivoted with stack(). Nothing here grows with
+    corpus size except the drop-set joins, each bounded by its
+    dropped population.
+
+    The three drop-sets are EAGERLY materialized (cache + count) as
+    their own jobs before the final pass, for two measured reasons:
+    (1) each gate then executes the same subplan its standalone
+    oracle-checked query compiles, so generated-code classes are
+    shared; the single composed plan was 19.6 s on first execution
+    vs ~5.2 s as the sum of its parts (whole-stage codegen compiles
+    a fresh giant class per AQE-resolved plan shape, and the sf0.001
+    warmup compiles DIFFERENT shapes than sf0.1 — the JIT-cliff
+    cousin documented in SCALE.md); (2) at 100 TB the drop-lists are
+    exactly what a real pipeline persists for audit/idempotent
+    re-runs, and each tiny cached doc_id set broadcasts into the
+    final scan instead of sort-merge-joining it.
     """
     from data_pipeline_playground_spark.functions.text import tokenize
     from data_pipeline_playground_spark.operators.minhash import SIM_THRESHOLD
@@ -592,10 +606,14 @@ def corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .withColumn("con1", F.lit(1))
     )
+    # eager drop-list materialization — see docstring (codegen-unit
+    # isolation + broadcastable tiny sets; persisted lists at 100 TB)
+    for gate in (dup, sdup, con):
+        gate.cache().count()
     f = (
-        flags.join(dup, "doc_id", "left")
-        .join(sdup, "doc_id", "left")
-        .join(con, "doc_id", "left")
+        flags.join(F.broadcast(dup), "doc_id", "left")
+        .join(F.broadcast(sdup), "doc_id", "left")
+        .join(F.broadcast(con), "doc_id", "left")
         .withColumn("is_dup", F.col("dup1").isNotNull())
         .withColumn("is_span_dup", F.col("sd1").isNotNull())
         .withColumn(

@@ -58,6 +58,17 @@ PROBE_QUERIES = [
     "ann_pq_topk",
     "mutual_nn_pairs",
     "news_pipeline",
+    # round-10 additions: the new ExactSubstr removal half, the
+    # span-gated funnel composition, and the heaviest doc/embedding
+    # queries the first probe run left uncovered
+    "exact_substr_removed",
+    "corpus_funnel",
+    "decontaminate_overlap",
+    "news_summaries",
+    "dedup_fuzzy_greedy",
+    "lda_doc_topics",
+    "power_iteration_clusters",
+    "winnow_matches",
 ]
 
 
@@ -97,7 +108,16 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--replicas", type=int, default=10)
     p.add_argument("--out", default="/tmp/scale10")
+    p.add_argument(
+        "--only",
+        default="",
+        help="comma-separated subset of PROBE_QUERIES to run",
+    )
     args = p.parse_args()
+    if args.only:
+        picked = [s for s in args.only.split(",") if s]
+        global PROBE_QUERIES
+        PROBE_QUERIES = [n for n in PROBE_QUERIES if n in picked]
 
     from data_pipeline_playground_spark.registry import all_queries
     from data_pipeline_playground_spark.session import get_spark
