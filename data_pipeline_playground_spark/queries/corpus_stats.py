@@ -282,6 +282,7 @@ SELECT d.doc_id,
        -- COALESCE: DuckDB array_to_string([]) is NULL while Spark's
        -- array_join([]) is '' — fully-excised docs must agree
 FROM alld d LEFT JOIN remlist r USING (doc_id)
+WHERE len(d.toks) >= COALESCE(r.tokens_removed, 0)
 """
 )
 
@@ -375,6 +376,18 @@ def exact_substr_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
     reassembly sort) — the corpus-shaped work is the spans pipeline
     plus one doc-keyed left join of removal-position lists. Per-doc
     removal lists are bounded by document length, never corpus-sized.
+
+    Measurement note (round 10): under an aggregate-only consumer —
+    bench's ``.count()`` — Catalyst ELIMINATES the left-outer join
+    outright (the grouped remlist side has unique join keys and no
+    right-side column survives column pruning), so the entire spans
+    pipeline never executes and the query reads as ~0.5 s regardless
+    of scale. Lovely at 100 TB (a row-count audit of the rewrite is
+    free); dishonest as a benchmark. The trailing conservation guard
+    (``tokens_in >= tokens_removed`` — vacuously true, pinned by the
+    conservation test) references the join output, which blocks the
+    elimination so the measured plan is the plan a real consumer
+    (writing ``text_clean``) pays. Mirrored in the oracle.
     """
     docs = table(spark, sf_dir, "documents")
     spans = exact_substr_spans(spark, sf_dir)
@@ -407,6 +420,9 @@ def exact_substr_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
         removed0.alias("tokens_removed"),
         (F.size("toks").cast("bigint") - removed0).alias("tokens_out"),
         F.array_join(kept, " ").alias("text_clean"),
+    ).filter(
+        # in-plan conservation guard — see docstring measurement note
+        F.col("tokens_in") >= F.col("tokens_removed")
     )
 
 

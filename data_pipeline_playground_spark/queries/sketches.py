@@ -257,7 +257,12 @@ _CI_MOD = 1_000_000_007
 _MEDIAN_CI_SQL = f"""
 WITH ev AS (
   SELECT event_type, event_id, value,
-         (event_id * {_CI_MULT}) % {_CI_MOD} AS h
+         ((event_id % {_CI_MOD}) * {_CI_MULT}) % {_CI_MOD} AS h
+         -- event_id reduced mod P BEFORE the multiply: the raw
+         -- product overflows int64 for event_id ≥ ~3.5e9 (found by
+         -- the round-10 events scale probe under ANSI mode); the
+         -- reduced form caps it at ~2.65e18 < 2^62 and selects the
+         -- SAME sample for any event_id < P
   FROM events WHERE value IS NOT NULL
 ),
 samp AS (
@@ -347,7 +352,12 @@ def event_value_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     window order statistics over ≤ n rows.
     """
     ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
-    h = (F.col("event_id") * F.lit(_CI_MULT)) % F.lit(_CI_MOD)
+    # event_id % P first — the raw product overflows int64 for ids
+    # ≥ ~3.5e9 under ANSI mode (round-10 events scale probe); same
+    # sample for any event_id < P, mirrored in the oracle
+    h = (
+        F.pmod(F.col("event_id"), F.lit(_CI_MOD)) * F.lit(_CI_MULT)
+    ) % F.lit(_CI_MOD)
     from pyspark.sql import Window
 
     w_s = Window.partitionBy("event_type").orderBy(h.asc(), F.col("event_id"))

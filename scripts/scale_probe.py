@@ -69,6 +69,19 @@ PROBE_QUERIES = [
     "lda_doc_topics",
     "power_iteration_clusters",
     "winnow_matches",
+    # round-10 events-family probes (events replicate as disjoint user
+    # populations — see build_corpus): windows/temporal/attribution
+    # queries that the doc-only probe could not exercise
+    "value_ks_drift",
+    "daily_user_curves",
+    "event_mix_chi2",
+    "event_value_median_ci",
+    "error_burst_runs",
+    "purchases_asof_click_cogroup",
+    "session_conversion",
+    "events_throttle_1h",
+    "interarrival_burstiness",
+    "attribution_ushape",
 ]
 
 
@@ -76,6 +89,13 @@ def build_corpus(out: str, replicas: int) -> None:
     import duckdb
 
     os.makedirs(out, exist_ok=True)
+    # a prior probe run symlinked events.parquet to the read-only
+    # testdata; COPY TO through a stale symlink would try to write the
+    # link TARGET — unlink any existing entry for the generated files
+    for t in ("documents", "embeddings", "events"):
+        dst = f"{out}/{t}.parquet"
+        if os.path.lexists(dst):
+            os.unlink(dst)
     con = duckdb.connect()
     reps = " UNION ALL ".join(
         f"""SELECT doc_id + {r * ID_OFFSET} AS doc_id,
@@ -97,8 +117,22 @@ def build_corpus(out: str, replicas: int) -> None:
         for r in range(replicas)
     )
     con.execute(f"COPY ({ereps}) TO '{out}/embeddings.parquet' (FORMAT PARQUET)")
+    # events replicate as DISJOINT USER POPULATIONS over the same time
+    # range (user_id + r·10⁷, event_id + r·10⁹, ts untouched): per-user
+    # session/funnel/as-of structure is preserved exactly, user-keyed
+    # work scales ×R, and time-bucketed aggregates see R× rows per
+    # bucket — the realistic growth mode (more users, same horizon).
+    evreps = " UNION ALL ".join(
+        f"""SELECT event_id + CAST({r} AS BIGINT) * 1000000000 AS event_id,
+               ts,
+               user_id + {r * ID_OFFSET} AS user_id,
+               event_type, value, props
+            FROM read_parquet('{SF1}/events.parquet')"""
+        for r in range(replicas)
+    )
+    con.execute(f"COPY ({evreps}) TO '{out}/events.parquet' (FORMAT PARQUET)")
     for t in ("region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem", "events"):
+              "orders", "lineitem"):
         dst = f"{out}/{t}.parquet"
         if not os.path.exists(dst):
             os.symlink(f"{SF1}/{t}.parquet", dst)

@@ -181,6 +181,28 @@ def test_exact_substr_removal_conserves_tokens(spark, sf_dir):
     assert out.filter(F.col("tokens_removed") > 0).count() > 0
 
 
+def test_exact_substr_removed_plan_keeps_spans_join(spark, sf_dir):
+    """Measurement-honesty pin (round 10): under an aggregate-only
+    consumer Catalyst can ELIMINATE the removal's left-outer join (the
+    grouped remlist side has unique keys), skipping the entire spans
+    pipeline — count() then measures a degenerate plan (~0.5 s at any
+    scale). The in-plan conservation guard blocks that; this pin fails
+    if a refactor drops the guard: the optimized count() plan must
+    still contain the spans machinery (a Window over the duplicated
+    window texts and the remlist aggregation's join)."""
+    from data_pipeline_playground_spark.registry import all_queries
+
+    df = all_queries()["exact_substr_removed"](spark, sf_dir)
+    # the aggregate-only consumer shape bench measures
+    optimized = df.groupBy().count()._jdf.queryExecution().optimizedPlan()
+    plan = optimized.toString()
+    assert "Window" in plan, (
+        "spans pipeline was optimized away under count() — the "
+        "join-elimination guard is gone and bench timings are degenerate"
+    )
+    assert "Join" in plan
+
+
 def test_corpus_funnel_stages_monotone_and_span_gate_wired(spark, sf_dir):
     """Funnel pins (VERDICT r9 #6): stages are cumulative (counts and
     chars non-increasing), raw equals the corpus, and the span_dedup
