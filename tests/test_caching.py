@@ -123,3 +123,35 @@ def test_global_rank_retires_old_caches_fifo(spark):
         (x.k, x.id) for x in rows
     )
     assert frames  # keep refs alive through the assertion above
+
+
+def test_minhash_est_memoizes_signature_table_for_the_guard(spark, sf_dir):
+    """The minhash estimate memo must store (sig, est), sig FIRST.
+
+    The guard only restores frames it can see: memoizing est alone left
+    the builder's internal signature cache unrestorable after a
+    clearCache, so est's re-materialization re-ran the shingle+hash
+    fold once per sig reference in its plan (~3-4x, measured 12.6 s vs
+    2.3 s steady at sf0.1 — the cost landed on whichever query touched
+    the memo first, corpus_funnel in bench order)."""
+    from data_pipeline_playground_spark.queries.dedup_advanced import (
+        _minhash_est,
+    )
+
+    est = _minhash_est(spark, sf_dir)
+    assert {"ci", "cj", "sim"} <= set(est.columns)
+    key = (caching._session_key(spark), "minhash_est", sf_dir)
+    value, flags = caching._STORE[key]
+    assert isinstance(value, tuple) and len(value) == 2
+    sig, est_stored = value
+    assert est_stored is est
+    # sig must be listed FIRST so the guard re-caches it before est's
+    # rebuild re-reads it, and both must be guard-covered (cached)
+    assert flags == (True, True)
+    assert "doc_id" in sig.columns  # the wide per-doc signature table
+    spark.catalog.clearCache()
+    assert not caching._is_cached(sig) and not caching._is_cached(est)
+    est2 = _minhash_est(spark, sf_dir)
+    assert est2 is est
+    assert caching._is_cached(sig), "guard must restore the sig cache"
+    assert caching._is_cached(est2)
