@@ -215,7 +215,16 @@ def run_news_pipeline(spark: SparkSession, sf_dir: str,
     return _assemble(sizes, keywords, best, summaries, excerpt)
 
 
-_EAGER_BRANCHES = True
+# Default False: the threaded build wins only in a warm JVM
+# (interleaved same-session A/B: 7.1-7.3 s threaded vs 9.0-11.5 s
+# serial at sf0.1), but under the bench protocol — fresh session,
+# sf0.001 warmup, first sf0.1 execution — it measured 9.7-10.4 s vs
+# 6.7-7.2 s composed, probe-flanked clean both times: three branch
+# plans compiling their codegen classes concurrently lose more than
+# the stage overlap buys. Composed stays the default; the threaded
+# path is the long-lived-session variant (and the 100 TB shape, where
+# branch artifacts persist as their own jobs).
+_EAGER_BRANCHES = False
 
 
 def _assemble(sizes: DataFrame, keywords: DataFrame, best: DataFrame,
