@@ -50,6 +50,24 @@ transients of a few minutes were observed mid-run in r5/r6):
   measurement. The merged record carries "merged_from" +
   "rerun_queries" + "fresh_queries" provenance, and "hist_min" keeps
   each re-run/fresh query's prior base value for lineage comparison.
+
+Memo attribution (VERDICT r10 #1): session-shared memo artifacts
+(caching.py) made per-query numbers ORDER-DEPENDENT — whichever query
+first touched the shared MinHash memo paid its build (driver booked
+corpus_funnel at 14.35 s where the memo-exclusive cost is ~6 s), and
+after each between-query clearCache every later toucher re-paid the
+re-materialization. caching.memo now times every build and re-mat into
+a drainable ledger (exclusive seconds — nested memo builds don't
+double-count); the bench drains it after each timed query, SUBTRACTS
+the memo seconds from that query's wall time, and books builds to
+visible "memo_build:<name>" pseudo-entries in the queries map (they
+count toward "value"). Re-materializations — an artifact of the
+bench's own clearCache, not of any plan — are reported separately
+under "memo_remat_s" and excluded from "value": a real long-lived
+session pays each memo once. This is ledger-subtraction rather than
+the eagerly-pre-built setup pass for two reasons: there is no central
+registry of memo builders (some keys are dynamic), and a setup pass
+would still leave the per-query re-mat contamination behind.
 """
 
 from __future__ import annotations
@@ -181,9 +199,18 @@ def _merge_base_timings(
     Base entries for unregistered queries are dropped; a query that
     errored this run keeps no timing at all. ``fresh`` queries
     (rewritten since the base run) never take the base value: their
-    pre-rewrite timing measured different code (ADVICE r9 #1)."""
+    pre-rewrite timing measured different code (ADVICE r9 #1).
+    "memo_build:<name>" pseudo-entries merge by the same min policy
+    (same-code builds measure the same work) — list them in ``fresh``
+    when the memo's build changed. Base entries from a PRE-attribution
+    record (no memo entries of its own) still carry memo-inclusive
+    query timings; min-merge against them is safe (memo-exclusive
+    this-run values are never larger), but list memo-sharing queries
+    in SPARK_GRAFT_BENCH_FRESH on the first post-attribution merge if
+    exact lineage matters."""
     for name, t in base_queries.items():
-        if name in registered and name not in errors and name not in fresh:
+        known = name in registered or name.startswith("memo_build:")
+        if known and name not in errors and name not in fresh:
             timings[name] = min(timings.get(name, float("inf")), t)
 
 
@@ -199,11 +226,18 @@ def main() -> None:
         LDA_MAX_ITER,
         PIC_MAX_ITER,
     )
+    from data_pipeline_playground_spark import caching
     from data_pipeline_playground_spark.registry import all_queries
     from data_pipeline_playground_spark.session import get_spark
 
     spark = get_spark("dpp-spark-bench")
     queries = all_queries()
+
+    # memo attribution accumulators (module docstring, VERDICT r10 #1):
+    # builds become "memo_build:<name>" line items in the queries map;
+    # re-materializations (a clearCache artifact) are reported aside.
+    memo_build: dict[str, float] = {}
+    memo_remat: dict[str, float] = {}
 
     base: dict = {}
     fresh: set = set()
@@ -280,14 +314,27 @@ def main() -> None:
             # Drop any cached data left by the previous query so each
             # timing is independent of run order. Memoized frames
             # (caching.py) that a later query retrieves are
-            # re-materialized at that retrieval — so every query pays
-            # its own build cost even for session-shared artifacts;
-            # run order never subsidizes a timing.
+            # re-materialized at that retrieval; the ledger drain below
+            # strips that cost (and first-touch builds) back OUT of the
+            # query's number, so run order neither subsidizes nor
+            # penalizes a timing (VERDICT r10 #1).
             spark.catalog.clearCache()
+            caching.drain_ledger()  # discard stray entries (warmup/probes)
             start = time.perf_counter()
             try:
                 queries[name](spark, sf_dir).count()
-                timings[name] = round(time.perf_counter() - start, 3)
+                elapsed = time.perf_counter() - start
+                memo_sec = 0.0
+                for e in caching.drain_ledger():
+                    memo_sec += e["sec"]
+                    if e["kind"] == "build":
+                        k = f"memo_build:{e['name']}"
+                        memo_build[k] = memo_build.get(k, 0.0) + e["sec"]
+                    else:
+                        memo_remat[e["name"]] = (
+                            memo_remat.get(e["name"], 0.0) + e["sec"]
+                        )
+                timings[name] = round(max(0.001, elapsed - memo_sec), 3)
             except Exception as exc:  # one bad query must not sink the bench
                 errors[name] = f"{type(exc).__name__}: {exc}"[:200]
                 print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
@@ -351,6 +398,12 @@ def main() -> None:
             timings, errors, base.get("queries", {}), set(queries), fresh
         )
 
+    # book this run's memo builds as line items (min-merged against any
+    # base entries the merge above already placed — same-code builds
+    # measure the same work, and contention noise is one-sided)
+    for k, v in memo_build.items():
+        timings[k] = round(min(timings.get(k, float("inf")), v), 3)
+
     total = round(sum(timings.values()), 4)
     out = {
         "metric": "total_query_wall_seconds",
@@ -379,13 +432,23 @@ def main() -> None:
             out["fresh_queries"] = sorted(fresh)
         if hist_min:
             out["hist_min"] = hist_min
+    if memo_remat:
+        # clearCache-artifact seconds stripped from query timings and
+        # NOT counted in "value" (a long-lived session pays each memo
+        # once — the build line items above)
+        out["memo_remat_s"] = {
+            k: round(v, 3) for k, v in sorted(memo_remat.items())
+        }
     out["sentinel_probes"] = probes
     out["probe_names"] = probe_names
     # per-module family rollup of the merged timings (compact-summary
     # material: round totals attributable at a glance)
     fam: dict[str, float] = {}
     for name, t in timings.items():
-        f = queries[name].__module__.rsplit(".", 1)[-1]
+        if name.startswith("memo_build:"):
+            f = "memo_build"
+        else:
+            f = queries[name].__module__.rsplit(".", 1)[-1]
         fam[f] = fam.get(f, 0.0) + t
     out["families"] = {k: round(v, 1) for k, v in sorted(fam.items())}
     if heal_log:
@@ -433,8 +496,14 @@ def _compact_summary(out: dict, full_path: str,
     elides the per-query map to the slowest K — trimming K, then the
     still-hot sample, then the warning text until the line fits."""
     timings: dict[str, float] = out["queries"]
-    vals = sorted(timings.values())
+    # median/p90/n_queries describe REAL queries; memo_build line items
+    # stay in the map (and can appear in the top-slowest table) but are
+    # summarized by their own count + total.
+    real = [v for k, v in timings.items()
+            if not k.startswith("memo_build:")]
+    vals = sorted(real)
     n = len(vals)
+    memo_n = len(timings) - n
     slowest = sorted(timings, key=timings.get, reverse=True)
     probes = out.get("sentinel_probes", {})
     summary: dict = {
@@ -456,6 +525,11 @@ def _compact_summary(out: dict, full_path: str,
         "still_hot_n": len(out.get("still_hot", [])),
         "errors_n": len(out.get("errors", {})),
     }
+    if memo_n:
+        summary["memo_build_n"] = memo_n
+        summary["memo_build_s"] = round(
+            sum(v for k, v in timings.items()
+                if k.startswith("memo_build:")), 1)
     if out.get("still_hot"):
         summary["still_hot_sample"] = out["still_hot"][:5]
     if out.get("contention_warning"):
@@ -468,7 +542,7 @@ def _compact_summary(out: dict, full_path: str,
 
     for top_k in (10, 5, 3, 0):
         summary["queries"] = {q: timings[q] for q in slowest[:top_k]}
-        summary["queries_elided"] = max(0, n - top_k)
+        summary["queries_elided"] = max(0, len(timings) - top_k)
         if len(json.dumps(summary, separators=(",", ":"))) <= budget:
             return summary
         summary.pop("still_hot_sample", None)

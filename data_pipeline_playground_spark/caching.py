@@ -4,17 +4,79 @@ Cached frames are bound to the SparkSession that built them; a driver
 that opens a fresh session per phase (smoke → correctness → bench)
 must never receive a frame whose session has been stopped. Keys
 therefore include the Spark application id + session hash.
+
+Concurrency: builds are serialized per key (ADVICE r10 #2) — driver
+threads that race ``memo()`` on the same (session, name, sf_dir) key
+block on one lock and the loser gets the winner's value; different
+keys build concurrently (the _audit_builds_sampled overlap pattern is
+unaffected).
+
+Instrumentation (VERDICT r10 #1): every build and every
+re-materialization is timed and appended to a process-wide ledger so
+the bench can charge memo costs to visible ``memo_build:<name>``
+line items instead of whichever query happened to touch the memo
+first — first-touch accounting made the driver book ``corpus_funnel``
+at 14.35 s where the memo-exclusive cost is ~6 s. Nested memo builds
+(e.g. ``minhash_est_sampled`` building on the ``grams_sampled`` memo)
+record EXCLUSIVE time: a child's elapsed time is subtracted from its
+parent's entry, so draining the ledger never double-counts a second.
 """
 
 from __future__ import annotations
 
 import logging
+import threading
+import time
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
 _STORE: dict[tuple, Any] = {}
 _LOG = logging.getLogger(__name__)
+
+_STORE_LOCK = threading.Lock()
+_KEY_LOCKS: dict[tuple, threading.Lock] = {}
+
+# ledger of {"name", "kind": "build"|"remat", "sec"} entries; exclusive
+# seconds (child memo time already subtracted). Appends are GIL-atomic;
+# the bench drains it after each timed query.
+_LEDGER: list[dict] = []
+_ACTIVE = threading.local()  # per-thread stack of child-time accumulators
+
+
+def drain_ledger() -> list[dict]:
+    """Return-and-clear the build/re-materialization ledger."""
+    global _LEDGER
+    out, _LEDGER = _LEDGER, []
+    return out
+
+
+class _charged:
+    """Time a memo build/remat region, recording EXCLUSIVE seconds."""
+
+    def __init__(self, name: str, kind: str):
+        self.name, self.kind = name, kind
+
+    def __enter__(self):
+        stack = getattr(_ACTIVE, "stack", None)
+        if stack is None:
+            stack = _ACTIVE.stack = []
+        stack.append(0.0)
+        self.t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        elapsed = time.perf_counter() - self.t0
+        stack = _ACTIVE.stack
+        child = stack.pop()
+        if stack:
+            stack[-1] += elapsed
+        _LEDGER.append({
+            "name": self.name,
+            "kind": self.kind,
+            "sec": round(max(0.0, elapsed - child), 4),
+        })
+        return False
 
 
 def _session_key(spark: SparkSession) -> tuple:
@@ -46,27 +108,33 @@ def memo(spark: SparkSession, name: str, sf_dir: str, build) -> Any:
     uncached are untouched.
     """
     key = (_session_key(spark), name, sf_dir)
-    if key not in _STORE:
-        value = build()
-        _STORE[key] = (value, _cached_flags(value))
-    value, flags = _STORE[key]
-    for elem, was_cached in zip(_elements(value), flags):
-        if was_cached and not _is_cached(elem):
-            try:
-                elem.cache()
-                elem.count()  # eager re-materialization, once
-            except Exception as exc:  # noqa: BLE001 — re-cache is best-effort
-                # A failed re-cache reverts to recompute-per-reference
-                # (correct, just slower); a real analysis error in the
-                # frame will surface at the consumer. Log so a genuine
-                # build error is visible at the memo site, not deferred
-                # silently to an arbitrary later consumer.
-                _LOG.warning(
-                    "memo(%s): re-materialization failed (%s: %s)",
-                    name,
-                    type(exc).__name__,
-                    exc,
-                )
+    with _STORE_LOCK:
+        lock = _KEY_LOCKS.setdefault(key, threading.Lock())
+    with lock:
+        if key not in _STORE:
+            with _charged(name, "build"):
+                value = build()
+                flags = _cached_flags(value)
+            _STORE[key] = (value, flags)
+        value, flags = _STORE[key]
+        for elem, was_cached in zip(_elements(value), flags):
+            if was_cached and not _is_cached(elem):
+                try:
+                    with _charged(name, "remat"):
+                        elem.cache()
+                        elem.count()  # eager re-materialization, once
+                except Exception as exc:  # noqa: BLE001 — best-effort
+                    # A failed re-cache reverts to recompute-per-reference
+                    # (correct, just slower); a real analysis error in the
+                    # frame will surface at the consumer. Log so a genuine
+                    # build error is visible at the memo site, not deferred
+                    # silently to an arbitrary later consumer.
+                    _LOG.warning(
+                        "memo(%s): re-materialization failed (%s: %s)",
+                        name,
+                        type(exc).__name__,
+                        exc,
+                    )
     return value
 
 

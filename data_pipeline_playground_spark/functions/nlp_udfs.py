@@ -33,7 +33,7 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.types import ArrayType, DoubleType, LongType, StringType
 
 
 def _nltk_stemmer_available() -> bool:
@@ -228,7 +228,12 @@ _by_value(_sys.modules[__name__])
 # grouped-map applyInPandas in operators/lexrank.py, mapInPandas in
 # multimodal/media.py, UDTF in functions/udtfs.py) -----------------------
 
-@pandas_udf("double")
+# DataType objects, not DDL strings: string return types are parsed
+# against the ACTIVE session at decoration time, so a module-level
+# string-typed pandas_udf made importing this module require a live
+# SparkContext (broke any session-less import, e.g. running the
+# pure-Python stemmer property test standalone).
+@pandas_udf(DoubleType())
 def median_udaf(v: pd.Series) -> float:
     """Exact median as a GROUPED_AGG pandas UDF (whole group's column
     arrives as one Arrow batch). numpy's median = mean of the two
@@ -244,7 +249,7 @@ def median_udaf(v: pd.Series) -> float:
     return float(np.median(a))
 
 
-@pandas_udf("long")
+@pandas_udf(LongType())
 def count_udaf(v: pd.Series) -> int:
     """Non-null count companion: Spark disallows mixing GROUPED_AGG
     pandas UDFs with JVM aggregates in one agg(), so the count rides a

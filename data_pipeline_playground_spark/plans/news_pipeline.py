@@ -24,7 +24,8 @@ from data_pipeline_playground_spark.tables import table
 
 
 def run_news_pipeline(spark: SparkSession, sf_dir: str,
-                      n_keywords: int = 5, dedup: str = "minhash") -> DataFrame:
+                      n_keywords: int = 5, dedup: str = "minhash",
+                      eager_branches: bool = False) -> DataFrame:
     """Full reference pipeline shape on `documents`.
 
     1. D1  fuzzy dedup (keep-min-id survivors)
@@ -184,47 +185,31 @@ def run_news_pipeline(spark: SparkSession, sf_dir: str,
     # TF-IDF, sentence-level LexRank summaries) are independent stage
     # DAGs over the already-cached `clustered`/`deduped` frames, and
     # each reduces to ≤ k rows. Inside one composed action Spark runs
-    # them serially; materializing them from concurrent driver threads
-    # (the _audit_builds_sampled pattern) overlaps the two
-    # applyInPandas passes with the keyword aggregation, and the final
-    # assembly joins k-row cached frames. This is also the 100 TB
-    # shape: per-branch artifacts persisted once, joined broadcast.
-    import threading
-
-    if not _EAGER_BRANCHES:
+    # them serially; ``eager_branches=True`` materializes them from
+    # concurrent driver threads instead (concurrency.py), overlapping
+    # the two applyInPandas passes with the keyword aggregation, and
+    # the final assembly joins k-row cached frames.
+    #
+    # Default False (ADVICE r10 #1 made this a real parameter): the
+    # threaded build wins only in a warm JVM (interleaved same-session
+    # A/B: 7.1-7.3 s threaded vs 9.0-11.5 s serial at sf0.1), but
+    # under the bench protocol — fresh session, sf0.001 warmup, first
+    # sf0.1 execution — it measured 9.7-10.4 s vs 6.7-7.2 s composed,
+    # probe-flanked clean both times: three branch plans compiling
+    # their codegen classes concurrently lose more than the stage
+    # overlap buys. Composed stays the default; the threaded path is
+    # the long-lived-session variant (and the 100 TB shape, where
+    # branch artifacts persist as their own jobs). Exercised by
+    # tests/test_multimodal_and_pipeline.py (same output both modes).
+    if not eager_branches:
         return _assemble(sizes, keywords, best, summaries, excerpt)
+    from data_pipeline_playground_spark.concurrency import (
+        materialize_concurrently,
+    )
+
     clustered.count()  # materialize the shared cache once, serially
-    _errs: list = []
-
-    def _build(df: DataFrame) -> None:
-        try:
-            df.cache().count()
-        except Exception as exc:  # noqa: BLE001 — re-raised below
-            _errs.append(exc)
-
-    _ts = [
-        threading.Thread(target=_build, args=(df,))
-        for df in (best, keywords, summaries)
-    ]
-    for _t in _ts:
-        _t.start()
-    for _t in _ts:
-        _t.join()
-    if _errs:
-        raise _errs[0]
+    materialize_concurrently((best, keywords, summaries))
     return _assemble(sizes, keywords, best, summaries, excerpt)
-
-
-# Default False: the threaded build wins only in a warm JVM
-# (interleaved same-session A/B: 7.1-7.3 s threaded vs 9.0-11.5 s
-# serial at sf0.1), but under the bench protocol — fresh session,
-# sf0.001 warmup, first sf0.1 execution — it measured 9.7-10.4 s vs
-# 6.7-7.2 s composed, probe-flanked clean both times: three branch
-# plans compiling their codegen classes concurrently lose more than
-# the stage overlap buys. Composed stays the default; the threaded
-# path is the long-lived-session variant (and the 100 TB shape, where
-# branch artifacts persist as their own jobs).
-_EAGER_BRANCHES = False
 
 
 def _assemble(sizes: DataFrame, keywords: DataFrame, best: DataFrame,

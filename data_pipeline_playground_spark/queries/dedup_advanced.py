@@ -7,6 +7,9 @@ polynomial fold, so DuckDB reproduces identical signatures.
 
 from __future__ import annotations
 
+import os
+from itertools import combinations as _combinations
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -118,7 +121,12 @@ def _minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         # while sig was uncached re-ran the shingle+hash fold once per
         # sig reference in the est plan (~3-4×, measured ~12.6 s vs
         # ~2.3 s steady at sf0.1); listing sig first re-caches it
-        # before est's rebuild touches it.
+        # before est's rebuild touches it. est is cache()d but NOT
+        # count()ed here — deliberate asymmetry (ADVICE r10 #4):
+        # cache() alone registers the CacheManager entry, which is all
+        # memo's _is_cached flag capture needs; the first consumer
+        # materializes it lazily, and every query that wants only sig
+        # (or only the filtered est) skips a build it never reads.
         return sig, estimated_similarity(cand, sig).cache()
 
     return memo(spark, "minhash_est", sf_dir, build)[1]
@@ -165,40 +173,23 @@ def _grams_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _audit_builds_sampled(spark: SparkSession, sf_dir: str, threshold):
     """(pred_est, truth_pairs) for a sampled audit tier, with the two
     independent eager cache materializations submitted CONCURRENTLY
-    (Spark schedules jobs from separate driver threads side by side —
-    the builds are independent stages over the shared cached grams
-    frame, so overlapping them converts ~0.9 s of serial wall-clock
-    into max() of the two). The shared grams memo is built FIRST,
-    serially: caching.memo is a plain dict and must not race on one
-    key."""
-    import threading
+    via concurrency.run_concurrently (Spark schedules jobs from
+    separate driver threads side by side — the builds are independent
+    stages over the shared cached grams frame, so overlapping them
+    converts ~0.9 s of serial wall-clock into max() of the two). The
+    shared grams memo is built FIRST, serially, so both sides start
+    from the materialized cache; memo's per-key lock makes even a
+    same-key race build-once in any case."""
+    from data_pipeline_playground_spark.concurrency import run_concurrently
 
     _grams_sampled(spark, sf_dir)
-    out: dict = {}
-    err: dict = {}
-
-    def _pred():
-        try:
-            out["pred"] = _minhash_est_sampled(spark, sf_dir)
-        except Exception as exc:  # noqa: BLE001 — re-raised on the caller
-            err["pred"] = exc
-
-    def _truth():
-        try:
-            out["truth"] = _exact_jaccard_pairs(
-                spark, sf_dir, threshold, doc_pred=_doc_sample_pred
-            )
-        except Exception as exc:  # noqa: BLE001
-            err["truth"] = exc
-
-    ts = [threading.Thread(target=_pred), threading.Thread(target=_truth)]
-    for t in ts:
-        t.start()
-    for t in ts:
-        t.join()
-    if err:
-        raise next(iter(err.values()))
-    return out["pred"], out["truth"]
+    pred, truth = run_concurrently([
+        lambda: _minhash_est_sampled(spark, sf_dir),
+        lambda: _exact_jaccard_pairs(
+            spark, sf_dir, threshold, doc_pred=_doc_sample_pred
+        ),
+    ])
+    return pred, truth
 
 
 def _minhash_est_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -342,59 +333,121 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- SimHash ---------------------------------------------------------------
 
-# 60-bit fingerprint from TWO salted 30-bit rolling hashes (rolling_hash
-# is mod 1e9+7 < 2^30; both salts mirror exactly in DuckDB), blocked
+# Fingerprint from salted 30-bit rolling hashes (rolling_hash is mod
+# 1e9+7 < 2^30; every salt mirrors exactly in DuckDB), blocked
 # Manku-style (Detecting Near-Duplicates for Web Crawling, WWW 2007):
-# 6 ten-bit blocks, candidates must match on SOME PAIR of blocks —
-# hamming <= 4 corrupts at most 4 blocks, so at least 2 stay intact and
-# one of the C(6,2) = 15 block-pair keys catches every true pair
-# (pigeonhole). Key space per position is 2^20, so bucket population is
-# n/2^20 and candidate work is ~15·n²/2^21 + true pairs — the round-9
-# scheme (5 six-bit chunks, 64-value key space) measured EXPONENT 2.0
-# in the 10x scale probe (2.25 s -> 223 s: buckets of n/64 docs are
-# quadratic by construction once n approaches the key space); this
-# scheme measures ~linear at the same probe. Growth law documented:
-# blocking of hamming-ball candidates is bucket-bounded — past
-# n ~ 2^20 docs per partition-of-work, widen the fingerprint/blocks
-# again (64-bit hashes, 3-of-8 blocks) or shard by a content prefix.
-SIMHASH_BITS = 60
+# candidates must match on SOME (N_BLOCKS − HAMMING_K)-subset of
+# blocks — hamming ≤ K corrupts at most K blocks, so at least
+# N_BLOCKS − K stay intact and one of the combinatorial keys catches
+# every true pair (pigeonhole; enforced by the assert below). The
+# round-9 scheme (5 six-bit chunks, 64-value key space) measured
+# EXPONENT 2.0 in the 10x scale probe (2.25 s → 223 s: buckets of
+# n/64 docs are quadratic by construction once n approaches the key
+# space).
+#
+# TWO TIERS (VERDICT r10 #4 — the growth law as configuration, not
+# prose), selected by $SPARK_GRAFT_SIMHASH_TIER at import time; the
+# oracle SQL derives from the same constants, so BOTH tiers are
+# checked against DuckDB by the same machinery:
+#
+# - "2of6" (default): 60-bit fingerprint, 6 ten-bit blocks, match on
+#   2 → C(6,2) = 15 keys over a 2^20 key space per position.
+#   Candidate work ~15·n²/2^21 + true pairs — measured exponent 0.15
+#   at the 10× probe (SCALE.md).
+# - "3of8": 64-bit fingerprint (third salt fills bits 60-63), 8
+#   eight-bit blocks, match on 3 → C(8,3) = 56 keys over a 2^24 key
+#   space. 3.7× the key rows, 16× smaller buckets: the tier to run
+#   once n per partition-of-work approaches 2^20 docs (at 100 TB,
+#   after content-prefix sharding, each shard runs this config).
+#   3-of-8 tolerates hamming ≤ 5 ⊇ ≤ 4 — recall is preserved; the
+#   exact hamming filter below keeps the pair set IDENTICAL across
+#   tiers, so both validate against byte-identical expected output.
+SIMHASH_TIER = os.environ.get("SPARK_GRAFT_SIMHASH_TIER", "2of6")
+if SIMHASH_TIER == "3of8":
+    SIMHASH_BITS, N_BLOCKS, BLOCK_BITS, MATCH_BLOCKS = 64, 8, 8, 3
+else:
+    SIMHASH_BITS, N_BLOCKS, BLOCK_BITS, MATCH_BLOCKS = 60, 6, 10, 2
 HAMMING_K = 4  # near-dup iff hamming distance <= 4
-N_BLOCKS = 6
-BLOCK_BITS = 10
-# (position, block1, block2) triples for the 2-of-6 combinatorial keys
-_BLOCK_PAIRS = [(0, 1), (0, 2), (0, 3), (0, 4), (0, 5), (1, 2), (1, 3), (1, 4), (1, 5), (2, 3), (2, 4), (2, 5), (3, 4), (3, 5), (4, 5)]
+assert N_BLOCKS * BLOCK_BITS == SIMHASH_BITS
+assert N_BLOCKS - MATCH_BLOCKS >= HAMMING_K  # pigeonhole recall guarantee
+# (position, block...) combinatorial key schedule
+BLOCK_COMBOS = list(_combinations(range(N_BLOCKS), MATCH_BLOCKS))
+_N_SALTS = (SIMHASH_BITS + 29) // 30  # 30 usable bits per rolling hash
+
+
+def _bit_case(col_prefix: str = "") -> str:
+    """SQL CASE extracting fingerprint bit ``b`` from the salted
+    hashes h0..h{n} — identical text works in Spark SQL and DuckDB."""
+    whens = " ".join(
+        f"WHEN {col_prefix}b < {30 * (s + 1)} "
+        f"THEN (h{s} >> ({col_prefix}b - {30 * s}))"
+        for s in range(_N_SALTS - 1)
+    )
+    last = _N_SALTS - 1
+    return (
+        f"(CASE {whens} ELSE (h{last} >> ({col_prefix}b - {30 * last})) "
+        "END) & 1"
+    )
+
+
+# bit 63's place value is BIGINT_MIN — constructible in Spark via
+# shiftleft (Java wraps) but an Out of Range error in DuckDB; the
+# literal CASE arm keeps both engines on the same two's-complement
+# fingerprint. sum() is additionally cast back to BIGINT: DuckDB sums
+# BIGINT into HUGEINT, and xor on a negative HUGEINT sign-extends into
+# the upper 64 bits, which would inflate bit_count.
+_BIT_VALUE = (
+    "CASE WHEN b = 63 THEN CAST(-9223372036854775808 AS BIGINT) "
+    "ELSE (CAST(1 AS BIGINT) << b) END"
+)
+
+_SQL_SALTED_HASHES = ", ".join(
+    f"{sql_rolling_hash('tk' if s == 0 else 'tk || ' + repr('#' * s))} "
+    f"AS h{s}"
+    for s in range(_N_SALTS)
+)
+
+_SQL_BP_VALUES = ", ".join(
+    "(" + ", ".join(str(x) for x in (p, *combo)) + ")"
+    for p, combo in enumerate(BLOCK_COMBOS)
+)
+_BP_COLS = ", ".join(f"b{k}" for k in range(MATCH_BLOCKS))
+_MASK = (1 << BLOCK_BITS) - 1
+_SQL_KEY_COLS = ", ".join(
+    f"(simhash >> (bp.b{k} * {BLOCK_BITS})) & {_MASK} AS v{k}"
+    for k in range(MATCH_BLOCKS)
+)
+_SQL_KEY_JOIN = " AND ".join(
+    [f"a.p = b.p"] + [f"a.v{k} = b.v{k}" for k in range(MATCH_BLOCKS)]
+)
 
 _SIMHASH_CTES = f"""
 WITH tok AS (
   SELECT doc_id, unnest(list_distinct({_SQL_TOKENS})) AS tk FROM documents
 ),
-th AS (SELECT doc_id, {sql_rolling_hash("tk")} AS h1,
-              {sql_rolling_hash("tk || '#'")} AS h2 FROM tok),
+th AS (SELECT doc_id, {_SQL_SALTED_HASHES} FROM tok),
 bitw AS (
   SELECT doc_id, b.b,
-         sum(CASE WHEN (CASE WHEN b.b < 30 THEN (h1 >> b.b)
-                        ELSE (h2 >> (b.b - 30)) END) & 1 = 1
-             THEN 1 ELSE -1 END) AS w
+         sum(CASE WHEN {_bit_case('b.')} = 1 THEN 1 ELSE -1 END) AS w
   FROM th, (SELECT unnest(range(0, {SIMHASH_BITS})) AS b) b
   GROUP BY doc_id, b.b
 ),
 sh AS (
   SELECT doc_id,
-         sum(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+         CAST(sum(CASE WHEN w > 0 THEN {_BIT_VALUE} ELSE 0 END) AS BIGINT)
+           AS simhash
   FROM bitw GROUP BY doc_id
 ),
-bp AS (SELECT * FROM (VALUES (0,0,1),(1,0,2),(2,0,3),(3,0,4),(4,0,5),(5,1,2),(6,1,3),(7,1,4),(8,1,5),(9,2,3),(10,2,4),(11,2,5),(12,3,4),(13,3,5),(14,4,5)) AS t(p, b1, b2)),
+bp AS (SELECT * FROM (VALUES {_SQL_BP_VALUES}) AS t(p, {_BP_COLS})),
 keys AS (
-  SELECT doc_id, simhash, bp.p,
-         (simhash >> (bp.b1 * {BLOCK_BITS})) & {(1 << BLOCK_BITS) - 1} AS v1,
-         (simhash >> (bp.b2 * {BLOCK_BITS})) & {(1 << BLOCK_BITS) - 1} AS v2
+  SELECT doc_id, simhash, bp.p, {_SQL_KEY_COLS}
   FROM sh, bp
 ),
 pairs AS (
   SELECT DISTINCT a.doc_id AS ci, b.doc_id AS cj,
          bit_count(xor(a.simhash, b.simhash)) AS hamming
   FROM keys a JOIN keys b
-    ON a.p = b.p AND a.v1 = b.v1 AND a.v2 = b.v2 AND b.doc_id < a.doc_id
+    ON {_SQL_KEY_JOIN} AND b.doc_id < a.doc_id
   WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_K}
 )
 """
@@ -409,14 +462,15 @@ WHERE NOT EXISTS (SELECT 1 FROM pairs WHERE pairs.ci = d.doc_id)
 
 
 def _simhash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id → simhash (60-bit) via distinct-token bit voting over two
-    salted rolling hashes (bits 0-29 from h1, 30-59 from h2 — both
-    engine-portable, so the fingerprints are bit-identical in DuckDB).
+    """doc_id → simhash ({SIMHASH_BITS}-bit, tier-selected — see the
+    constants block) via distinct-token bit voting over salted rolling
+    hashes (30 bits per salt — engine-portable, so the fingerprints
+    are bit-identical in DuckDB).
 
     The scan is explicitly repartitioned before the interpreted
     rolling-hash fold — test parquet is one partition and the fold is
     the CPU-heavy step (at scale, many files make this a near-no-op).
-    The bit votes stay a (doc, bit) fan-out aggregate: the 60× row
+    The bit votes stay a (doc, bit) fan-out aggregate: the ~60× row
     expansion is cheap relative to a 60-wide CASE-WHEN aggregate row
     (measured ~2× faster warm at 30 bits), and shiftright by a COLUMN
     only exists in SQL form anyway."""
@@ -427,8 +481,13 @@ def _simhash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array_distinct(tokenize(F.col("text")))).alias("tk"),
     ).select(
         "doc_id",
-        rolling_hash(F.col("tk")).alias("h1"),
-        rolling_hash(F.concat(F.col("tk"), F.lit("#"))).alias("h2"),
+        *[
+            rolling_hash(
+                F.col("tk") if s == 0
+                else F.concat(F.col("tk"), F.lit("#" * s))
+            ).alias(f"h{s}")
+            for s in range(_N_SALTS)
+        ],
     )
     bits = spark.range(SIMHASH_BITS).select(F.col("id").cast("int").alias("b"))
     bitw = (
@@ -436,22 +495,18 @@ def _simhash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "b")
         .agg(
             F.sum(
-                F.when(
-                    F.expr(
-                        "(CASE WHEN b < 30 THEN shiftright(h1, b)"
-                        " ELSE shiftright(h2, b - 30) END) & 1"
-                    )
-                    == 1,
-                    1,
-                ).otherwise(-1)
+                F.when(F.expr(_bit_case()) == 1, 1).otherwise(-1)
             ).alias("w")
         )
     )
+    # _BIT_VALUE: bit 63's place value is BIGINT_MIN via the literal
+    # CASE arm (shared with the oracle) — Spark's shiftleft would wrap
+    # identically, but keeping the expression text shared keeps the
+    # two engines trivially in lockstep.
     return bitw.groupBy("doc_id").agg(
         F.sum(
-            F.when(
-                F.col("w") > 0, F.expr("shiftleft(cast(1 as bigint), b)")
-            ).otherwise(F.lit(0).cast("long"))
+            F.when(F.col("w") > 0, F.expr(_BIT_VALUE))
+            .otherwise(F.lit(0).cast("long"))
         ).alias("simhash")
     )
 
@@ -465,37 +520,38 @@ def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _simhash_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _simhash_frame(spark, sf_dir)
+    kcols = [f"b{k}" for k in range(MATCH_BLOCKS)]
     bp = spark.createDataFrame(
-        [(p, b1, b2) for p, (b1, b2) in enumerate(_BLOCK_PAIRS)],
-        "p int, b1 int, b2 int",
+        [(p, *combo) for p, combo in enumerate(BLOCK_COMBOS)],
+        ", ".join(["p int"] + [f"{c} int" for c in kcols]),
     )
-    mask = (1 << BLOCK_BITS) - 1
     keys = sh.join(F.broadcast(bp)).select(
         "doc_id",
         "simhash",
         "p",
-        F.expr(f"shiftright(simhash, b1 * {BLOCK_BITS}) & {mask}").alias("v1"),
-        F.expr(f"shiftright(simhash, b2 * {BLOCK_BITS}) & {mask}").alias("v2"),
+        *[
+            F.expr(
+                f"shiftright(simhash, {c} * {BLOCK_BITS}) & {_MASK}"
+            ).alias(f"v{k}")
+            for k, c in enumerate(kcols)
+        ],
     )
     a = keys.select(
         F.col("doc_id").alias("ci"), F.col("simhash").alias("sha"),
-        F.col("p").alias("pa"), F.col("v1").alias("v1a"),
-        F.col("v2").alias("v2a"),
+        F.col("p").alias("pa"),
+        *[F.col(f"v{k}").alias(f"v{k}a") for k in range(MATCH_BLOCKS)],
     )
     b = keys.select(
         F.col("doc_id").alias("cj"), F.col("simhash").alias("shb"),
-        F.col("p").alias("pb"), F.col("v1").alias("v1b"),
-        F.col("v2").alias("v2b"),
+        F.col("p").alias("pb"),
+        *[F.col(f"v{k}").alias(f"v{k}b") for k in range(MATCH_BLOCKS)],
     )
+    cond = (F.col("pa") == F.col("pb")) & (F.col("cj") < F.col("ci"))
+    for k in range(MATCH_BLOCKS):
+        cond = cond & (F.col(f"v{k}a") == F.col(f"v{k}b"))
     ham = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
     pairs = (
-        a.join(
-            b,
-            (F.col("pa") == F.col("pb"))
-            & (F.col("v1a") == F.col("v1b"))
-            & (F.col("v2a") == F.col("v2b"))
-            & (F.col("cj") < F.col("ci")),
-        )
+        a.join(b, cond)
         .filter(ham <= HAMMING_K)
         .select("ci", "cj", ham.alias("hamming"))
         .distinct()
@@ -505,10 +561,12 @@ def _simhash_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_simhash_pairs", oracle=_SIMHASH_PAIRS_SQL)
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 60-bit two-salt token-vote fingerprints,
-    2-of-6 block-pair blocking (pigeonhole over hamming ≤ 4; Manku et
-    al. WWW 2007 scheme — see the constants block for the measured
-    quadratic the narrower round-9 blocking hit and the growth law)."""
+    """SimHash near-dup pairs: salted token-vote fingerprints with
+    combinatorial block-key blocking (pigeonhole over hamming ≤ 4;
+    Manku et al. WWW 2007 scheme). Tier-configurable — 60-bit/2-of-6
+    default, 64-bit/3-of-8 via $SPARK_GRAFT_SIMHASH_TIER — see the
+    constants block for the measured quadratic the narrower round-9
+    blocking hit and the growth law."""
     return _simhash_pairs(spark, sf_dir)
 
 
@@ -1068,9 +1126,7 @@ _SAMPLE_MULT = 1327217885  # ≈ P · (golden ratio − 1)
 # shared scan + overlap bought back only what the shared memo's extra
 # materialization costs. The residual is fixed pipeline depth, so
 # neither K nor scan sharing is the dial at sf0.1 and the r8 ≤2 s bar
-# is not reachable at this SF
-# dial at sf0.1 and the r8 ≤2 s bar is not reachable at this SF
-# without changing what the audit computes; the tier's 100 TB case
+# is not reachable at this SF without changing what the audit computes; the tier's 100 TB case
 # rests on the MEASURED scale exponents instead (0.30/0.34 at the
 # 10x probe — SCALE.md exponent table), which is the evidence that
 # matters at 1000 executors. The P/R and per-decile catch-rate

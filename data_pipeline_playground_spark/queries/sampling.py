@@ -609,32 +609,21 @@ def corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # eager drop-list materialization — see docstring (codegen-unit
     # isolation + broadcastable tiny sets; persisted lists at 100 TB).
     # The three builds are independent stage DAGs, so they run from
-    # CONCURRENT driver threads (the _audit_builds_sampled pattern):
-    # serial builds measured 10-17 s vs ~6-7 s threaded at sf0.1, the
-    # difference being idle cores while each gate's narrow final
-    # stages drain. Each gate's memo (if any) is built by its own
-    # thread under a distinct key, so the plain-dict memo store is
-    # never raced on one key.
-    import threading as _threading
+    # CONCURRENT driver threads (concurrency.py — the
+    # _audit_builds_sampled pattern): serial builds measured 10-17 s vs
+    # ~6-7 s threaded at sf0.1, the difference being idle cores while
+    # each gate's narrow final stages drain. NOTE (ADVICE r10 #2): the
+    # memos behind these gates (minhash est, the spans pipeline's
+    # inputs) were already built ABOVE, serially on this thread, at
+    # plan-construction time — the threads only materialize the three
+    # cached drop-list frames. caching.memo additionally holds a
+    # per-key lock, so even a future edit that moved a memo build into
+    # a thread could not race two builders on one key.
+    from data_pipeline_playground_spark.concurrency import (
+        materialize_concurrently,
+    )
 
-    _errs: list = []
-
-    def _build(g: DataFrame) -> None:
-        try:
-            g.cache().count()
-        except Exception as exc:  # noqa: BLE001 — re-raised below
-            _errs.append(exc)
-
-    _ts = [
-        _threading.Thread(target=_build, args=(g,))
-        for g in (dup, sdup, con)
-    ]
-    for _t in _ts:
-        _t.start()
-    for _t in _ts:
-        _t.join()
-    if _errs:
-        raise _errs[0]
+    materialize_concurrently((dup, sdup, con))
     f = (
         flags.join(F.broadcast(dup), "doc_id", "left")
         .join(F.broadcast(sdup), "doc_id", "left")

@@ -15,8 +15,19 @@ work (dedup candidates, truth joins, span matches) scales ×R, not
 exact copies, measuring duplicate-blowup rather than engine scaling).
 Embeddings replicate with the same id shift and a +r·10⁻³ per-vector
 offset (ANN bucket structure preserved, no cross-replica exact ties).
-The other TPC-H tables are symlinked 1× — the probed queries only
-read documents/embeddings.
+
+Star-schema replica mode (round 11 — VERDICT r10 #3): customer /
+orders / lineitem / part / supplier replicate as DISJOINT key
+populations — every key column (custkey, orderkey, partkey, suppkey)
+shifts by r·10⁷, dates/prices/attributes untouched, nation/region
+symlinked 1×. This is the TPC-H growth mode (catalog and customer
+base grow with the fact tables; per-key join density stays CONSTANT),
+so a linear plan measures exponent ~1.0 and any super-linear reading
+is the engine's, not the data's. Attribute-keyed groups (brand, type,
+mktsegment, nation) keep fixed cardinality and see R× rows per group
+— the partial-aggregation path that must stay linear. Time-bucketed
+aggregates see R× rows per bucket (more business, same horizon —
+matching the events replica's disjoint-user-population design).
 
 Absolute times on a burst-credit-throttled host are meaningless; the
 RATIO within one run is the signal (both scales measured back to
@@ -84,6 +95,29 @@ PROBE_QUERIES = [
     "attribution_ushape",
 ]
 
+# round-11 star-schema fact-family probes (VERDICT r10 #3): the
+# heaviest lineitem/orders readers of the analytics / tpch_extra /
+# graph-mining / sketches families — the families whose 100 TB case
+# argued from plan shape only until this probe. Replication keeps
+# per-key join density constant (see module docstring), so the
+# documented laws are all ~linear; anything super-linear is a find.
+FACT_PROBE_QUERIES = [
+    "nation_pair_trade",
+    "kcore_parts",
+    "item_rec_backtest",
+    "topk_stability",
+    "heavy_hitters_cms",
+    "nation_trade_hops",
+    "copurchase_assortativity",
+    "item_item_neighbors",
+    "customer_rfm_segments",
+    "basket_rules",
+    "link_prediction_ra",
+    "unit_value_index",
+    "late_shipment_pchart",
+    "top_part_per_supplier",
+]
+
 
 def build_corpus(out: str, replicas: int) -> None:
     import duckdb
@@ -131,8 +165,35 @@ def build_corpus(out: str, replicas: int) -> None:
         for r in range(replicas)
     )
     con.execute(f"COPY ({evreps}) TO '{out}/events.parquet' (FORMAT PARQUET)")
-    for t in ("region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem"):
+    # star-schema replicas: shift every KEY column, keep values — see
+    # module docstring (disjoint key populations, constant join density)
+    star = {
+        "customer": ["c_custkey"],
+        "orders": ["o_orderkey", "o_custkey"],
+        "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+        "part": ["p_partkey"],
+        "supplier": ["s_suppkey"],
+    }
+    for t, keys in star.items():
+        dst = f"{out}/{t}.parquet"
+        if os.path.lexists(dst):
+            os.unlink(dst)
+        cols = [
+            c[0] for c in con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet('{SF1}/{t}.parquet')"
+            ).fetchall()
+        ]
+        treps = " UNION ALL ".join(
+            "SELECT "
+            + ", ".join(
+                f"{c} + {r * ID_OFFSET} AS {c}" if c in keys else c
+                for c in cols
+            )
+            + f" FROM read_parquet('{SF1}/{t}.parquet')"
+            for r in range(replicas)
+        )
+        con.execute(f"COPY ({treps}) TO '{dst}' (FORMAT PARQUET)")
+    for t in ("region", "nation"):
         dst = f"{out}/{t}.parquet"
         if not os.path.exists(dst):
             os.symlink(f"{SF1}/{t}.parquet", dst)
@@ -145,12 +206,23 @@ def main() -> None:
     p.add_argument(
         "--only",
         default="",
-        help="comma-separated subset of PROBE_QUERIES to run",
+        help="comma-separated subset of the probe list to run",
+    )
+    p.add_argument(
+        "--families",
+        default="docs",
+        choices=["docs", "fact", "all"],
+        help="docs = document/embedding/events probes (default); "
+        "fact = star-schema lineitem/orders probes; all = both",
     )
     args = p.parse_args()
+    global PROBE_QUERIES
+    if args.families == "fact":
+        PROBE_QUERIES = list(FACT_PROBE_QUERIES)
+    elif args.families == "all":
+        PROBE_QUERIES = PROBE_QUERIES + FACT_PROBE_QUERIES
     if args.only:
         picked = [s for s in args.only.split(",") if s]
-        global PROBE_QUERIES
         PROBE_QUERIES = [n for n in PROBE_QUERIES if n in picked]
 
     from data_pipeline_playground_spark.registry import all_queries

@@ -153,6 +153,54 @@ def test_merge_fresh_queries_skip_base_min():
     assert timings == {"rewritten": 5.0, "unchanged": 2.0, "untouched": 0.7}
 
 
+def test_merge_keeps_memo_build_entries():
+    """VERDICT r10 #1: memo_build:* pseudo-entries from a base record
+    survive the merge (min policy — same-code builds measure the same
+    work) even though they are not registered query names; fresh-listed
+    memo entries keep this run's own value."""
+    timings = {"qa": 1.0, "memo_build:minhash_est": 4.0}
+    bench._merge_base_timings(
+        timings, {},
+        {"qa": 1.2, "memo_build:minhash_est": 3.1,
+         "memo_build:pq_model": 0.8, "memo_build:tfidf_features": 2.0},
+        {"qa"},
+        fresh={"memo_build:tfidf_features"},
+    )
+    assert timings == {
+        "qa": 1.0,
+        "memo_build:minhash_est": 3.1,  # min(4.0, 3.1)
+        "memo_build:pq_model": 0.8,  # filled from base
+        # memo_build:tfidf_features: fresh → base value not merged,
+        # and this run recorded none
+    }
+
+
+def test_compact_summary_memo_entries_counted_separately():
+    """memo_build:* line items stay visible in the top-slowest table
+    but n_queries / median / p90 describe real queries only."""
+    import json
+
+    queries = {f"q{i:03d}": 0.5 for i in range(99)}
+    queries["memo_build:minhash_est"] = 9.9
+    out = {
+        "metric": "total_query_wall_seconds",
+        "value": round(sum(queries.values()), 4),
+        "unit": "sec",
+        "sf": 0.1,
+        "queries": queries,
+        "sentinel_probes": {},
+    }
+    parsed = json.loads(json.dumps(
+        bench._compact_summary(out, "/root/repo/BENCH_full_latest.json"),
+        separators=(",", ":"),
+    ))
+    assert parsed["n_queries"] == 99
+    assert parsed["memo_build_n"] == 1
+    assert parsed["memo_build_s"] == 9.9
+    assert parsed["median_s"] == 0.5 and parsed["p90_s"] == 0.5
+    assert "memo_build:minhash_est" in parsed["queries"]  # slowest item
+
+
 def test_load_base_follows_compact_summary(tmp_path):
     """VERDICT r9 #7: a compact stdout summary passed as
     SPARK_GRAFT_BENCH_BASE must follow its full_record pointer so

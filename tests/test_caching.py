@@ -125,6 +125,79 @@ def test_global_rank_retires_old_caches_fifo(spark):
     assert frames  # keep refs alive through the assertion above
 
 
+def test_memo_ledger_records_build_and_remat(spark, sf_dir):
+    """VERDICT r10 #1: memo charges builds/re-materializations to a
+    drainable ledger so the bench can book them as memo_build line
+    items instead of whichever query touched the memo first."""
+    caching.drain_ledger()
+    build, _ = _build_counter(spark)
+    caching.memo(spark, "t_memo_ledger", sf_dir, build)
+    entries = caching.drain_ledger()
+    assert [(e["name"], e["kind"]) for e in entries] == [
+        ("t_memo_ledger", "build")
+    ]
+    assert entries[0]["sec"] >= 0.0
+    # cache hit: no new entries
+    caching.memo(spark, "t_memo_ledger", sf_dir, build)
+    assert caching.drain_ledger() == []
+    # explicit unpersist → retrieval re-materializes and records it
+    spark.catalog.clearCache()
+    caching.memo(spark, "t_memo_ledger", sf_dir, build)
+    entries = caching.drain_ledger()
+    assert [(e["name"], e["kind"]) for e in entries] == [
+        ("t_memo_ledger", "remat")
+    ]
+
+
+def test_memo_ledger_nested_builds_record_exclusive_time(spark, sf_dir):
+    """A memo built inside another memo's build (grams_sampled inside
+    minhash_est_sampled) must not double-count its seconds: the child
+    entry carries its own time, the parent entry carries elapsed MINUS
+    child."""
+    import time as _time
+
+    caching.drain_ledger()
+
+    def child_build():
+        _time.sleep(0.05)
+        return spark.range(3)
+
+    def parent_build():
+        caching.memo(spark, "t_nested_child", sf_dir, child_build)
+        _time.sleep(0.02)
+        return spark.range(5)
+
+    caching.memo(spark, "t_nested_parent", sf_dir, parent_build)
+    by_name = {e["name"]: e for e in caching.drain_ledger()}
+    assert set(by_name) == {"t_nested_child", "t_nested_parent"}
+    assert by_name["t_nested_child"]["sec"] >= 0.05
+    # parent's exclusive time excludes the child's 50 ms sleep
+    assert by_name["t_nested_parent"]["sec"] < 0.05
+
+
+def test_memo_concurrent_same_key_builds_once(spark, sf_dir):
+    """ADVICE r10 #2: racing memo() on one key from concurrent driver
+    threads must build exactly once (per-key lock), and every thread
+    gets the same value."""
+    from data_pipeline_playground_spark.concurrency import run_concurrently
+
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        import time as _time
+
+        _time.sleep(0.05)  # widen the race window
+        return spark.range(4)
+
+    results = run_concurrently([
+        lambda: caching.memo(spark, "t_memo_race", sf_dir, build)
+        for _ in range(4)
+    ])
+    assert calls["n"] == 1
+    assert all(r is results[0] for r in results)
+
+
 def test_minhash_est_memoizes_signature_table_for_the_guard(spark, sf_dir):
     """The minhash estimate memo must store (sig, est), sig FIRST.
 

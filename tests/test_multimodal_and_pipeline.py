@@ -84,6 +84,29 @@ def test_news_pipeline_end_to_end(spark, sf_dir):
         assert r.summary_text  # every cluster got a representative text
 
 
+def test_news_pipeline_eager_branches_same_output(spark, sf_dir):
+    """ADVICE r10 #1: the threaded eager-branch variant is a real
+    parameter with coverage — it must produce exactly the composed
+    plan's rows (the threads only change WHEN branch frames
+    materialize, never what they contain)."""
+    from data_pipeline_playground_spark.plans.news_pipeline import (
+        run_news_pipeline,
+    )
+
+    def key(rows):
+        return sorted(
+            (r.cluster_id, r.n_articles, r.keywords, r.top_doc_id,
+             r.summary_text)
+            for r in rows
+        )
+
+    composed = key(run_news_pipeline(spark, sf_dir).collect())
+    threaded = key(
+        run_news_pipeline(spark, sf_dir, eager_branches=True).collect()
+    )
+    assert composed == threaded
+
+
 def test_news_pipeline_greedy_fidelity_snapshot(spark, sf_dir):
     """VERDICT r5 #5: the greedy fidelity mode reproduces the
     reference's arrival-order dedup (pipeline.py:22-42) END-TO-END on
