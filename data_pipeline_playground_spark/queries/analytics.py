@@ -1090,7 +1090,9 @@ def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- weekly top-N movers ----------------------------------------------------
 
-_MOVERS_SQL = """
+TOPK_STAB_K = 10
+
+_MOVERS_SQL = f"""
 WITH wk AS (
   SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS week, l_partkey,
          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
@@ -1108,18 +1110,46 @@ lag_rk AS (
   SELECT week, l_partkey, revenue, rnk,
          lag(rnk) OVER (PARTITION BY l_partkey ORDER BY week) AS prev_rnk
   FROM rk
+),
+top10 AS (SELECT week, l_partkey FROM rk WHERE rnk <= {TOPK_STAB_K}),
+pairs AS (
+  SELECT t.week, CAST(count(p.l_partkey) AS BIGINT) AS n_common
+  FROM top10 t
+  LEFT JOIN top10 p ON p.week = t.week - INTERVAL 7 DAY
+                   AND p.l_partkey = t.l_partkey
+  GROUP BY t.week
+),
+has_prev AS (
+  SELECT DISTINCT week FROM top10 t
+  WHERE EXISTS (SELECT 1 FROM (SELECT DISTINCT week FROM top10) w
+                WHERE w.week = t.week - INTERVAL 7 DAY)
+),
+stab AS (
+  SELECT p.week, p.n_common,
+         CAST(p.n_common AS DOUBLE)
+           / CAST(2 * {TOPK_STAB_K} - p.n_common AS DOUBLE) AS topk_jaccard
+  FROM pairs p JOIN has_prev h ON h.week = p.week
 )
-SELECT week, l_partkey, revenue, rnk,
-       prev_rnk, prev_rnk - rnk AS rank_gain
-FROM lag_rk WHERE rnk <= 10
+SELECT l.week, l.l_partkey, l.revenue, l.rnk,
+       l.prev_rnk, l.prev_rnk - l.rnk AS rank_gain,
+       s.n_common, s.topk_jaccard
+FROM lag_rk l LEFT JOIN stab s ON s.week = l.week
+WHERE l.rnk <= {TOPK_STAB_K}
 """
 
 
 @query("part_weekly_movers", oracle=_MOVERS_SQL)
 def part_weekly_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weekly top-10 parts by discounted revenue with rank movement vs
-    the part's previous ranked week (the 'trending items' board:
-    rank_gain > 0 is a climber, NULL prev_rnk is a new entry).
+    """Weekly top-{TOPK_STAB_K} parts by discounted revenue with rank
+    movement vs the part's previous ranked week (the 'trending items'
+    board: rank_gain > 0 is a climber, NULL prev_rnk is a new entry),
+    PLUS the week-level churn@k readout riding every row (round-11
+    consolidation — absorbed `topk_stability`): n_common / topk_jaccard
+    = overlap of this week's top-k set with the previous week's, NULL
+    for weeks with no preceding ranked week. The stability index now
+    derives from the SAME discounted-revenue ranking as the movers
+    board (the absorbed one-off ranked by gross price — one ranking,
+    two readouts is the consolidation win).
 
     Revenue uses the repo's exact-decimal money idiom (DECIMAL(18,2) ×
     (1 − DECIMAL(4,2) discount), summed exactly, ONE final double
@@ -1128,10 +1158,12 @@ def part_weekly_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines.
 
     Plan: one hash agg on (week, part), a per-week ranking window,
-    then a per-part lag window — the rank filter applies before the
-    output so the lag window's state is per-part tiny. At 100 TB the
-    weekly aggregate is partial-combinable map-side and each window
-    partitions on a bounded key (weeks, parts).
+    then a per-part lag window; the churn side reuses the top-k frame
+    via an eager localCheckpoint (3 references — current, shifted,
+    week list) so the fact aggregate runs once, and everything after
+    it is k-rows-per-week sized. At 100 TB the weekly aggregate is
+    partial-combinable map-side and each window partitions on a
+    bounded key (weeks, parts).
     """
     li = table(spark, sf_dir, "lineitem")
     rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
@@ -1149,14 +1181,51 @@ def part_weekly_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rk = wk.withColumn("rnk", F.row_number().over(w_rank).cast("bigint"))
     w_lag = Window.partitionBy("l_partkey").orderBy("week")
-    out = rk.withColumn("prev_rnk", F.lag("rnk").over(w_lag))
-    return out.where(F.col("rnk") <= 10).select(
+    out = rk.withColumn("prev_rnk", F.lag("rnk").over(w_lag)).where(
+        F.col("rnk") <= TOPK_STAB_K
+    )
+    # churn@k over the same ranking (absorbed topk_stability)
+    tk = out.select("week", "l_partkey").localCheckpoint(eager=True)
+    prev = tk.select(
+        F.date_add("week", 7).alias("p_week"),
+        F.col("l_partkey").alias("p_part"),
+    )
+    pairs = (
+        tk.join(
+            prev,
+            (F.col("p_week") == F.col("week"))
+            & (F.col("p_part") == F.col("l_partkey")),
+            "left",
+        )
+        .groupBy("week")
+        .agg(F.count("p_part").cast("bigint").alias("n_common"))
+    )
+    weeks_with_prev = (
+        tk.select("week")
+        .distinct()
+        .join(
+            tk.select(F.date_add("week", 7).alias("week")).distinct(),
+            "week",
+            "left_semi",
+        )
+    )
+    stab = pairs.join(weeks_with_prev, "week").select(
+        "week",
+        "n_common",
+        (
+            F.col("n_common").cast("double")
+            / (F.lit(2 * TOPK_STAB_K) - F.col("n_common")).cast("double")
+        ).alias("topk_jaccard"),
+    )
+    return out.join(F.broadcast(stab), "week", "left").select(
         "week",
         "l_partkey",
         "revenue",
         "rnk",
         "prev_rnk",
         (F.col("prev_rnk") - F.col("rnk")).alias("rank_gain"),
+        "n_common",
+        "topk_jaccard",
     )
 
 
@@ -2848,147 +2917,3 @@ def personal_spend_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
-
-# --- weekly top-k stability -----------------------------------------------------------
-
-TOPK_STAB_K = 10
-
-_TOPK_STAB_SQL = f"""
-WITH wr AS (
-  SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS week,
-         l_partkey,
-         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
-  FROM lineitem GROUP BY 1, 2
-),
-tk AS (
-  SELECT week, l_partkey FROM (
-    SELECT week, l_partkey,
-           row_number() OVER (PARTITION BY week
-                              ORDER BY rev DESC, l_partkey) AS rk
-    FROM wr
-  ) WHERE rk <= {TOPK_STAB_K}
-),
-weeks AS (SELECT DISTINCT week FROM tk),
-pairs AS (
-  SELECT c.week,
-         CAST(count(p.l_partkey) AS BIGINT) AS n_common
-  FROM weeks c
-  JOIN tk t ON t.week = c.week
-  LEFT JOIN tk p ON p.week = c.week - INTERVAL 7 DAY
-                AND p.l_partkey = t.l_partkey
-  GROUP BY c.week
-),
-has_prev AS (SELECT DISTINCT week FROM tk t
-             WHERE EXISTS (SELECT 1 FROM weeks w
-                           WHERE w.week = t.week - INTERVAL 7 DAY))
-SELECT p.week, p.n_common,
-       CAST(p.n_common AS DOUBLE)
-         / CAST(2 * {TOPK_STAB_K} - p.n_common AS DOUBLE) AS topk_jaccard
-FROM pairs p JOIN has_prev h ON h.week = p.week
-"""
-
-
-@query("topk_stability", oracle=_TOPK_STAB_SQL)
-def topk_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Week-over-week stability of the top-{10} revenue parts: the
-    Jaccard overlap of consecutive weekly top-k sets — churn@k, the
-    number that says whether 'top sellers' is a stable merchandising
-    signal or week-to-week noise (complements `part_weekly_movers`'
-    per-part rank deltas with a set-level stability index).
-
-    Weekly top-k via per-week rank windows over the (week, part)
-    aggregate; the consecutive-week overlap is an equi-join on
-    (shifted week, part) between two k-row-per-week frames —
-    dimension-sized everywhere after the first aggregate.
-    """
-    li = table(spark, sf_dir, "lineitem")
-    wr = li.groupBy(
-        F.to_date(F.date_trunc("week", "l_shipdate")).alias("week"), "l_partkey"
-    ).agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev"))
-    w = Window.partitionBy("week").orderBy(F.desc("rev"), "l_partkey")
-    tk = (
-        wr.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= TOPK_STAB_K)
-        .select("week", "l_partkey")
-    )
-    tk = tk.localCheckpoint(eager=True)  # current, previous, week-list sides
-    prev = tk.select(
-        F.date_add("week", 7).alias("p_week"), F.col("l_partkey").alias("p_part")
-    )
-    pairs = (
-        tk.join(
-            prev,
-            (F.col("p_week") == F.col("week"))
-            & (F.col("p_part") == F.col("l_partkey")),
-            "left",
-        )
-        .groupBy("week")
-        .agg(F.count("p_part").alias("n_common"))
-    )
-    weeks_with_prev = (
-        tk.select("week")
-        .distinct()
-        .join(
-            tk.select(F.date_add("week", 7).alias("week")).distinct(),
-            "week",
-            "left_semi",
-        )
-    )
-    return pairs.join(weeks_with_prev, "week").select(
-        "week",
-        F.col("n_common").cast("bigint").alias("n_common"),
-        (
-            F.col("n_common").cast("double")
-            / (F.lit(2 * TOPK_STAB_K) - F.col("n_common")).cast("double")
-        ).alias("topk_jaccard"),
-    )
-
-
-# --- discount-depth lift ----------------------------------------------------------
-
-_DISCOUNT_LIFT_SQL = """
-WITH b AS (
-  SELECT CASE WHEN l_discount = 0 THEN 'none'
-              WHEN l_discount <= 0.05 THEN 'shallow'
-              ELSE 'deep' END AS discount_band,
-         CAST(l_quantity AS DECIMAL(10,2)) AS q,
-         CAST(l_extendedprice AS DECIMAL(14,2)) AS p
-  FROM lineitem
-)
-SELECT discount_band,
-       CAST(count(*) AS BIGINT) AS n_lines,
-       CAST(CAST(SUM(q) AS DECIMAL(18,2)) AS DOUBLE)
-         / CAST(count(*) AS DOUBLE) AS avg_quantity,
-       CAST(CAST(SUM(p) AS DECIMAL(18,2)) AS DOUBLE) AS gross_revenue
-FROM b GROUP BY discount_band
-"""
-
-
-@query("discount_depth_lift", oracle=_DISCOUNT_LIFT_SQL)
-def discount_depth_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Average quantity and gross revenue by discount depth (none /
-    ≤5% / deeper) — the promo-effectiveness readout whose CAUSAL
-    version is `ab_test_lift`; this is the observational cut every
-    merch review starts from. One conditional aggregate; decimal-exact
-    sums downcast before double casts; band boundaries compare the
-    raw double discounts identically in both engines.
-    """
-    li = table(spark, sf_dir, "lineitem")
-    band = (
-        F.when(F.col("l_discount") == 0, "none")
-        .when(F.col("l_discount") <= 0.05, "shallow")
-        .otherwise("deep")
-    )
-    return li.groupBy(band.alias("discount_band")).agg(
-        F.count(F.lit(1)).alias("n_lines"),
-        (
-            F.sum(F.col("l_quantity").cast("decimal(10,2)"))
-            .cast("decimal(18,2)")
-            .cast("double")
-            / F.count(F.lit(1)).cast("double")
-        ).alias("avg_quantity"),
-        F.sum(F.col("l_extendedprice").cast("decimal(14,2)"))
-        .cast("decimal(18,2)")
-        .cast("double")
-        .alias("gross_revenue"),
-    )

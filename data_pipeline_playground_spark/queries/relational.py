@@ -225,20 +225,52 @@ def order_priority_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- grouping sets / cube ---------------------------------------------------
 
 _SALES_CUBE_SQL = """
-SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
-       count(*) AS n_lines
-FROM lineitem
-GROUP BY CUBE (l_returnflag, l_linestatus)
+WITH b AS (
+  SELECT l_returnflag, l_linestatus,
+         CASE WHEN l_discount = 0 THEN 'none'
+              WHEN l_discount <= 0.05 THEN 'shallow'
+              ELSE 'deep' END AS discount_band,
+         CAST(l_quantity AS DECIMAL(10,2)) AS q,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS p
+  FROM lineitem
+)
+SELECT l_returnflag, l_linestatus, discount_band,
+       CAST(SUM(p) AS DOUBLE) AS total_price,
+       count(*) AS n_lines,
+       CAST(CAST(SUM(q) AS DECIMAL(18,2)) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS avg_quantity
+FROM b
+GROUP BY CUBE (l_returnflag, l_linestatus, discount_band)
 """
 
 
 @query("sales_cube", oracle=_SALES_CUBE_SQL)
 def sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-dimensional sales cube: returnflag × linestatus ×
+    discount band (none / ≤5% shallow / deeper). Round-11
+    consolidation absorbed `discount_depth_lift` — its band-grain
+    promo-effectiveness readout (n_lines, avg_quantity, gross revenue
+    by discount depth) is exactly the (NULL, NULL, discount_band)
+    cube slice, and every other slice now carries the same metrics.
+    Decimal-exact sums downcast before double casts; the avg is one
+    shared double division."""
     li = table(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
+    band = (
+        F.when(F.col("l_discount") == 0, "none")
+        .when(F.col("l_discount") <= 0.05, "shallow")
+        .otherwise("deep")
+    )
+    return li.withColumn("discount_band", band).cube(
+        "l_returnflag", "l_linestatus", "discount_band"
+    ).agg(
         F.sum(_dec("l_extendedprice")).cast("double").alias("total_price"),
         F.count(F.lit(1)).alias("n_lines"),
+        (
+            F.sum(F.col("l_quantity").cast("decimal(10,2)"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_quantity"),
     )
 
 
@@ -597,28 +629,70 @@ def nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ORDERS_GROUPING_SETS_SQL = """
-SELECT o_orderstatus, o_orderpriority,
+_AGE_BAND_CASE = """CASE WHEN age_days <= 365 THEN '0-1y'
+              WHEN age_days <= 1095 THEN '1-3y'
+              WHEN age_days <= 1825 THEN '3-5y'
+              ELSE '5y+' END"""
+
+_ORDERS_GROUPING_SETS_SQL = f"""
+WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS dmax FROM orders),
+a AS (
+  SELECT o_orderstatus, o_orderpriority,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+         CAST(datediff('day', CAST(o_orderdate AS DATE), mx.dmax) AS BIGINT)
+           AS age_days
+  FROM orders CROSS JOIN mx
+),
+b AS (
+  SELECT o_orderstatus, o_orderpriority, p,
+         {_AGE_BAND_CASE} AS age_band
+  FROM a
+)
+SELECT o_orderstatus, o_orderpriority, age_band,
        count(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-FROM orders
-GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+       CAST(SUM(p) AS DOUBLE) AS total
+FROM b
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderstatus, age_band), (o_orderstatus), ())
 """
 
 
 @query("orders_grouping_sets", oracle=_ORDERS_GROUPING_SETS_SQL)
 def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS (status×priority, status, grand total) —
-    the rollup lattice without the cube's full cross-product."""
+    """Explicit GROUPING SETS lattice over orders: status×priority,
+    status×age_band, status, grand total — the rollup lattice without
+    the cube's full cross-product. Round-11 consolidation absorbed
+    `order_status_aging`: its backlog-aging report (orders per status
+    per age band relative to the corpus's newest order date — old 'O'
+    orders are stuck work, old 'P' ones reconciliation debt) is
+    exactly the (o_orderstatus, age_band) grouping set, computed from
+    the same broadcast one-row max and boundary-aligned date-truncated
+    differences."""
     orders = table(spark, sf_dir, "orders")
-    orders.createOrReplaceTempView("_orders_gs")
+    mx = orders.agg(F.to_date(F.max("o_orderdate")).alias("dmax"))
+    age = F.expr(
+        "CAST(datediff(DAY, CAST(o_orderdate AS DATE), dmax) AS BIGINT)"
+    )
+    banded = (
+        orders.crossJoin(F.broadcast(mx))
+        .withColumn("age_days", age)
+        .selectExpr(
+            "o_orderstatus",
+            "o_orderpriority",
+            "CAST(o_totalprice AS DECIMAL(18,2)) AS p",
+            f"{_AGE_BAND_CASE} AS age_band",
+        )
+    )
+    banded.createOrReplaceTempView("_orders_gs")
     return spark.sql(
         """
-        SELECT o_orderstatus, o_orderpriority,
+        SELECT o_orderstatus, o_orderpriority, age_band,
                count(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+               CAST(SUM(p) AS DOUBLE) AS total
         FROM _orders_gs
-        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus, age_band),
+                                (o_orderstatus), ())
         """
     )
 
@@ -898,50 +972,3 @@ def ps_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- open-order aging ------------------------------------------------------------
-
-_ORDER_AGING_SQL = """
-WITH mx AS (SELECT CAST(max(o_orderdate) AS DATE) AS dmax FROM orders),
-a AS (
-  SELECT o_orderstatus,
-         CAST(datediff('day', CAST(o_orderdate AS DATE), mx.dmax) AS BIGINT)
-           AS age_days
-  FROM orders CROSS JOIN mx
-),
-b AS (
-  SELECT o_orderstatus,
-         CASE WHEN age_days <= 365 THEN '0-1y'
-              WHEN age_days <= 1095 THEN '1-3y'
-              WHEN age_days <= 1825 THEN '3-5y'
-              ELSE '5y+' END AS age_band
-  FROM a
-)
-SELECT o_orderstatus AS status, age_band,
-       CAST(count(*) AS BIGINT) AS n_orders
-FROM b GROUP BY o_orderstatus, age_band
-"""
-
-
-@query("order_status_aging", oracle=_ORDER_AGING_SQL)
-def order_status_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order age-band distribution per status, relative to the corpus's
-    newest order date (deterministic, not wall-clock) — the backlog
-    aging report: old 'O' (open) orders are stuck work, old 'P'
-    (pending) ones are reconciliation debt. One broadcast one-row max,
-    one conditional aggregate; ages via date-truncated differences
-    (the boundary-aligned idiom).
-    """
-    orders = table(spark, sf_dir, "orders")
-    mx = orders.agg(F.to_date(F.max("o_orderdate")).alias("dmax"))
-    age = F.expr("CAST(datediff(DAY, CAST(o_orderdate AS DATE), dmax) AS BIGINT)")
-    band = (
-        F.when(age <= 365, "0-1y")
-        .when(age <= 1095, "1-3y")
-        .when(age <= 1825, "3-5y")
-        .otherwise("5y+")
-    )
-    return (
-        orders.crossJoin(F.broadcast(mx))
-        .groupBy(F.col("o_orderstatus").alias("status"), band.alias("age_band"))
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-    )

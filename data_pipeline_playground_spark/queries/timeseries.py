@@ -216,52 +216,6 @@ def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- period-over-period deltas ----------------------------------------------
-
-_WOW_SQL = """
-WITH daily AS (
-  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-  FROM orders GROUP BY 1
-)
-SELECT day, revenue,
-       lag(revenue, 7) OVER (ORDER BY day) AS revenue_prev_week,
-       (revenue - lag(revenue, 7) OVER (ORDER BY day))
-         / lag(revenue, 7) OVER (ORDER BY day) AS wow_change
-FROM daily
-"""
-
-
-@query("daily_revenue_wow", oracle=_WOW_SQL)
-def daily_revenue_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Week-over-week revenue deltas: daily decimal-exact revenue,
-    then a lag-7 window and the relative change — the
-    period-over-period report every dashboard carries.
-
-    The lag window is unpartitioned but runs over the POST-AGGREGATE
-    daily frame (|days|, a few thousand rows at any corpus size) — the
-    same bounded-single-partition-window argument as
-    nation_revenue_pctrank; the corpus-sized work is the one
-    map-side-combinable groupBy on day. The division happens on
-    identical doubles in both engines, so no rounding is needed.
-    """
-    orders = table(spark, sf_dir, "orders")
-    daily = orders.groupBy(
-        F.to_date(F.date_trunc("day", "o_orderdate")).alias("day")
-    ).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .cast("double")
-        .alias("revenue")
-    )
-    w = Window.orderBy("day")
-    prev = F.lag("revenue", 7).over(w)
-    return daily.select(
-        "day",
-        "revenue",
-        prev.alias("revenue_prev_week"),
-        ((F.col("revenue") - prev) / prev).alias("wow_change"),
-    )
-
 
 # --- last-observation-carried-forward imputation -----------------------------
 
@@ -714,7 +668,8 @@ def daily_revenue_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     month sum is order-free; the closing ×100/n is a shared double
     expression. Shape: the corpus-sized work is one combinable
     groupBy(day); the lag-7 window runs over the bounded
-    post-aggregate daily frame (same argument as daily_revenue_wow),
+    post-aggregate daily frame (same argument as the wow_change
+    readout in revenue_seasonal_decompose),
     then a |months|-row aggregate.
     """
     orders = table(spark, sf_dir, "orders")
@@ -848,12 +803,13 @@ WITH daily AS (
 ma AS (
   SELECT day, rev,
          SUM(rev) OVER w AS m7,
-         count(*) OVER w AS n7
+         count(*) OVER w AS n7,
+         lag(rev, 7) OVER (ORDER BY day) AS prev7
   FROM daily
   WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
 ),
 valid AS (
-  SELECT day, rev, CASE WHEN n7 = 7 THEN m7 END AS m7,
+  SELECT day, rev, CASE WHEN n7 = 7 THEN m7 END AS m7, prev7,
          CAST(isodow(day) AS BIGINT) AS iso_dow
   FROM ma
 ),
@@ -868,7 +824,10 @@ SELECT v.day, CAST(v.rev AS DOUBLE) AS revenue,
        CAST(v.m7 AS DOUBLE) / CAST(7 AS DOUBLE) AS trend,
        v.iso_dow, s.seasonal,
        CAST(v.rev AS DOUBLE) - CAST(v.m7 AS DOUBLE) / CAST(7 AS DOUBLE)
-         - s.seasonal AS residual
+         - s.seasonal AS residual,
+       CAST(v.prev7 AS DOUBLE) AS revenue_prev_week,
+       (CAST(v.rev AS DOUBLE) - CAST(v.prev7 AS DOUBLE))
+         / CAST(v.prev7 AS DOUBLE) AS wow_change
 FROM valid v JOIN seas s ON s.iso_dow = v.iso_dow
 """
 
@@ -880,7 +839,11 @@ def revenue_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     trend = centered 7-day moving average (only where the full 7-day
     frame exists), weekday seasonal index = mean detrended revenue per
     ISO weekday, residual = revenue − trend − seasonal. The anomaly
-    baseline a forecaster subtracts first.
+    baseline a forecaster subtracts first. Round-11 consolidation
+    absorbed `daily_revenue_wow`: the lag-7 week-over-week readout
+    (revenue_prev_week, wow_change) rides every day row — one more
+    window function over the same single-partition post-aggregate
+    daily frame, zero extra exchanges.
 
     Parity: daily revenue and the 7-day window SUM stay exact
     DECIMAL; the seasonal mean avoids float summation entirely via
@@ -904,11 +867,13 @@ def revenue_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rev",
         F.sum("rev").over(w).alias("m7_raw"),
         F.count("*").over(w).alias("n7"),
+        F.lag("rev", 7).over(Window.orderBy("day")).alias("prev7"),
     )
     valid = ma.select(
         "day",
         "rev",
         F.when(F.col("n7") == 7, F.col("m7_raw")).alias("m7"),
+        "prev7",
         (F.weekday("day") + F.lit(1)).cast("bigint").alias("iso_dow"),
     )
     seas = valid.groupBy("iso_dow").agg(
@@ -922,6 +887,7 @@ def revenue_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("seasonal")
     )
     trend = F.col("m7").cast("double") / F.lit(7).cast("double")
+    prev7d = F.col("prev7").cast("double")
     return (
         valid.join(F.broadcast(seas), "iso_dow")
         .select(
@@ -932,6 +898,10 @@ def revenue_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seasonal",
             (F.col("rev").cast("double") - trend - F.col("seasonal")).alias(
                 "residual"
+            ),
+            prev7d.alias("revenue_prev_week"),
+            ((F.col("rev").cast("double") - prev7d) / prev7d).alias(
+                "wow_change"
             ),
         )
     )
@@ -1548,7 +1518,8 @@ FROM m
 def monthly_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monthly revenue with the same-month-last-year comparison and
     YoY growth — the seasonality-immune counterpart of
-    `daily_revenue_wow` (a 12-month lag compares December to December,
+    the wow_change readout in `revenue_seasonal_decompose` (a
+    12-month lag compares December to December,
     where month-over-month confounds season with trend).
 
     One month aggregate (decimal-exact, downcast before the double

@@ -535,14 +535,30 @@ def test_personal_outliers_bounded(spark, sf_dir):
 
 
 def test_topk_stability_bounds(spark, sf_dir):
+    """churn@k invariants survive the round-11 merge into
+    part_weekly_movers: every row of a week with a preceding ranked
+    week carries the set-overlap stats; first-week rows carry NULLs."""
     from data_pipeline_playground_spark.queries.analytics import TOPK_STAB_K
 
-    rows = _Q["topk_stability"](spark, sf_dir).collect()
+    rows = _Q["part_weekly_movers"](spark, sf_dir).collect()
     assert rows
+    weeks = {r["week"] for r in rows}
+    stats = sorted(r for r in rows if r["n_common"] is not None)
+    assert stats, "some week must have a preceding ranked week"
     for r in rows:
+        assert 1 <= r["rnk"] <= TOPK_STAB_K
+        if r["n_common"] is None:
+            assert r["topk_jaccard"] is None
+            continue
         assert 0 <= r["n_common"] <= TOPK_STAB_K
         expect = r["n_common"] / (2 * TOPK_STAB_K - r["n_common"])
         assert abs(r["topk_jaccard"] - expect) < 1e-12
+    # per-week consistency: every row of one week carries one value
+    per_week = {}
+    for r in rows:
+        per_week.setdefault(r["week"], set()).add(r["n_common"])
+    assert all(len(v) == 1 for v in per_week.values())
+    assert weeks  # keep the set referenced
 
 
 def test_emerging_terms_sorted_and_positive(spark, sf_dir):
@@ -562,12 +578,33 @@ def test_dup_histogram_covers_corpus(spark, sf_dir):
 
 
 def test_order_aging_covers_orders(spark, sf_dir):
-    rows = _Q["order_status_aging"](spark, sf_dir).collect()
-    assert sum(r["n_orders"] for r in rows) == table(spark, sf_dir, "orders").count()
+    """The aging report absorbed into orders_grouping_sets (round 11):
+    the (status, age_band) grouping set still partitions every order."""
+    rows = _Q["orders_grouping_sets"](spark, sf_dir).collect()
+    aging = [
+        r for r in rows
+        if r["age_band"] is not None and r["o_orderstatus"] is not None
+    ]
+    assert aging
+    assert sum(r["n_orders"] for r in aging) == table(
+        spark, sf_dir, "orders"
+    ).count()
+    assert {r["age_band"] for r in aging} <= {"0-1y", "1-3y", "3-5y", "5y+"}
 
 
 def test_discount_lift_covers_lineitem(spark, sf_dir):
-    rows = _Q["discount_depth_lift"](spark, sf_dir).collect()
-    assert sum(r["n_lines"] for r in rows) == table(spark, sf_dir, "lineitem").count()
-    for r in rows:
-        assert r["avg_quantity"] > 0 and r["gross_revenue"] > 0
+    """The promo readout absorbed into sales_cube (round 11): the
+    band-only cube slice still partitions every lineitem and carries
+    positive avg quantity + gross revenue per band."""
+    rows = _Q["sales_cube"](spark, sf_dir).collect()
+    bands = [
+        r for r in rows
+        if r["discount_band"] is not None
+        and r["l_returnflag"] is None and r["l_linestatus"] is None
+    ]
+    assert {r["discount_band"] for r in bands} == {"none", "shallow", "deep"}
+    assert sum(r["n_lines"] for r in bands) == table(
+        spark, sf_dir, "lineitem"
+    ).count()
+    for r in bands:
+        assert r["avg_quantity"] > 0 and r["total_price"] > 0

@@ -568,11 +568,14 @@ def test_value_trend_single_combinable_shuffle(spark, sf_dir):
 
 
 def test_daily_wow_bounded_window(spark, sf_dir):
-    """The lag-7 window runs over the post-aggregate daily frame; the
-    corpus-sized work is one combinable groupBy on day."""
-    plan = _plan(spark, sf_dir, "daily_revenue_wow")
+    """The lag-7 WoW readout (merged into revenue_seasonal_decompose,
+    round 11) still runs its window over the post-aggregate daily
+    frame; the corpus-sized work is one combinable groupBy on day and
+    the only join is the broadcast seasonal-index join back."""
+    plan = _plan(spark, sf_dir, "revenue_seasonal_decompose")
     assert "partial_" in plan
-    assert "Join" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
 
 
 def test_histogram_broadcasts_bounds(spark, sf_dir):
@@ -1786,10 +1789,10 @@ def test_personal_outliers_one_join(spark, sf_dir):
 
 
 def test_topk_stability_dimension_sized_joins(spark, sf_dir):
-    """The overlap join runs between k-row-per-week frames from the
-    checkpointed top-k table; only the (week, part) aggregate is
-    fact-shaped."""
-    plan = _plan(spark, sf_dir, "topk_stability")
+    """The churn@k overlap join (merged into part_weekly_movers, round
+    11) runs between k-row-per-week frames from the checkpointed top-k
+    table; only the (week, part) aggregate is fact-shaped."""
+    plan = _plan(spark, sf_dir, "part_weekly_movers")
     assert "CartesianProduct" not in plan
 
 
