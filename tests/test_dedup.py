@@ -257,3 +257,45 @@ def test_corpus_funnel_stages_monotone_and_span_gate_wired(spark, sf_dir):
     # the gate can never drop more than the span-dup docs that survived
     # minhash dedup
     assert -marginal <= extra_droppable
+
+
+def test_simhash_tier_invariants_and_3of8_config():
+    """VERDICT r10 #4: the SimHash growth law is configuration, not
+    prose. Both tiers must satisfy the pigeonhole recall guarantee
+    (N_BLOCKS - MATCH_BLOCKS >= HAMMING_K: hamming <= K corrupts at
+    most K blocks, so some MATCH_BLOCKS-subset stays intact), cover
+    the whole fingerprint, and the 3of8 tier must activate from the
+    environment with C(8,3) = 56 combinatorial keys."""
+    import subprocess
+    import sys
+
+    from data_pipeline_playground_spark.queries import dedup_advanced as da
+
+    # active tier (whatever the session env selected)
+    assert da.N_BLOCKS * da.BLOCK_BITS == da.SIMHASH_BITS
+    assert da.N_BLOCKS - da.MATCH_BLOCKS >= da.HAMMING_K
+    from math import comb
+
+    assert len(da.BLOCK_COMBOS) == comb(da.N_BLOCKS, da.MATCH_BLOCKS)
+    assert len(set(da.BLOCK_COMBOS)) == len(da.BLOCK_COMBOS)
+
+    # 3of8 tier activates at import time in a fresh interpreter
+    code = (
+        "import os; os.environ['SPARK_GRAFT_SIMHASH_TIER'] = '3of8'\n"
+        "from data_pipeline_playground_spark.queries import"
+        " dedup_advanced as d\n"
+        "assert (d.SIMHASH_BITS, d.N_BLOCKS, d.BLOCK_BITS,"
+        " d.MATCH_BLOCKS) == (64, 8, 8, 3), d.SIMHASH_BITS\n"
+        "assert len(d.BLOCK_COMBOS) == 56\n"
+        "assert d.N_BLOCKS - d.MATCH_BLOCKS >= d.HAMMING_K\n"
+        "assert 'h2' in d._SIMHASH_CTES  # third salt feeds bits 60-63\n"
+        "assert '-9223372036854775808' in d._SIMHASH_CTES  # bit-63 arm\n"
+        "print('3of8 OK')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=120,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-800:]
+    assert "3of8 OK" in out.stdout
