@@ -105,7 +105,7 @@ FACT_PROBE_QUERIES = [
     "nation_pair_trade",
     "kcore_parts",
     "item_rec_backtest",
-    "topk_stability",
+    "part_weekly_movers",  # carries the absorbed topk_stability churn@k
     "heavy_hitters_cms",
     "nation_trade_hops",
     "copurchase_assortativity",
