@@ -199,7 +199,7 @@ FROM e
 def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shannon entropy (bits) of each document's token distribution —
     the repetitive/boilerplate detector that complements the Gopher
-    bigram-coverage filter in `quality_repetition`. Two map-side
+    bigram-coverage filter riding `token_stats`. Two map-side
     combinable aggregations, both keyed by doc_id so the second reuses
     the first's partitioning (one shuffle end-to-end)."""
     docs = table(spark, sf_dir, "documents")

@@ -423,7 +423,7 @@ def training_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Column helpers / SQL fragments), so the funnel certifies the
 # COMPOSITION, not re-derived variants.
 
-FUNNEL_QUALITY_MIN = 0.32  # ≈ lower quartile of quality_score
+FUNNEL_QUALITY_MIN = 0.32  # ≈ lower quartile of the quality gate (token_stats.quality_score)
 FUNNEL_LANG = "en"
 
 _FUNNEL_STAGES = (

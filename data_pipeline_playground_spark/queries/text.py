@@ -32,30 +32,8 @@ assert TOKEN_SPLIT_RE == "[^a-z0-9]+"  # keep the SQL mirror in sync
 
 # --- token counting (P8 + driver extension) ---------------------------------
 
-_TOKEN_STATS_SQL = f"""
-WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks, text FROM documents)
-SELECT doc_id,
-       len(toks) AS n_tokens,
-       len(list_filter(toks, x -> length(x) > 2)) AS n_long_tokens,
-       len(list_distinct(toks)) AS n_distinct_tokens,
-       length(text) AS n_chars
-FROM t
-"""
-
-
-@query("token_stats", oracle=_TOKEN_STATS_SQL)
-def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace/regex token counting incl. the len>2 filter of
-    reference lda.py:28 (P8)."""
-    docs = table(spark, sf_dir, "documents")
-    toks = tokenize(F.col("text"))
-    return docs.select(
-        "doc_id",
-        F.size(toks).alias("n_tokens"),
-        F.size(F.filter(toks, lambda x: F.length(x) > 2)).alias("n_long_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
-        F.length("text").alias("n_chars"),
-    )
+# _TOKEN_STATS_SQL is defined below the quality constants it reuses —
+# see token_stats() after quality_score_col.
 
 
 # --- BPE-style token counting (driver extension: LLM-data metric) -----------
@@ -104,88 +82,6 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TOP_BIGRAM_FRAC_MAX = 0.18  # Gopher: drop docs whose top 2-gram covers >18%
 REP_TOKEN_FRAC_MAX = 0.50  # and docs where >50% of tokens are repeats
-
-_REPETITION_SQL = f"""
-WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
-bg AS (
-  SELECT doc_id,
-         unnest(list_transform(range(1, len(toks)),
-                               i -> toks[i] || ' ' || toks[i + 1])) AS bigram
-  FROM t WHERE len(toks) >= 2
-),
-top_bg AS (
-  SELECT doc_id, max(cnt) AS top_cnt, sum(cnt) AS n_bigrams
-  FROM (SELECT doc_id, bigram, count(*) AS cnt FROM bg GROUP BY doc_id, bigram)
-  GROUP BY doc_id
-),
-tok AS (
-  SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct
-  FROM t
-)
-SELECT tok.doc_id,
-       round((tok.n_tokens - tok.n_distinct) * 1.0
-             / greatest(tok.n_tokens, 1), 6) AS rep_token_frac,
-       round(coalesce(top_bg.top_cnt * 1.0 / top_bg.n_bigrams, 0.0), 6)
-         AS top_bigram_frac,
-       (round((tok.n_tokens - tok.n_distinct) * 1.0
-              / greatest(tok.n_tokens, 1), 6) < {REP_TOKEN_FRAC_MAX}
-        AND round(coalesce(top_bg.top_cnt * 1.0 / top_bg.n_bigrams, 0.0), 6)
-            < {TOP_BIGRAM_FRAC_MAX}) AS keep
-FROM tok LEFT JOIN top_bg ON top_bg.doc_id = tok.doc_id
-"""
-
-
-@query("quality_repetition", oracle=_REPETITION_SQL)
-def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style repetition quality filter: fraction of repeated
-    tokens and coverage of the single most frequent bigram; `keep` iff
-    both sit under the Gopher thresholds. The bigram mode needs a
-    per-(doc,bigram) count — a partial-aggregatable groupBy, so at
-    100 TB it's map-side-combined and keyed fine; everything else is a
-    shuffle-free array expression over the scan."""
-    docs = table(spark, sf_dir, "documents")
-    toks = tokenize(F.col("text"))
-    tok = docs.select(
-        "doc_id",
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct"),
-        toks.alias("toks"),
-    )
-    bigrams = tok.filter(F.size("toks") >= 2).select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.slice("toks", 1, F.size("toks") - 1),
-                lambda x, i: F.concat_ws(" ", x, F.element_at("toks", i + 2)),
-            )
-        ).alias("bigram"),
-    )
-    top_bg = (
-        bigrams.groupBy("doc_id", "bigram")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy("doc_id")
-        .agg(F.max("cnt").alias("top_cnt"), F.sum("cnt").alias("n_bigrams"))
-    )
-    rep_frac = F.round(
-        (F.col("n_tokens") - F.col("n_distinct"))
-        * F.lit(1.0)
-        / F.greatest(F.col("n_tokens"), F.lit(1)),
-        6,
-    )
-    bg_frac = F.round(
-        F.coalesce(F.col("top_cnt") * F.lit(1.0) / F.col("n_bigrams"), F.lit(0.0)), 6
-    )
-    return (
-        tok.join(top_bg, "doc_id", "left")
-        .select(
-            "doc_id",
-            rep_frac.alias("rep_token_frac"),
-            bg_frac.alias("top_bigram_frac"),
-            (
-                (rep_frac < REP_TOKEN_FRAC_MAX) & (bg_frac < TOP_BIGRAM_FRAC_MAX)
-            ).alias("keep"),
-        )
-    )
 
 
 # --- PII scrubbing (driver extension: pre-training redaction pass) ----------
@@ -320,15 +216,43 @@ SQL_QUALITY_EXPR = f"""round(CASE WHEN n_tokens = 0 THEN 0.0 ELSE
                   * 1.0 / n_tok_safe)
        END, 6)"""
 
-_QUALITY_SQL = f"""
+# Combined doc-grain text panel (round-11 consolidation): token_stats
+# absorbed quality_score and quality_repetition — one tokenize pass,
+# one doc-grain row, every per-doc text metric (P8 token counting, the
+# heuristic quality gate, the Gopher repetition filter).
+_TOKEN_STATS_SQL = f"""
 WITH t AS (
   SELECT doc_id, text, {_SQL_TOKENS} AS toks,
          greatest(len({_SQL_TOKENS}), 1) AS n_tok_safe,
          len({_SQL_TOKENS}) AS n_tokens
   FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM t WHERE len(toks) >= 2
+),
+top_bg AS (
+  SELECT doc_id, max(cnt) AS top_cnt, sum(cnt) AS n_bigrams
+  FROM (SELECT doc_id, bigram, count(*) AS cnt FROM bg GROUP BY doc_id, bigram)
+  GROUP BY doc_id
 )
-SELECT doc_id, {SQL_QUALITY_EXPR} AS quality_score
-FROM t
+SELECT t.doc_id,
+       n_tokens,
+       len(list_filter(toks, x -> length(x) > 2)) AS n_long_tokens,
+       len(list_distinct(toks)) AS n_distinct_tokens,
+       length(text) AS n_chars,
+       {SQL_QUALITY_EXPR} AS quality_score,
+       round((n_tokens - len(list_distinct(toks))) * 1.0
+             / n_tok_safe, 6) AS rep_token_frac,
+       round(coalesce(top_bg.top_cnt * 1.0 / top_bg.n_bigrams, 0.0), 6)
+         AS top_bigram_frac,
+       (round((n_tokens - len(list_distinct(toks))) * 1.0
+              / n_tok_safe, 6) < {REP_TOKEN_FRAC_MAX}
+        AND round(coalesce(top_bg.top_cnt * 1.0 / top_bg.n_bigrams, 0.0), 6)
+            < {TOP_BIGRAM_FRAC_MAX}) AS keep
+FROM t LEFT JOIN top_bg ON top_bg.doc_id = t.doc_id
 """
 
 
@@ -353,19 +277,70 @@ def quality_score_col(toks: Column, n_tokens: Column) -> Column:
     return F.round(F.when(n_tokens == 0, F.lit(0.0)).otherwise(score), 6)
 
 
-@query("quality_score", oracle=_QUALITY_SQL)
-def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic document quality: length saturation + lexical
-    diversity + stopword-ratio naturalness (the LLM-pipeline quality
-    gate; weights documented in the expression)."""
+@query("token_stats", oracle=_TOKEN_STATS_SQL)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-grain text panel: whitespace/regex token counting incl. the
+    len>2 filter of reference lda.py:28 (P8), the heuristic quality
+    gate (length saturation + lexical diversity + stopword-ratio
+    naturalness — weights in SQL_QUALITY_EXPR), and the Gopher-style
+    repetition filter (rep_token_frac, top_bigram_frac, keep).
+    Round-11 consolidation: absorbed `quality_score` and
+    `quality_repetition` — one tokenize pass feeds every metric; the
+    only non-map work is the per-(doc, bigram) count behind the top-
+    bigram mode, a partial-aggregatable groupBy (map-side combined,
+    doc-keyed) joined back doc-grain."""
     docs = table(spark, sf_dir, "documents")
     toks = tokenize(F.col("text"))
-    d = docs.select("doc_id", toks.alias("toks"), F.size(toks).alias("n_tokens"))
-    return d.select(
+    base = docs.select(
         "doc_id",
+        toks.alias("toks"),
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+    bigrams = base.filter(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.slice("toks", 1, F.size("toks") - 1),
+                lambda x, i: F.concat_ws(" ", x, F.element_at("toks", i + 2)),
+            )
+        ).alias("bigram"),
+    )
+    top_bg = (
+        bigrams.groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top_cnt"), F.sum("cnt").alias("n_bigrams"))
+    )
+    n_distinct = F.size(F.array_distinct(F.col("toks")))
+    rep_frac = F.round(
+        (F.col("n_tokens") - n_distinct)
+        * F.lit(1.0)
+        / F.greatest(F.col("n_tokens"), F.lit(1)),
+        6,
+    )
+    bg_frac = F.round(
+        F.coalesce(
+            F.col("top_cnt") * F.lit(1.0) / F.col("n_bigrams"), F.lit(0.0)
+        ),
+        6,
+    )
+    return base.join(top_bg, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.size(
+            F.filter(F.col("toks"), lambda x: F.length(x) > 2)
+        ).alias("n_long_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        "n_chars",
         quality_score_col(F.col("toks"), F.col("n_tokens")).alias(
             "quality_score"
         ),
+        rep_frac.alias("rep_token_frac"),
+        bg_frac.alias("top_bigram_frac"),
+        (
+            (rep_frac < REP_TOKEN_FRAC_MAX) & (bg_frac < TOP_BIGRAM_FRAC_MAX)
+        ).alias("keep"),
     )
 
 

@@ -81,9 +81,10 @@ def test_narrow_map_queries_zero_shuffle(spark, sf_dir, name):
 
 
 def test_quality_repetition_partial_agg(spark, sf_dir):
-    """The bigram-mode aggregation must map-side combine: a partial_max
-    / partial-count aggregate before the exchange."""
-    plan = _plan(spark, sf_dir, "quality_repetition")
+    """The bigram-mode aggregation (riding token_stats since the
+    round-11 consolidation) must map-side combine: a partial_max /
+    partial-count aggregate before the exchange."""
+    plan = _plan(spark, sf_dir, "token_stats")
     assert "partial_" in plan  # partial aggregation present
     assert plan.count("Exchange hashpartitioning") <= 3
 

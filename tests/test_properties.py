@@ -92,7 +92,7 @@ def test_spark_scalar_function_invariants(spark):
 def test_quality_score_bounded(spark, sf_dir):
     from data_pipeline_playground_spark.registry import all_queries
 
-    qdf = all_queries()["quality_score"](spark, sf_dir)
+    qdf = all_queries()["token_stats"](spark, sf_dir)
     bad = qdf.filter(
         (F.col("quality_score") < 0) | (F.col("quality_score") > 1.0)
     ).count()
