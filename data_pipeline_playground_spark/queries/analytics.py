@@ -1092,6 +1092,34 @@ def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TOPK_STAB_K = 10
 
+
+def _movers_board(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-checkpoint weekly top-k board: (week, part) discounted-
+    revenue aggregate → per-week rank window → per-part lag window →
+    rnk ≤ k filter. Factored out so tests can assert the window-over-
+    aggregate plan shape directly (the query's eager localCheckpoint
+    hides these operators from the final explain)."""
+    li = table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    wk = (
+        li.groupBy(
+            F.to_date(F.date_trunc("week", "l_shipdate")).alias("week"),
+            "l_partkey",
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+    w_rank = Window.partitionBy("week").orderBy(
+        F.desc("revenue"), F.asc("l_partkey")
+    )
+    rk = wk.withColumn("rnk", F.row_number().over(w_rank).cast("bigint"))
+    w_lag = Window.partitionBy("l_partkey").orderBy("week")
+    return rk.withColumn("prev_rnk", F.lag("rnk").over(w_lag)).where(
+        F.col("rnk") <= TOPK_STAB_K
+    )
+
+
 _MOVERS_SQL = f"""
 WITH wk AS (
   SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS week, l_partkey,
@@ -1165,31 +1193,13 @@ def part_weekly_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-combinable map-side and each window partitions on a
     bounded key (weeks, parts).
     """
-    li = table(spark, sf_dir, "lineitem")
-    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
-        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
-    )
-    wk = (
-        li.groupBy(
-            F.to_date(F.date_trunc("week", "l_shipdate")).alias("week"),
-            "l_partkey",
-        )
-        .agg(F.sum(rev).cast("double").alias("revenue"))
-    )
-    w_rank = Window.partitionBy("week").orderBy(
-        F.desc("revenue"), F.asc("l_partkey")
-    )
-    rk = wk.withColumn("rnk", F.row_number().over(w_rank).cast("bigint"))
-    w_lag = Window.partitionBy("l_partkey").orderBy("week")
     # checkpoint the FILTERED board (|weeks|·k rows): the movers output,
     # the churn side's current/shifted/week-list frames AND the final
     # join all derive from it, so the fact-shaped aggregate + two
     # windows execute exactly once. (First cut checkpointed only the
     # tk projection — the final join re-ran the whole fact pass,
     # measured 3.6 s vs the 1.7 s pre-merge board.)
-    out = rk.withColumn("prev_rnk", F.lag("rnk").over(w_lag)).where(
-        F.col("rnk") <= TOPK_STAB_K
-    ).localCheckpoint(eager=True)
+    out = _movers_board(spark, sf_dir).localCheckpoint(eager=True)
     # churn@k over the same ranking (absorbed topk_stability)
     tk = out.select("week", "l_partkey")
     prev = tk.select(

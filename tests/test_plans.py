@@ -1153,9 +1153,26 @@ def test_basket_rules_takeordered_broadcast_total(spark, sf_dir):
 
 def test_weekly_movers_two_windows_one_agg(spark, sf_dir):
     """Weekly agg feeds a per-week rank window then a per-part lag
-    window; no global sort and no Python."""
+    window; no global sort and no Python. The query's eager
+    localCheckpoint hides the board's operators from the final
+    explain, so the window shape is asserted on the factored-out
+    pre-checkpoint board; the full query's plan must read the board
+    from the checkpoint scan (fact pass executes exactly once) with
+    no Python stage."""
+    from data_pipeline_playground_spark.queries.analytics import (
+        _movers_board,
+    )
+
+    board = (
+        _movers_board(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert board.count("Window") == 2
+    assert "BatchEvalPython" not in board and "ArrowEvalPython" not in board
     plan = _plan(spark, sf_dir, "part_weekly_movers")
-    assert plan.count("Window") == 2
+    assert "ExistingRDD" in plan  # board comes from the checkpoint
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
