@@ -56,18 +56,40 @@ Memo attribution (VERDICT r10 #1): session-shared memo artifacts
 first touched the shared MinHash memo paid its build (driver booked
 corpus_funnel at 14.35 s where the memo-exclusive cost is ~6 s), and
 after each between-query clearCache every later toucher re-paid the
-re-materialization. caching.memo now times every build and re-mat into
-a drainable ledger (exclusive seconds — nested memo builds don't
-double-count); the bench drains it after each timed query, SUBTRACTS
-the memo seconds from that query's wall time, and books builds to
-visible "memo_build:<name>" pseudo-entries in the queries map (they
-count toward "value"). Re-materializations — an artifact of the
-bench's own clearCache, not of any plan — are reported separately
+re-materialization. caching.memo times every build and re-mat into a
+drainable ledger; the bench drains it after each timed query,
+SUBTRACTS the memo seconds from that query's wall time, and books
+builds to visible "memo_build:<name>" pseudo-entries in the queries
+map (they count toward "value"). Re-materializations — an artifact of
+the bench's own clearCache, not of any plan — are reported separately
 under "memo_remat_s" and excluded from "value": a real long-lived
-session pays each memo once. This is ledger-subtraction rather than
-the eagerly-pre-built setup pass for two reasons: there is no central
-registry of memo builders (some keys are dynamic), and a setup pass
-would still leave the per-query re-mat contamination behind.
+session pays each memo once.
+
+Round-12 refinements:
+- PREBUILD (VERDICT r11 #3): memo_prebuild.py is now a static registry
+  of every memo's builder, so all memos are built CONCURRENTLY in a
+  charged setup step before the timed loop (still booked to their
+  "memo_build:<name>" line items). Per-query numbers are unchanged by
+  construction (builds were already subtracted); what changes is that
+  builds no longer serialize inside the timed loop on first touch,
+  where driver-phase box contention inflated them (r11 booked
+  memo_build:minhash_est at 22.1 s vs 3.4 s clean). The ledger
+  subtraction stays: the per-query re-mat contamination the bench's
+  own clearCache causes can only be stripped reactively.
+- OVERLAP-SAFE SUBTRACTION (ADVICE r11 #2): memos build/re-mat in
+  concurrent driver threads (the sampled-audit pred/truth overlap), so
+  summing the ledger's per-thread exclusive seconds can exceed the
+  wall-clock the memos actually occupied; the per-query subtraction now
+  uses the UNION of the ledger entries' [t0, t1] intervals clipped to
+  the query window (never more than elapsed). Per-name line items keep
+  exclusive seconds (they measure work, and concurrent builds each did
+  their own work); when their sum exceeds the union the overflow is
+  surfaced as "memo_overlap_s" instead of silently double-booking.
+- STALE-ENTRY VALIDATION (ADVICE r11 #1): base-merge now drops
+  "memo_build:" entries whose memo name is not in the static registry
+  (renamed/removed memos previously survived the merge chain forever);
+  $SPARK_GRAFT_BENCH_MEMO_KEEP is an explicit comma-separated
+  allowlist for deliberate carries.
 """
 
 from __future__ import annotations
@@ -185,12 +207,39 @@ def _load_base(base_path: str) -> dict:
     return base
 
 
+def _union_seconds(entries: list[dict], lo: float, hi: float) -> float:
+    """Total length of the union of the entries' [t0, t1] intervals,
+    clipped to [lo, hi] — the wall-clock a query actually spent inside
+    memo builds/re-mats, immune to concurrent-thread double-counting
+    (ADVICE r11 #2). Entries without timestamps (legacy records)
+    contribute their "sec" additively, still capped by the window."""
+    ivs = sorted(
+        (max(e["t0"], lo), min(e["t1"], hi))
+        for e in entries
+        if "t0" in e and "t1" in e and min(e["t1"], hi) > max(e["t0"], lo)
+    )
+    total = 0.0
+    cur_lo = cur_hi = None
+    for a, b in ivs:
+        if cur_hi is None or a > cur_hi:
+            if cur_hi is not None:
+                total += cur_hi - cur_lo
+            cur_lo, cur_hi = a, b
+        else:
+            cur_hi = max(cur_hi, b)
+    if cur_hi is not None:
+        total += cur_hi - cur_lo
+    legacy = sum(e["sec"] for e in entries if "t0" not in e)
+    return min(total + legacy, hi - lo)
+
+
 def _merge_base_timings(
     timings: dict[str, float],
     errors: dict[str, str],
     base_queries: dict[str, float],
     registered: set[str],
     fresh: set[str] = frozenset(),
+    known_memos: frozenset[str] = frozenset(),
 ) -> None:
     """Merge a prior run's timings into this run's, in place: clean
     base timings fill queries not re-run; a re-run query keeps
@@ -202,14 +251,22 @@ def _merge_base_timings(
     pre-rewrite timing measured different code (ADVICE r9 #1).
     "memo_build:<name>" pseudo-entries merge by the same min policy
     (same-code builds measure the same work) — list them in ``fresh``
-    when the memo's build changed. Base entries from a PRE-attribution
+    when the memo's build changed, and they are VALIDATED against
+    ``known_memos`` (the static memo_prebuild registry, plus the
+    $SPARK_GRAFT_BENCH_MEMO_KEEP allowlist): a renamed or removed
+    memo's build line item would otherwise survive the base-merge
+    chain forever, silently inflating the headline value with stale
+    seconds (ADVICE r11 #1). Base entries from a PRE-attribution
     record (no memo entries of its own) still carry memo-inclusive
     query timings; min-merge against them is safe (memo-exclusive
     this-run values are never larger), but list memo-sharing queries
     in SPARK_GRAFT_BENCH_FRESH on the first post-attribution merge if
     exact lineage matters."""
     for name, t in base_queries.items():
-        known = name in registered or name.startswith("memo_build:")
+        if name.startswith("memo_build:"):
+            known = name.split(":", 1)[1] in known_memos
+        else:
+            known = name in registered
         if known and name not in errors and name not in fresh:
             timings[name] = min(timings.get(name, float("inf")), t)
 
@@ -226,7 +283,7 @@ def main() -> None:
         LDA_MAX_ITER,
         PIC_MAX_ITER,
     )
-    from data_pipeline_playground_spark import caching
+    from data_pipeline_playground_spark import caching, memo_prebuild
     from data_pipeline_playground_spark.registry import all_queries
     from data_pipeline_playground_spark.session import get_spark
 
@@ -238,6 +295,19 @@ def main() -> None:
     # re-materializations (a clearCache artifact) are reported aside.
     memo_build: dict[str, float] = {}
     memo_remat: dict[str, float] = {}
+    # wall seconds by which concurrent builds' exclusive sums exceeded
+    # their interval union — surfaced, never double-subtracted
+    memo_overlap = [0.0]
+
+    def _book_ledger(entries: list[dict]) -> None:
+        for e in entries:
+            if e["kind"] == "build":
+                k = f"memo_build:{e['name']}"
+                memo_build[k] = memo_build.get(k, 0.0) + e["sec"]
+            else:
+                memo_remat[e["name"]] = (
+                    memo_remat.get(e["name"], 0.0) + e["sec"]
+                )
 
     base: dict = {}
     fresh: set = set()
@@ -323,17 +393,17 @@ def main() -> None:
             start = time.perf_counter()
             try:
                 queries[name](spark, sf_dir).count()
-                elapsed = time.perf_counter() - start
-                memo_sec = 0.0
-                for e in caching.drain_ledger():
-                    memo_sec += e["sec"]
-                    if e["kind"] == "build":
-                        k = f"memo_build:{e['name']}"
-                        memo_build[k] = memo_build.get(k, 0.0) + e["sec"]
-                    else:
-                        memo_remat[e["name"]] = (
-                            memo_remat.get(e["name"], 0.0) + e["sec"]
-                        )
+                end = time.perf_counter()
+                elapsed = end - start
+                entries = caching.drain_ledger()
+                # subtract the UNION of memo intervals clipped to the
+                # query window — never more than elapsed, immune to
+                # concurrent-build double-counting (ADVICE r11 #2)
+                memo_sec = _union_seconds(entries, start, end)
+                excl_sum = sum(e["sec"] for e in entries)
+                if excl_sum - memo_sec > 1e-3:
+                    memo_overlap[0] += excl_sum - memo_sec
+                _book_ledger(entries)
                 timings[name] = round(max(0.001, elapsed - memo_sec), 3)
             except Exception as exc:  # one bad query must not sink the bench
                 errors[name] = f"{type(exc).__name__}: {exc}"[:200]
@@ -341,6 +411,14 @@ def main() -> None:
 
         probe(len(names))  # final checkpoint
         return timings, errors, probes, probe_names
+
+    # PREBUILD (VERDICT r11 #3): construct every registered memo for
+    # the bench sf concurrently BEFORE the timed loop, charged to the
+    # same memo_build:<name> line items reactive builds used — builds
+    # no longer serialize inside the timed loop on first touch.
+    caching.drain_ledger()  # discard warmup strays (sf0.001 keys)
+    prebuilt = memo_prebuild.prebuild_all(spark, sf_dir)
+    _book_ledger(caching.drain_ledger())
 
     # warm the probe query once at the bench SF (unrecorded): the first
     # sf0.1 execution pays plan compile + codegen, which would read as
@@ -394,8 +472,14 @@ def main() -> None:
         if q in base.get("queries", {})
     } if base else {}
     if base:
+        keep = frozenset(
+            q for q in
+            os.environ.get("SPARK_GRAFT_BENCH_MEMO_KEEP", "").split(",")
+            if q
+        )
         _merge_base_timings(
-            timings, errors, base.get("queries", {}), set(queries), fresh
+            timings, errors, base.get("queries", {}), set(queries), fresh,
+            memo_prebuild.known_memo_names() | keep,
         )
 
     # book this run's memo builds as line items (min-merged against any
@@ -439,6 +523,12 @@ def main() -> None:
         out["memo_remat_s"] = {
             k: round(v, 3) for k, v in sorted(memo_remat.items())
         }
+    if memo_overlap[0] > 0.05:
+        # concurrent builds' exclusive-second sum exceeded their wall
+        # union by this much (work done in parallel threads) — visible
+        # so the per-name line items' sum stays auditable vs "value"
+        out["memo_overlap_s"] = round(memo_overlap[0], 3)
+    out["memo_prebuilt_n"] = len(prebuilt)
     out["sentinel_probes"] = probes
     out["probe_names"] = probe_names
     # per-module family rollup of the merged timings (compact-summary

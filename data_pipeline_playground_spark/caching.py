@@ -37,9 +37,14 @@ _LOG = logging.getLogger(__name__)
 _STORE_LOCK = threading.Lock()
 _KEY_LOCKS: dict[tuple, threading.Lock] = {}
 
-# ledger of {"name", "kind": "build"|"remat", "sec"} entries; exclusive
-# seconds (child memo time already subtracted). Appends are GIL-atomic;
-# the bench drains it after each timed query.
+# ledger of {"name", "kind": "build"|"remat", "sec", "t0", "t1"}
+# entries; "sec" is per-thread EXCLUSIVE seconds (child memo time
+# already subtracted) for per-name cost attribution, while t0/t1 are
+# the region's absolute perf_counter bounds so the bench can subtract
+# the UNION of busy intervals from a query's wall time — concurrent
+# driver-thread builds overlap, and summing their exclusive seconds
+# would over-subtract (ADVICE r11 #2). Appends are GIL-atomic; the
+# bench drains it after each timed query.
 _LEDGER: list[dict] = []
 _ACTIVE = threading.local()  # per-thread stack of child-time accumulators
 
@@ -66,7 +71,8 @@ class _charged:
         return self
 
     def __exit__(self, *exc):
-        elapsed = time.perf_counter() - self.t0
+        t1 = time.perf_counter()
+        elapsed = t1 - self.t0
         stack = _ACTIVE.stack
         child = stack.pop()
         if stack:
@@ -75,6 +81,8 @@ class _charged:
             "name": self.name,
             "kind": self.kind,
             "sec": round(max(0.0, elapsed - child), 4),
+            "t0": self.t0,
+            "t1": t1,
         })
         return False
 

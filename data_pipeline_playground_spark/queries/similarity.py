@@ -1357,7 +1357,19 @@ def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- per-dimension feature statistics (normalization audit) ------------------
+# --- per-dimension feature panel: normalization + int8 quantization audit ----
+#
+# Round-12 consolidation (VERDICT r11 #5): `embedding_dim_stats`
+# (normalization audit — mean/std/min/max per dim) and
+# `embedding_int8_audit` (quantization audit — scale/MSE/max-err/code
+# usage per dim) were two registry entries sharing the same exploded
+# scan and the same dim-grain output frame; merged into ONE panel that
+# explodes twice (the int8 half always needed a second pass to apply
+# the per-dim ranges) instead of three times across two queries. The
+# int8 half's `n_components` column is dropped: it was definitionally
+# identical to `n_vectors` (both count components per dim). Every
+# other metric of both queries rides unchanged under the shared
+# oracle.
 
 # Snap scale for the per-dimension sums: components are sub-1 floats
 # (widened float32 shortest-repr ≤ 9 significant digits), so a 7-dp
@@ -1367,88 +1379,22 @@ def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 # silent cap (at larger SFs widen to DECIMAL(20,14) on both sides).
 _DIM_SNAP = "decimal(12,7)"
 
-_DIM_STATS_SQL = """
-WITH ex AS (
-  SELECT unnest(list_transform(embedding, (x, i) -> {
-           'dim': CAST(i - 1 AS BIGINT),
-           'xs': CAST(CAST(x AS DOUBLE) AS DECIMAL(12,7))})) AS u
-  FROM embeddings
-),
-g AS (
-  SELECT u.dim AS dim, count(*) AS n,
-         sum(u.xs) AS s,
-         sum(CAST(u.xs * u.xs AS DECIMAL(25,14))) AS sq,
-         min(u.xs) AS mn, max(u.xs) AS mx
-  FROM ex GROUP BY u.dim
-)
-SELECT dim,
-       n AS n_vectors,
-       CAST(s AS DOUBLE) / n AS mean_v,
-       sqrt(greatest(CAST(sq AS DOUBLE) / n
-                     - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n),
-                     0.0)) AS std_v,
-       CAST(mn AS DOUBLE) AS min_v,
-       CAST(mx AS DOUBLE) AS max_v
-FROM g
-"""
-
-
-@query("embedding_dim_stats", oracle=_DIM_STATS_SQL)
-def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-dimension mean/std/min/max over the embedding column — the
-    feature-store normalization audit (z-scaling constants, dead-dim
-    and range-drift detection) a training pipeline runs before fitting
-    anything on the vectors.
-
-    Exactness: each component is snapped once to DECIMAL(12,7); sums
-    and sums-of-squares are then exact decimals (order-free, so any
-    partitioning/combining yields the same bits), and mean/variance
-    are combined in ONE shared double expression tree ending in a
-    correctly-rounded sqrt — zero rounding slack (the
-    split_unigram_divergence playbook). Shape: posexplode is a narrow
-    map (rows × dim, no shuffle), then one partial-aggregatable
-    groupBy on the {DIM}-key dim column — combinable wire profile, no
-    skew, survives 100 TB as a single scan + tiny shuffle.
-    """
-    emb = table(spark, sf_dir, "embeddings")
-    ex = emb.select(
-        F.posexplode(
-            F.transform("embedding", lambda x: x.cast("double"))
-        ).alias("pos", "xd")
-    ).select(
-        F.col("pos").cast("long").alias("dim"),
-        F.col("xd").cast(_DIM_SNAP).alias("xs"),
-    )
-    g = ex.groupBy("dim").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("xs").alias("s"),
-        F.sum((F.col("xs") * F.col("xs")).cast("decimal(25,14)")).alias("sq"),
-        F.min("xs").alias("mn"),
-        F.max("xs").alias("mx"),
-    )
-    mean = F.col("s").cast("double") / F.col("n")
-    var = F.col("sq").cast("double") / F.col("n") - mean * mean
-    return g.select(
-        "dim",
-        F.col("n").alias("n_vectors"),
-        mean.alias("mean_v"),
-        F.sqrt(F.greatest(var, F.lit(0.0))).alias("std_v"),
-        F.col("mn").cast("double").alias("min_v"),
-        F.col("mx").cast("double").alias("max_v"),
-    )
-
-
-# --- int8 scalar-quantization audit ------------------------------------------
-
-_INT8_AUDIT_SQL = """
+_DIM_AUDIT_SQL = """
 WITH c AS (
-  SELECT u.dim AS dim, u.xd AS xd FROM (
+  SELECT u.dim AS dim, u.xd AS xd, CAST(u.xd AS DECIMAL(12,7)) AS xs FROM (
     SELECT unnest(list_transform(embedding, (x, i) -> {
              'dim': CAST(i - 1 AS BIGINT),
              'xd': CAST(x AS DOUBLE)})) AS u
     FROM embeddings)
 ),
-d AS (SELECT dim, min(xd) AS mn, max(xd) AS mx FROM c GROUP BY dim),
+d AS (
+  SELECT dim, count(*) AS n,
+         sum(xs) AS s,
+         sum(CAST(xs * xs AS DECIMAL(25,14))) AS sq,
+         min(xs) AS mns, max(xs) AS mxs,
+         min(xd) AS mn, max(xd) AS mx
+  FROM c GROUP BY dim
+),
 q AS (
   SELECT c.dim AS dim, xd, mn, mx,
          CASE WHEN mx = mn THEN 0
@@ -1463,53 +1409,79 @@ e AS (
                     ELSE mn + code * (mx - mn) / 255.0 END) AS err,
          (mx - mn) / 255.0 AS scale
   FROM q
+),
+i8 AS (
+  SELECT dim,
+         any_value(scale) AS scale,
+         CAST(SUM(CAST(err * err AS DECIMAL(18,15))) AS DOUBLE) / count(*)
+           AS mse,
+         max(abs(err)) AS max_abs_err,
+         count(DISTINCT code) AS n_codes
+  FROM e
+  GROUP BY dim
 )
-SELECT dim,
-       count(*) AS n_components,
-       any_value(scale) AS scale,
-       CAST(SUM(CAST(err * err AS DECIMAL(18,15))) AS DOUBLE) / count(*)
-         AS mse,
-       max(abs(err)) AS max_abs_err,
-       count(DISTINCT code) AS n_codes
-FROM e
-GROUP BY dim
+SELECT d.dim AS dim,
+       n AS n_vectors,
+       CAST(s AS DOUBLE) / n AS mean_v,
+       sqrt(greatest(CAST(sq AS DOUBLE) / n
+                     - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n),
+                     0.0)) AS std_v,
+       CAST(mns AS DOUBLE) AS min_v,
+       CAST(mxs AS DOUBLE) AS max_v,
+       i8.scale AS scale, i8.mse AS mse,
+       i8.max_abs_err AS max_abs_err, i8.n_codes AS n_codes
+FROM d JOIN i8 ON i8.dim = d.dim
 """
 
 
-@query("embedding_int8_audit", oracle=_INT8_AUDIT_SQL)
-def embedding_int8_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-dimension int8 affine-quantization audit: quantize each
-    component to 8 bits over the dim's observed [min, max], then report
-    scale, reconstruction MSE, max absolute error, and how many of the
-    256 codes the dim actually uses — the design gate for shipping a
-    4×-smaller int8 vector index (the compression sibling of
-    `embedding_dim_stats`' normalization audit and the
-    `embedding_truncation_fidelity` dimension audit).
+@query("embedding_dim_audit", oracle=_DIM_AUDIT_SQL)
+def embedding_dim_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension feature panel over the embedding column — the
+    normalization audit (mean/std/min/max: z-scaling constants,
+    dead-dim and range-drift detection) and the int8 affine-
+    quantization audit (scale, reconstruction MSE, max absolute error,
+    distinct-code usage — the design gate for a 4×-smaller int8 vector
+    index) in one dim-grain result.
 
-    Exactness: float→double widening is exact, min/max of doubles are
-    order-free, and the quantize/dequantize chain is the SAME double
-    expression tree in both engines (floor(x·255+0.5) instead of
-    round() so tie semantics can't diverge); squared errors are
-    snapped once to DECIMAL(18,15) so their sum is exact and
-    partition-order-free, with one closing double division.
+    Exactness (both halves unchanged from their standalone forms):
+    components snap once to DECIMAL(12,7) so sums/sums-of-squares are
+    exact order-free decimals, mean/variance combine in one shared
+    double tree ending in a correctly-rounded sqrt; the
+    quantize/dequantize chain is the SAME double expression tree in
+    both engines (floor(x·255+0.5), never round(), so tie semantics
+    can't diverge) and squared errors snap to DECIMAL(18,15) before
+    the one closing double division.
 
-    Shape: two passes over the embeddings scan — a per-dim min/max
-    (combinable, dim-cardinality output) broadcast back into the
-    second exploded pass, whose error aggregate is again map-side
-    combinable on the dim key. No fact-sized shuffle at any scale;
-    the distinct-code count re-shuffles only (dim, code) pairs
-    (≤ dims × 256 rows after partial dedup).
+    Shape: two passes over the embeddings scan — pass 1 is the
+    combinable dim-key moment/range aggregate (dim-cardinality
+    output), broadcast back into pass 2's exploded stream for the
+    error aggregate (again map-side combinable on dim); the closing
+    dim-grain join of the two panels is broadcast-tiny. No fact-sized
+    shuffle at any scale; the distinct-code count re-shuffles only
+    (dim, code) pairs (≤ dims × 256 rows after partial dedup).
     """
     emb = table(spark, sf_dir, "embeddings")
     ex = emb.select(
         F.posexplode(
             F.transform("embedding", lambda x: x.cast("double"))
         ).alias("pos", "xd")
-    ).select(F.col("pos").cast("long").alias("dim"), "xd")
-    dims = ex.groupBy("dim").agg(
-        F.min("xd").alias("mn"), F.max("xd").alias("mx")
+    ).select(
+        F.col("pos").cast("long").alias("dim"),
+        "xd",
+        F.col("xd").cast(_DIM_SNAP).alias("xs"),
     )
-    j = ex.join(F.broadcast(dims), "dim")
+    dims = ex.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xs").alias("s"),
+        F.sum((F.col("xs") * F.col("xs")).cast("decimal(25,14)")).alias("sq"),
+        F.min("xs").alias("mns"),
+        F.max("xs").alias("mxs"),
+        F.min("xd").alias("mn"),
+        F.max("xd").alias("mx"),
+    )
+    j = ex.select("dim", "xd").join(
+        F.broadcast(dims.select("dim", "mn", "mx")), "dim"
+    )
     code = F.when(F.col("mx") == F.col("mn"), F.lit(0).cast("bigint")).otherwise(
         F.least(
             F.lit(255.0),
@@ -1532,8 +1504,7 @@ def embedding_int8_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("err", F.col("xd") - xhat)
         .withColumn("scale", (F.col("mx") - F.col("mn")) / F.lit(255.0))
     )
-    return e.groupBy("dim").agg(
-        F.count(F.lit(1)).alias("n_components"),
+    i8 = e.groupBy("dim").agg(
         F.any_value(F.col("scale")).alias("scale"),
         (
             F.sum((F.col("err") * F.col("err")).cast("decimal(18,15)")).cast("double")
@@ -1541,6 +1512,20 @@ def embedding_int8_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mse"),
         F.max(F.abs(F.col("err"))).alias("max_abs_err"),
         F.count_distinct(F.col("code")).alias("n_codes"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = F.col("sq").cast("double") / F.col("n") - mean * mean
+    return dims.join(F.broadcast(i8), "dim").select(
+        "dim",
+        F.col("n").alias("n_vectors"),
+        mean.alias("mean_v"),
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias("std_v"),
+        F.col("mns").cast("double").alias("min_v"),
+        F.col("mxs").cast("double").alias("max_v"),
+        "scale",
+        "mse",
+        "max_abs_err",
+        "n_codes",
     )
 
 

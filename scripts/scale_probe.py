@@ -31,7 +31,22 @@ matching the events replica's disjoint-user-population design).
 
 Absolute times on a burst-credit-throttled host are meaningless; the
 RATIO within one run is the signal (both scales measured back to
-back, per query, 1× first). Run AFTER the round's clean bench.
+back, per query, smaller scale first). Run AFTER the round's clean
+bench.
+
+Second decade (round 12 — VERDICT r11 #1): every exponent in SCALE.md
+was a 1×→10× reading; the 100 TB story extrapolates two more decades,
+and the known non-linearity thresholds (SimHash bucket density, PQ's
+O(n·M) ADC, the CMS full-corpus pass) are exactly the class a 10×→100×
+reading would confirm or catch. `--base-dir`/`--base-replicas` chain
+the probe onto an existing replica corpus:
+
+    python scripts/scale_probe.py --replicas 100 --out /tmp/scale100 \
+        --base-dir /tmp/scale10 --base-replicas 10 --only ...
+
+measures each query at BOTH corpora and reports the exponent over the
+replicas/base_replicas ratio (log(t_hi/t_lo) / log(R_hi/R_lo)).
+`--skip-build` reuses an already-built --out corpus.
 """
 
 from __future__ import annotations
@@ -204,6 +219,24 @@ def main() -> None:
     p.add_argument("--replicas", type=int, default=10)
     p.add_argument("--out", default="/tmp/scale10")
     p.add_argument(
+        "--base-dir",
+        default=SF1,
+        help="smaller-scale corpus to measure against (default sf0.1; "
+        "pass a prior --out to chain decades, e.g. /tmp/scale10)",
+    )
+    p.add_argument(
+        "--base-replicas",
+        type=int,
+        default=1,
+        help="replica count of --base-dir (10 when chaining onto a "
+        "prior 10x corpus)",
+    )
+    p.add_argument(
+        "--skip-build",
+        action="store_true",
+        help="reuse an already-built --out corpus",
+    )
+    p.add_argument(
         "--only",
         default="",
         help="comma-separated subset of the probe list to run",
@@ -228,11 +261,15 @@ def main() -> None:
     from data_pipeline_playground_spark.registry import all_queries
     from data_pipeline_playground_spark.session import get_spark
 
-    build_corpus(args.out, args.replicas)
+    if not args.skip_build:
+        build_corpus(args.out, args.replicas)
     spark = get_spark("dpp-scale-probe")
     queries = all_queries()
 
-    print(f"{'query':34s} {'t1x':>8s} {'t10x':>8s} {'ratio':>7s} {'exp':>5s}")
+    scale_ratio = args.replicas / args.base_replicas
+    lo_lab = f"t{args.base_replicas}x"
+    hi_lab = f"t{args.replicas}x"
+    print(f"{'query':34s} {lo_lab:>8s} {hi_lab:>8s} {'ratio':>7s} {'exp':>5s}")
     for name in PROBE_QUERIES:
         if name not in queries:
             print(f"{name:34s} (not registered, skipped)")
@@ -240,15 +277,18 @@ def main() -> None:
         try:
             queries[name](spark, "/root/testdata/sf0.001").count()  # warm
             row = []
-            for sf_dir in (SF1, args.out):
+            for sf_dir in (args.base_dir, args.out):
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
                 queries[name](spark, sf_dir).count()
                 row.append(time.perf_counter() - t0)
-            t1, t10 = row
-            ratio = t10 / t1
-            exp = math.log10(ratio) / math.log10(args.replicas)
-            print(f"{name:34s} {t1:8.2f} {t10:8.2f} {ratio:7.2f} {exp:5.2f}")
+            t_lo, t_hi = row
+            ratio = t_hi / t_lo
+            exp = math.log10(ratio) / math.log10(scale_ratio)
+            print(
+                f"{name:34s} {t_lo:8.2f} {t_hi:8.2f} {ratio:7.2f} {exp:5.2f}",
+                flush=True,
+            )
         except Exception as exc:
             print(f"{name:34s} ERROR {type(exc).__name__}: {exc}"[:110])
 

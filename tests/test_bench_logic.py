@@ -157,14 +157,20 @@ def test_merge_keeps_memo_build_entries():
     """VERDICT r10 #1: memo_build:* pseudo-entries from a base record
     survive the merge (min policy — same-code builds measure the same
     work) even though they are not registered query names; fresh-listed
-    memo entries keep this run's own value."""
+    memo entries keep this run's own value. Round 12 (ADVICE r11 #1):
+    a base memo entry whose memo name is not in the known-memo registry
+    (renamed/removed) is DROPPED instead of riding the merge chain
+    forever."""
+    known = frozenset({"minhash_est", "pq_model", "tfidf_features"})
     timings = {"qa": 1.0, "memo_build:minhash_est": 4.0}
     bench._merge_base_timings(
         timings, {},
         {"qa": 1.2, "memo_build:minhash_est": 3.1,
-         "memo_build:pq_model": 0.8, "memo_build:tfidf_features": 2.0},
+         "memo_build:pq_model": 0.8, "memo_build:tfidf_features": 2.0,
+         "memo_build:renamed_away": 7.7},
         {"qa"},
         fresh={"memo_build:tfidf_features"},
+        known_memos=known,
     )
     assert timings == {
         "qa": 1.0,
@@ -172,7 +178,55 @@ def test_merge_keeps_memo_build_entries():
         "memo_build:pq_model": 0.8,  # filled from base
         # memo_build:tfidf_features: fresh → base value not merged,
         # and this run recorded none
+        # memo_build:renamed_away: not a known memo → stale, dropped
     }
+
+
+def test_merge_memo_allowlist_carries_explicit_names():
+    """$SPARK_GRAFT_BENCH_MEMO_KEEP semantics: a deliberately carried
+    memo name merges even though the registry no longer lists it."""
+    timings = {}
+    bench._merge_base_timings(
+        timings, {}, {"memo_build:legacy_keep": 1.5}, set(),
+        known_memos=frozenset({"legacy_keep"}),
+    )
+    assert timings == {"memo_build:legacy_keep": 1.5}
+
+
+def test_union_seconds_concurrent_overlap_not_double_counted():
+    """ADVICE r11 #2: two builds overlapping in concurrent driver
+    threads subtract their interval UNION, not the sum of their
+    exclusive seconds."""
+    entries = [
+        {"name": "a", "kind": "build", "sec": 4.0, "t0": 10.0, "t1": 14.0},
+        {"name": "b", "kind": "build", "sec": 4.0, "t0": 12.0, "t1": 16.0},
+    ]
+    # union [10,16] = 6, not 8
+    assert abs(bench._union_seconds(entries, 9.0, 20.0) - 6.0) < 1e-9
+
+
+def test_union_seconds_nested_build_counted_once():
+    """A child build's interval lies inside its parent's — the union
+    counts the span once (the ledger's exclusive 'sec' split is for
+    per-name attribution only)."""
+    entries = [
+        {"name": "parent", "kind": "build", "sec": 3.0, "t0": 0.0, "t1": 5.0},
+        {"name": "child", "kind": "build", "sec": 2.0, "t0": 1.0, "t1": 3.0},
+    ]
+    assert abs(bench._union_seconds(entries, 0.0, 10.0) - 5.0) < 1e-9
+
+
+def test_union_seconds_clipped_to_query_window():
+    """Intervals are clipped to the query window and the result can
+    never exceed elapsed — the over-subtraction clamp is structural,
+    not a max(0.001, ...) fig leaf."""
+    entries = [
+        {"name": "a", "kind": "remat", "sec": 9.0, "t0": 0.0, "t1": 9.0},
+    ]
+    assert abs(bench._union_seconds(entries, 5.0, 8.0) - 3.0) < 1e-9
+    # legacy entries without timestamps still contribute, capped
+    legacy = [{"name": "b", "kind": "build", "sec": 99.0}]
+    assert abs(bench._union_seconds(legacy, 5.0, 8.0) - 3.0) < 1e-9
 
 
 def test_compact_summary_memo_entries_counted_separately():

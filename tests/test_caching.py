@@ -228,3 +228,71 @@ def test_minhash_est_memoizes_signature_table_for_the_guard(spark, sf_dir):
     assert est2 is est
     assert caching._is_cached(sig), "guard must restore the sig cache"
     assert caching._is_cached(est2)
+
+
+def test_memo_ledger_entries_carry_interval_timestamps(spark, sf_dir):
+    """ADVICE r11 #2: every ledger entry carries the region's absolute
+    [t0, t1] bounds so the bench subtracts the UNION of busy intervals
+    rather than the (overlap-double-counting) sum of exclusive secs."""
+    caching.drain_ledger()
+    build, _ = _build_counter(spark)
+    caching.memo(spark, "t_memo_ts", sf_dir, build)
+    (entry,) = caching.drain_ledger()
+    assert entry["t1"] >= entry["t0"]
+    assert entry["t1"] - entry["t0"] >= entry["sec"] - 1e-6
+
+
+def test_memo_prebuild_registry_matches_source_scan():
+    """VERDICT r11 #3 / ADVICE r11 #1 completeness pin: every memo name
+    literal in the package source must be registered in memo_prebuild
+    (and vice versa) — adding a memo without a prebuild touch would
+    silently revert it to first-touch accounting, and a registry name
+    with no source site is a stale allowlist entry."""
+    import pathlib
+    import re
+
+    from data_pipeline_playground_spark import memo_prebuild
+
+    pkg = pathlib.Path(memo_prebuild.__file__).parent
+    found: set[str] = set()
+    for path in pkg.rglob("*.py"):
+        src = path.read_text()
+        found.update(
+            re.findall(r'memo\(\s*spark,\s*"([a-z0-9_]+)"', src)
+        )
+        found.update(
+            re.findall(r'memo_key(?::\s*str)?\s*=\s*"([a-z0-9_]+)"', src)
+        )
+    assert found == set(memo_prebuild.known_memo_names()), (
+        f"unregistered memos: {found - set(memo_prebuild.known_memo_names())}; "
+        f"stale registry names: {set(memo_prebuild.known_memo_names()) - found}"
+    )
+
+
+def test_prebuild_all_covers_every_memo_build(spark, sf_dir):
+    """prebuild_all must leave a build ledger entry for EVERY registered
+    memo name (nested builds included), and a registered query touched
+    afterwards must trigger no further builds — the bench's timed loop
+    then sees only clearCache re-materializations."""
+    from data_pipeline_playground_spark import memo_prebuild
+    from data_pipeline_playground_spark.registry import all_queries
+
+    # earlier tests in this session may have memoized some names —
+    # purge the session's store so every build is observable here
+    skey = caching._session_key(spark)
+    for key in [k for k in caching._STORE if k[0] == skey]:
+        del caching._STORE[key]
+    spark.catalog.clearCache()
+    caching.drain_ledger()
+    prebuilt = memo_prebuild.prebuild_all(spark, sf_dir)
+    entries = caching.drain_ledger()
+    built = {e["name"] for e in entries if e["kind"] == "build"}
+    want = set(memo_prebuild.known_memo_names())
+    assert set(prebuilt) == want, "a touch raised — check stderr"
+    assert built >= want, f"never built: {want - built}"
+    # touching the memo families again builds nothing new
+    q = all_queries()
+    for name in ("dedup_minhash_pairs", "dedup_jaccard_pairs",
+                 "dedup_simhash_pairs", "events_rollup_hierarchical"):
+        q[name](spark, sf_dir)
+    assert [e for e in caching.drain_ledger() if e["kind"] == "build"] == []

@@ -265,7 +265,12 @@ def test_simhash_tier_invariants_and_3of8_config():
     (N_BLOCKS - MATCH_BLOCKS >= HAMMING_K: hamming <= K corrupts at
     most K blocks, so some MATCH_BLOCKS-subset stays intact), cover
     the whole fingerprint, and the 3of8 tier must activate from the
-    environment with C(8,3) = 56 combinatorial keys."""
+    environment with C(8,3) = 56 combinatorial keys. The subprocess
+    then ORACLE-CHECKS the 3of8 tier end-to-end at sf0.001: each tier
+    validates against its own derived DuckDB oracle — the 3of8 pair
+    set is a (possibly strict) subset of 2of6's, NOT identical to it,
+    because the third salt's four extra fingerprint bits can push a
+    pair past HAMMING_K on 64 bits (ADVICE r11 #3)."""
     import subprocess
     import sys
 
@@ -279,9 +284,11 @@ def test_simhash_tier_invariants_and_3of8_config():
     assert len(da.BLOCK_COMBOS) == comb(da.N_BLOCKS, da.MATCH_BLOCKS)
     assert len(set(da.BLOCK_COMBOS)) == len(da.BLOCK_COMBOS)
 
-    # 3of8 tier activates at import time in a fresh interpreter
+    # 3of8 tier activates at import time in a fresh interpreter, and
+    # its query output matches its own tier-derived oracle
     code = (
-        "import os; os.environ['SPARK_GRAFT_SIMHASH_TIER'] = '3of8'\n"
+        "import os, sys; os.environ['SPARK_GRAFT_SIMHASH_TIER'] = '3of8'\n"
+        "sys.path.insert(0, '/root/repo'); sys.path.insert(0, '/root/repo/tests')\n"
         "from data_pipeline_playground_spark.queries import"
         " dedup_advanced as d\n"
         "assert (d.SIMHASH_BITS, d.N_BLOCKS, d.BLOCK_BITS,"
@@ -290,11 +297,20 @@ def test_simhash_tier_invariants_and_3of8_config():
         "assert d.N_BLOCKS - d.MATCH_BLOCKS >= d.HAMMING_K\n"
         "assert 'h2' in d._SIMHASH_CTES  # third salt feeds bits 60-63\n"
         "assert '-9223372036854775808' in d._SIMHASH_CTES  # bit-63 arm\n"
+        "from data_pipeline_playground_spark.session import get_spark\n"
+        "from data_pipeline_playground_spark.registry import"
+        " all_queries, all_oracle_sql\n"
+        "from oracle import duckdb_conn, compare\n"
+        "sf = '/root/testdata/sf0.001'\n"
+        "spark = get_spark('simhash-3of8-oracle')\n"
+        "compare(all_queries()['dedup_simhash_pairs'](spark, sf),\n"
+        "        duckdb_conn(sf), all_oracle_sql()['dedup_simhash_pairs'],\n"
+        "        'dedup_simhash_pairs@3of8')\n"
         "print('3of8 OK')\n"
     )
     out = subprocess.run(
         [sys.executable, "-c", code],
-        capture_output=True, text=True, timeout=120,
+        capture_output=True, text=True, timeout=300,
         cwd="/root/repo",
     )
     assert out.returncode == 0, out.stderr[-800:]

@@ -81,12 +81,16 @@ def test_narrow_map_queries_zero_shuffle(spark, sf_dir, name):
 
 
 def test_quality_repetition_partial_agg(spark, sf_dir):
-    """The bigram-mode aggregation (riding token_stats since the
-    round-11 consolidation) must map-side combine: a partial_max /
-    partial-count aggregate before the exchange."""
+    """The bigram-mode (riding token_stats since the round-11
+    consolidation) is a MAP-SIDE run-length fold over the doc's own
+    sorted bigram array since round 12 (VERDICT r11 #4): the whole
+    panel must be a shuffle-free JVM projection over the scan — any
+    Exchange (the old per-(doc, bigram) groupBy + join back) or
+    Python stage is a regression."""
     plan = _plan(spark, sf_dir, "token_stats")
-    assert "partial_" in plan  # partial aggregation present
-    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
 
 
 def test_quartiles_approx_no_global_sort(spark, sf_dir):
@@ -332,11 +336,18 @@ def test_duplicate_spans_single_shuffle(spark, sf_dir):
     assert plan.index("HashAggregate") < plan.index("Exchange hashpartitioning")
 
 
-def test_bpe_top_merges_vocab_shaped(spark, sf_dir):
-    """Pair counting runs over the distinct-word aggregate (vocab-
-    shaped), and the final top-k is TakeOrderedAndProject — no
-    single-partition global sort."""
-    plan = _plan(spark, sf_dir, "bpe_top_merges")
+def test_bpe_induction_vocab_shaped(spark, sf_dir):
+    """The BPE merge-table induction (riding bpe_encode since the
+    round-12 consolidation): pair counting runs over the distinct-word
+    aggregate (vocab-shaped), and the top-k is TakeOrderedAndProject —
+    no single-partition global sort."""
+    from data_pipeline_playground_spark.queries.corpus_stats import (
+        _bpe_top_merges_frame,
+    )
+
+    plan = _bpe_top_merges_frame(
+        spark, sf_dir
+    )._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert plan.count("Exchange hashpartitioning") == 2  # word agg + pair agg
     assert "Join" not in plan
@@ -946,12 +957,12 @@ def test_training_shuffle_write_path_no_global_sort(spark, sf_dir):
     assert re.search(r"Sort \[shuffle_key[^\]]*\], false", plan)
 
 
-def test_embedding_dim_stats_single_combinable_shuffle(spark, sf_dir):
-    """posexplode is a narrow map; the only exchange is the dim-key
-    aggregation, with map-side partials (partial_sum/partial_count
-    before the shuffle) so the wire carries dim-cardinality rows."""
-    plan = _plan(spark, sf_dir, "embedding_dim_stats")
-    assert plan.count("Exchange hashpartitioning") == 1
+def test_embedding_dim_audit_combinable_shuffles(spark, sf_dir):
+    """The merged dim panel (round-12 consolidation): posexplode is a
+    narrow map and every exchange carries a dim-key partial aggregate
+    — map-side combine before each shuffle, so the wire moves
+    dim-cardinality rows, never the exploded component stream."""
+    plan = _plan(spark, sf_dir, "embedding_dim_audit")
     assert "partial_" in plan  # map-side combine before the exchange
     assert "CartesianProduct" not in plan
 
@@ -1014,11 +1025,12 @@ def test_dominant_suppliers_window_above_aggregate(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
-def test_embedding_int8_audit_broadcasts_dim_ranges(spark, sf_dir):
+def test_embedding_dim_audit_broadcasts_dim_ranges(spark, sf_dir):
     """The per-dim [min,max] table (dim-cardinality) must broadcast back
-    into the exploded component stream — a sort-merge join here would
-    shuffle every component twice at 100 TB."""
-    plan = _plan(spark, sf_dir, "embedding_int8_audit")
+    into the exploded component stream for the int8 half — a sort-merge
+    join here would shuffle every component twice at 100 TB — and the
+    closing dim-grain panel join must broadcast too."""
+    plan = _plan(spark, sf_dir, "embedding_dim_audit")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan

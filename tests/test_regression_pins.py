@@ -86,3 +86,37 @@ def test_exact_substr_spans_maximality_synthetic(spark, tmp_path):
     # doc_a/doc_c and doc_b/doc_c share S too; nothing longer than 20
     assert all(v == 20 for v in rows.values())
     assert len(rows) == 6  # C(3,2) cross-doc pairs x offsets + within-doc
+
+
+def test_bpe_induced_merge_table_matches_retired_oracle(spark, sf_dir, oracle_con):
+    """Round-12 consolidation pin: the standalone `bpe_top_merges`
+    registry entry was absorbed into `bpe_encode` (which derives the
+    same rank-ordered merge table and value-checks it transitively
+    through the encodings) — this test keeps the induced table ITSELF
+    directly oracle-checked against the retired entry's SQL, so the
+    absorption is zero-loss by measurement, not by argument."""
+    from data_pipeline_playground_spark.queries.corpus_stats import (
+        _BPE_INDUCE_SQL,
+        _bpe_top_merges_frame,
+    )
+
+    compare(
+        _bpe_top_merges_frame(spark, sf_dir), oracle_con, _BPE_INDUCE_SQL,
+        name="bpe_top_merges(retired->pinned)",
+    )
+
+
+def test_embedding_dim_audit_carries_both_absorbed_panels(spark, sf_dir):
+    """Round-12 consolidation pin: the merged dim panel must carry every
+    metric of BOTH absorbed queries (`embedding_dim_stats` +
+    `embedding_int8_audit`, minus the definitionally-duplicate
+    n_components == n_vectors) at dim grain — column-set drift here
+    means a silently lost metric, even while the shared oracle stays
+    green on whatever columns remain."""
+    from data_pipeline_playground_spark.registry import all_queries
+
+    df = all_queries()["embedding_dim_audit"](spark, sf_dir)
+    assert set(df.columns) == {
+        "dim", "n_vectors", "mean_v", "std_v", "min_v", "max_v",
+        "scale", "mse", "max_abs_err", "n_codes",
+    }
