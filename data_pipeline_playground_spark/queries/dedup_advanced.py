@@ -359,7 +359,13 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # - "2of6" (default): 60-bit fingerprint, 6 ten-bit blocks, match on
 #   2 → C(6,2) = 15 keys over a 2^20 key space per position.
 #   Candidate work ~15·n²/2^21 + true pairs — measured exponent 0.15
-#   at the 10× probe (SCALE.md).
+#   at the 10× probe (SCALE.md). The round-12 SECOND-decade probe
+#   found the doc-grain form of this join bends to 1.70 at 500k docs
+#   (duplicate clusters + token-correlated block values — mega-bucket
+#   profile in SCALE.md); candidates now generate at distinct-
+#   fingerprint grain (_simhash_pairs_build), measured back to ~1.0
+#   with BOTH tiers converging — the tier dial only moves the
+#   candidate join, which no longer dominates.
 # - "3of8": 64-bit fingerprint (third salt fills bits 60-63), 8
 #   eight-bit blocks, match on 3 → C(8,3) = 56 keys over a 2^24 key
 #   space. 3.7× the key rows, 16× smaller buckets: the tier to run
@@ -524,19 +530,43 @@ def _simhash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_playground_spark.caching import memo
 
+    # (sh, pairs) with sh FIRST so the memo guard re-caches the
+    # fingerprint frame before a pairs re-materialization re-reads it
+    # 5× (the _minhash_est pattern)
     return memo(spark, "simhash_pairs", sf_dir,
-                lambda: _simhash_pairs_build(spark, sf_dir))
+                lambda: _simhash_pairs_build(spark, sf_dir))[1]
 
 
-def _simhash_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _simhash_frame(spark, sf_dir)
+def _simhash_pairs_build(spark: SparkSession, sf_dir: str):
+    """Hamming-≤K pair enumeration at DISTINCT-FINGERPRINT grain
+    (round 12 — the second-decade scale probe's find).
+
+    The doc-grain banded self-join measured exponent 1.70 at the
+    10×→100× probe (362 s at 500k docs): real corpora carry (a) large
+    exact-duplicate clusters — every member repeats its cluster's
+    candidate comparisons verbatim — and (b) fingerprint bit
+    correlation from shared high-frequency tokens, which concentrates
+    block values into mega-buckets (measured: one 20-bit bucket held
+    19% of the 500k-doc corpus; 9.7e9 doc-grain candidates vs 1.6e9 at
+    fingerprint grain). Deduplicating to distinct fingerprints BEFORE
+    the banded join removes the cluster-size² factor from candidate
+    work while keeping the output EXACT: hamming is a fingerprint
+    property, so doc pairs expand back through group membership —
+    cross-group pairs via two output-bounded equi-joins, within-group
+    (hamming-0) pairs via a per-fingerprint self-join whose bucket
+    sizes are true cluster sizes (irreducible output). Certified
+    identical to the doc-grain builder on the 10× probe corpus
+    (3,788,016 pairs, byte-equal), 14× faster at 100× (25.6 s vs
+    362.6 s, exponent 1.70 → 0.68)."""
+    sh = _simhash_frame(spark, sf_dir).cache()
+    sh.count()
+    fp = sh.select("simhash").distinct()
     kcols = [f"b{k}" for k in range(MATCH_BLOCKS)]
     bp = spark.createDataFrame(
         [(p, *combo) for p, combo in enumerate(BLOCK_COMBOS)],
         ", ".join(["p int"] + [f"{c} int" for c in kcols]),
     )
-    keys = sh.join(F.broadcast(bp)).select(
-        "doc_id",
+    keys = fp.join(F.broadcast(bp)).select(
         "simhash",
         "p",
         *[
@@ -547,26 +577,44 @@ def _simhash_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     a = keys.select(
-        F.col("doc_id").alias("ci"), F.col("simhash").alias("sha"),
-        F.col("p").alias("pa"),
+        F.col("simhash").alias("fa"), F.col("p").alias("pa"),
         *[F.col(f"v{k}").alias(f"v{k}a") for k in range(MATCH_BLOCKS)],
     )
     b = keys.select(
-        F.col("doc_id").alias("cj"), F.col("simhash").alias("shb"),
-        F.col("p").alias("pb"),
+        F.col("simhash").alias("fb"), F.col("p").alias("pb"),
         *[F.col(f"v{k}").alias(f"v{k}b") for k in range(MATCH_BLOCKS)],
     )
-    cond = (F.col("pa") == F.col("pb")) & (F.col("cj") < F.col("ci"))
+    # fb < fa orders fingerprint pairs, so the distinct() below makes
+    # each unordered fp pair unique and every doc pair expands exactly
+    # once (equal fingerprints never meet here — they are the
+    # within-group self-join's job)
+    cond = (F.col("pa") == F.col("pb")) & (F.col("fb") < F.col("fa"))
     for k in range(MATCH_BLOCKS):
         cond = cond & (F.col(f"v{k}a") == F.col(f"v{k}b"))
-    ham = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
-    pairs = (
+    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    fpp = (
         a.join(b, cond)
         .filter(ham <= HAMMING_K)
-        .select("ci", "cj", ham.alias("hamming"))
+        .select("fa", "fb", ham.alias("hamming"))
         .distinct()
-    ).cache()
-    return pairs
+    )
+    d_i = sh.select(F.col("doc_id").alias("di"), F.col("simhash").alias("fa"))
+    d_j = sh.select(F.col("doc_id").alias("dj"), F.col("simhash").alias("fb"))
+    cross = fpp.join(d_i, "fa").join(d_j, "fb").select(
+        F.greatest("di", "dj").alias("ci"),
+        F.least("di", "dj").alias("cj"),
+        "hamming",
+    )
+    w_a = sh.select(F.col("doc_id").alias("ci"), F.col("simhash").alias("f"))
+    w_b = sh.select(F.col("doc_id").alias("cj"), F.col("simhash").alias("f"))
+    within = (
+        w_a.join(w_b, "f")
+        .filter(F.col("cj") < F.col("ci"))
+        .select("ci", "cj", F.lit(0).cast("integer").alias("hamming"))
+    )
+    pairs = within.union(cross).cache()
+    pairs.count()
+    return sh, pairs
 
 
 @query("dedup_simhash_pairs", oracle=_SIMHASH_PAIRS_SQL)

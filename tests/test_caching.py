@@ -239,7 +239,9 @@ def test_memo_ledger_entries_carry_interval_timestamps(spark, sf_dir):
     caching.memo(spark, "t_memo_ts", sf_dir, build)
     (entry,) = caching.drain_ledger()
     assert entry["t1"] >= entry["t0"]
-    assert entry["t1"] - entry["t0"] >= entry["sec"] - 1e-6
+    # "sec" is rounded to 4 dp, so it can exceed the raw interval by
+    # up to half an ulp of that rounding
+    assert entry["t1"] - entry["t0"] >= entry["sec"] - 1e-3
 
 
 def test_memo_prebuild_registry_matches_source_scan():
