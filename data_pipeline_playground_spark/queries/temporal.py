@@ -157,17 +157,23 @@ def events_rollup_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame is cached: it feeds both output branches.
     """
     ev = table(spark, sf_dir, "events")
-    hour = memo(
-        spark,
-        "rollup_hour_partials",
-        sf_dir,
-        lambda: ev.groupBy(F.date_trunc("hour", "ts").alias("bucket_start"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(_dec6("value")).alias("value_part"),
+
+    def build():
+        # eager count — same rationale as dedup_fuzzy_survivors: keep
+        # the first materialization in the memo_build line item rather
+        # than an excluded retrieval-path remat (round 12).
+        h = (
+            ev.groupBy(F.date_trunc("hour", "ts").alias("bucket_start"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(_dec6("value")).alias("value_part"),
+            )
+            .cache()
         )
-        .cache(),
-    )
+        h.count()
+        return h
+
+    hour = memo(spark, "rollup_hour_partials", sf_dir, build)
     day = hour.groupBy(
         F.date_trunc("day", "bucket_start").alias("bucket_start")
     ).agg(

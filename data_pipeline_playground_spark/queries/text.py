@@ -620,56 +620,14 @@ def pos_noun_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- per-source corpus health report (driver extension) ---------------------
-
-_SOURCE_REPORT_SQL = f"""
-WITH t AS (
-  SELECT source, lang, length(text) AS n_chars,
-         len({_SQL_TOKENS}) AS n_tokens,
-         len(list_distinct({_SQL_TOKENS})) AS n_distinct
-  FROM documents
-)
-SELECT source,
-       count(*) AS n_docs,
-       CAST(sum(n_chars) AS BIGINT) AS total_chars,
-       round(avg(n_tokens), 6) AS avg_tokens,
-       round(avg((n_tokens - n_distinct) * 1.0 / greatest(n_tokens, 1)), 6)
-         AS avg_rep_frac,
-       count(DISTINCT lang) AS n_langs
-FROM t GROUP BY source
-"""
-
-
-@query("source_quality_report", oracle=_SOURCE_REPORT_SQL)
-def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source corpus health rollup — the monitoring view a data-ops
-    pipeline keeps per ingest domain: volume, token mass, repetition,
-    language spread. One partial-aggregated shuffle keyed by source
-    (every metric is an algebraic aggregate over per-row expressions,
-    so the map side combines before the exchange; countDistinct(lang)
-    expands but lang cardinality is tiny)."""
-    docs = table(spark, sf_dir, "documents")
-    toks = tokenize(F.col("text"))
-    per_doc = docs.select(
-        "source",
-        "lang",
-        F.length("text").alias("n_chars"),
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct"),
-    )
-    return per_doc.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").alias("total_chars"),
-        F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
-        F.round(
-            F.avg(
-                (F.col("n_tokens") - F.col("n_distinct"))
-                * F.lit(1.0)
-                / F.greatest(F.col("n_tokens"), F.lit(1))
-            ),
-            6,
-        ).alias("avg_rep_frac"),
-        F.countDistinct("lang").alias("n_langs"),
-    )
+#
+# Round-12 consolidation (VERDICT r11 #5): the standalone
+# `source_quality_report` entry (per-source volume / token mass /
+# repetition / language spread) now rides `source_text_profile` — the
+# same source-grain panel over the same documents scan; its metrics
+# (total_chars, avg_tokens, avg_rep_frac, n_langs) ride the
+# readability scan branch as additional algebraic aggregates under
+# the shared oracle. n_docs was already a panel column.
 
 
 # --- length-outlier trim (percentile bounds) --------------------------------
@@ -957,7 +915,9 @@ lex AS (
   FROM tf GROUP BY source
 ),
 d AS (
-  SELECT source,
+  SELECT source, lang, length(text) AS n_chars,
+         len({_SQL_TOKENS}) AS n_toks,
+         len(list_distinct({_SQL_TOKENS})) AS n_dist,
          len(regexp_extract_all(text, '[a-z]+')) AS w,
          len(regexp_extract_all(text, '[aeiouy]+')) AS s
   FROM documents
@@ -966,7 +926,12 @@ agg AS (
   SELECT source,
          CAST(count(*) AS BIGINT) AS n_docs,
          CAST(SUM(w) AS BIGINT) AS n_words,
-         CAST(SUM(s) AS BIGINT) AS n_syllables
+         CAST(SUM(s) AS BIGINT) AS n_syllables,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         round(avg(n_toks), 6) AS avg_tokens,
+         round(avg((n_toks - n_dist) * 1.0 / greatest(n_toks, 1)), 6)
+           AS avg_rep_frac,
+         count(DISTINCT lang) AS n_langs
   FROM d GROUP BY source
 )
 SELECT agg.source, n_docs, n_words, n_syllables,
@@ -977,7 +942,8 @@ SELECT agg.source, n_docs, n_words, n_syllables,
        {_FRE_EXPR} AS flesch_score,
        tokens, types, hapaxes,
        CAST(types AS DOUBLE) / CAST(tokens AS DOUBLE) AS ttr,
-       CAST(hapaxes AS DOUBLE) / CAST(types AS DOUBLE) AS hapax_ratio
+       CAST(hapaxes AS DOUBLE) / CAST(types AS DOUBLE) AS hapax_ratio,
+       total_chars, avg_tokens, avg_rep_frac, n_langs
 FROM agg JOIN lex ON lex.source = agg.source
 """
 
@@ -995,17 +961,23 @@ def source_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     segmentation deliberately falls back to document boundaries; on
     punctuated corpora the sentence count would come from terminator
     runs). Round-10 consolidation of lexical_diversity +
-    doc_readability — same source grain, one oracle.
+    doc_readability; round 12 absorbed `source_quality_report` too —
+    the per-source data-ops health rollup (char volume, mean token
+    mass, mean repetition fraction, language spread) rides the same
+    readability scan branch as four more algebraic aggregates.
 
     Counts are exact ints; every ratio and the Flesch score are single
     shared double expressions. Plan: explode → (source, term) agg →
     source rollup for the lexical block; single scan → per-doc regexp
     counts (JVM-side, no UDF) → one source-keyed int64 aggregate for
-    the readability block; the final join is source-cardinality."""
+    the readability + health block (map-side combinable;
+    countDistinct(lang) expands but lang cardinality is tiny); the
+    final join is source-cardinality."""
     docs = table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
     tf = (
         docs.select(
-            "source", F.explode(tokenize(F.col("text"))).alias("term")
+            "source", F.explode(toks).alias("term")
         )
         .groupBy("source", "term")
         .agg(F.count("*").alias("c"))
@@ -1020,6 +992,10 @@ def source_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         docs.select(
             "source",
+            "lang",
+            F.length("text").alias("n_chars"),
+            F.size(toks).alias("n_toks"),
+            F.size(F.array_distinct(toks)).alias("n_dist"),
             F.size(F.regexp_extract_all("text", F.lit("[a-z]+"), F.lit(0))).alias("w"),
             F.size(F.regexp_extract_all("text", F.lit("[aeiouy]+"), F.lit(0))).alias("s"),
         )
@@ -1028,6 +1004,17 @@ def source_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("w").cast("bigint").alias("n_words"),
             F.sum("s").cast("bigint").alias("n_syllables"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.round(F.avg("n_toks"), 6).alias("avg_tokens"),
+            F.round(
+                F.avg(
+                    (F.col("n_toks") - F.col("n_dist"))
+                    * F.lit(1.0)
+                    / F.greatest(F.col("n_toks"), F.lit(1))
+                ),
+                6,
+            ).alias("avg_rep_frac"),
+            F.countDistinct("lang").alias("n_langs"),
         )
     )
     return agg.join(lex, "source").select(
@@ -1050,6 +1037,10 @@ def source_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ttr"),
         (F.col("hapaxes").cast("double") / F.col("types").cast("double"))
         .alias("hapax_ratio"),
+        "total_chars",
+        "avg_tokens",
+        "avg_rep_frac",
+        "n_langs",
     )
 
 

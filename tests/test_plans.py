@@ -1365,9 +1365,11 @@ def test_acf_lag_join_on_daily_frame(spark, sf_dir):
 
 def test_text_profile_bounded_aggs(spark, sf_dir):
     """source_text_profile (round-10 merge of lexical diversity +
-    readability): explode -> (source,term) agg -> source rollup plus
-    one regexp-count source aggregate, joined on source-cardinality
-    keys — no Python, no cartesian."""
+    readability; round-12 absorbed source_quality_report's health
+    metrics into the same scan branch): explode -> (source,term) agg
+    -> source rollup plus one per-doc-expression source aggregate,
+    joined on source-cardinality keys — no Python, no cartesian, and
+    absorbing the health rollup must NOT have added an exchange."""
     plan = _plan(spark, sf_dir, "source_text_profile")
     assert plan.count("Exchange hashpartitioning") <= 4
     assert "CartesianProduct" not in plan

@@ -120,3 +120,19 @@ def test_embedding_dim_audit_carries_both_absorbed_panels(spark, sf_dir):
         "dim", "n_vectors", "mean_v", "std_v", "min_v", "max_v",
         "scale", "mse", "max_abs_err", "n_codes",
     }
+
+
+def test_source_text_profile_carries_absorbed_health_metrics(spark, sf_dir):
+    """Round-12 consolidation pin: the source panel must carry every
+    metric of the absorbed `source_quality_report` (total_chars,
+    avg_tokens, avg_rep_frac, n_langs — n_docs was already a panel
+    column) alongside the round-10 readability + lexical blocks."""
+    from data_pipeline_playground_spark.registry import all_queries
+
+    df = all_queries()["source_text_profile"](spark, sf_dir)
+    assert set(df.columns) == {
+        "source", "n_docs", "n_words", "n_syllables", "words_per_doc",
+        "syllables_per_word", "flesch_score", "tokens", "types",
+        "hapaxes", "ttr", "hapax_ratio",
+        "total_chars", "avg_tokens", "avg_rep_frac", "n_langs",
+    }
