@@ -191,7 +191,8 @@ def _term_matrix(pdf):
 
 def lexrank_scores_grouped(weights: DataFrame, groups: DataFrame,
                            group_type: str = "string",
-                           id_type: str = "bigint") -> DataFrame:
+                           id_type: str = "bigint",
+                           group_cap: int | None = None) -> DataFrame:
     """Bounded-group LexRank fast path: one shuffle by group, then the
     whole pipeline (L2 normalize → cosine matrix → threshold → damped
     power iteration) runs as dense numpy per group via applyInPandas
@@ -204,12 +205,30 @@ def lexrank_scores_grouped(weights: DataFrame, groups: DataFrame,
     reference's shape: a cluster is ~tens of articles); the DataFrame
     power iteration remains the unbounded-group path.
 
+    ``group_cap`` (round 12 — the 100× probe found the unbounded
+    failure mode): the dense per-group work is O(members²) memory in
+    one Python worker, and with a CAPPED cluster count k the members
+    per cluster grow ∝ n/k — at 500k docs the pipeline's Arrow worker
+    died mid-batch (connection reset = OOM-killed worker). A cap keeps
+    the LexRank candidate set to the ``group_cap`` smallest doc_ids
+    per group (deterministic), bounding worker memory regardless of
+    corpus size; members beyond the cap receive no score. None (the
+    default) preserves exact whole-group semantics for bounded-group
+    callers.
+
     ``weights``: (doc_id, term, w) from tfidf_term_weights.
     ``groups``: (doc_id, group).
     """
     import numpy as np
     import pandas as pd
 
+    if group_cap is not None:
+        wcap = Window.partitionBy("group").orderBy(F.asc("doc_id"))
+        groups = (
+            groups.withColumn("_rn", F.row_number().over(wcap))
+            .filter(F.col("_rn") <= group_cap)
+            .drop("_rn")
+        )
     joined = weights.join(groups, "doc_id").select("group", "doc_id", "term", "w")
 
     def run(pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -339,7 +358,8 @@ def lexrank_sentence_summaries(docs: DataFrame, groups: DataFrame,
                                k: int = 3,
                                group_type: str = "string",
                                sents: DataFrame | None = None,
-                               weights: DataFrame | None = None) -> DataFrame:
+                               weights: DataFrame | None = None,
+                               group_cap: int | None = None) -> DataFrame:
     """Sentence-granularity LexRank (reference N10, summarize.py:17-26:
     rank the cluster's *sentences*, return the top-k sentence texts —
     reddit_api.py:148-149 joins top-3 with ' ').
@@ -357,7 +377,20 @@ def lexrank_sentence_summaries(docs: DataFrame, groups: DataFrame,
     ``sentence_rows``) and sid-keyed TF-IDF weights — pass both to
     share one cached fit across several summary queries (the memoized
     artifacts in queries/ml.py); omitted, they are built here.
+
+    ``group_cap``: caps the DOCS per group feeding the sentence graph
+    (the ``group_cap`` smallest doc_ids, deterministic) — the same
+    worker-memory bound as lexrank_scores_grouped's cap: sentence
+    count per group grows ∝ docs per group, and the dense sentence
+    graph is O(sentences²) in one Python worker.
     """
+    if group_cap is not None:
+        wcap = Window.partitionBy("group").orderBy(F.asc("doc_id"))
+        groups = (
+            groups.withColumn("_rn", F.row_number().over(wcap))
+            .filter(F.col("_rn") <= group_cap)
+            .drop("_rn")
+        )
     if sents is None:
         sents = sentence_rows(docs).cache()
     sent_groups = (

@@ -22,6 +22,14 @@ from data_pipeline_playground_spark.operators.lexrank import (
 )
 from data_pipeline_playground_spark.tables import table
 
+# Per-cluster LexRank candidate bound (round 12): the k cap makes
+# cluster SIZE grow ∝ n/k, and the grouped dense LexRank is
+# O(members²) memory inside one Python worker — the 100× scale probe
+# (500k docs, k=64 → ~7.8k docs/cluster) OOM-killed the Arrow worker.
+# 512 is ~10× the reference's cluster sizes, so test-scale outputs
+# are unaffected; at any corpus size worker memory stays ≤ cap².
+LEXRANK_GROUP_CAP = 512
+
 
 def run_news_pipeline(spark: SparkSession, sf_dir: str,
                       n_keywords: int = 5, dedup: str = "minhash",
@@ -124,11 +132,20 @@ def run_news_pipeline(spark: SparkSession, sf_dir: str,
     ).cache()
 
     # --- summarize: LexRank top-1 per cluster (N10/T4) ---
-    # clusters are bounded (≲ n/KMEANS_K_CAP docs each), so the grouped
-    # applyInPandas fast path beats the join-based iteration
+    # Grouped applyInPandas fast path. Clusters are NOT bounded by the
+    # k cap — they grow ∝ n/k once the cap binds, and the per-group
+    # dense LexRank is O(members²) worker memory: the round-12 100×
+    # scale probe (500k docs → ~7.8k docs/cluster) OOM-killed the
+    # Arrow worker (connection reset mid-batch). LEXRANK_GROUP_CAP
+    # bounds the per-cluster candidate set (deterministic smallest
+    # doc_ids), keeping worker memory constant at any corpus size; it
+    # is far above the reference's cluster sizes (tens of articles)
+    # and only bites on degenerate giant clusters.
     groups = clustered.select("doc_id", F.col("cluster_id").alias("group"))
     weights = tfidf_term_weights(deduped)
-    scores = lexrank_scores_grouped(weights, groups, group_type="int")
+    scores = lexrank_scores_grouped(
+        weights, groups, group_type="int", group_cap=LEXRANK_GROUP_CAP
+    )
     best = (
         top_k_representatives(scores, k=1)
         .select(F.col("group").alias("cluster_id"), F.col("doc_id").alias("top_doc_id"))
@@ -176,6 +193,7 @@ def run_news_pipeline(spark: SparkSession, sf_dir: str,
         clustered.select("doc_id", F.col("cluster_id").alias("group")),
         k=3,
         group_type="int",
+        group_cap=LEXRANK_GROUP_CAP,  # same worker-memory bound
     ).select(F.col("group").alias("cluster_id"), F.col("summary").alias("sent_summary"))
     excerpt = clustered.select(
         F.col("doc_id").alias("top_doc_id"),

@@ -178,9 +178,23 @@ def multimodal_doc_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- LSH random-hyperplane ANN (scale path) ---------------------------------
 
+import os as _os
 import random as _random
 
-N_PLANES = 8
+# Hyperplane count is CONFIGURATION (round 12 — the mutual-NN
+# second-decade find): a FIXED 2^8-bucket signature makes any
+# bucket-pairwise consumer (mutual_nn_pairs: Σ bucket² work) scale as
+# n²/2^planes — measured exponent 1.66 at the 10×→100× probe (20.7 s
+# → 948 s at 1M vectors) where the first decade read 0.31
+# (overhead-flattered). More planes = exponentially smaller buckets:
+# the scaling rule is planes ≈ log₂(n / target_bucket_size); at 12
+# planes the same 1M-vector probe measures ~n²/4096 candidate work
+# (SCALE.md second-decade table). Every consumer (ann_lsh_buckets /
+# ann_lsh_topk / multiprobe / mutual_nn_pairs) AND its DuckDB oracle
+# derive from this one constant, so each configuration validates
+# against its own derived oracle — the SimHash-tier pattern
+# (bucket-local semantics legitimately differ between configs).
+N_PLANES = int(_os.environ.get("SPARK_GRAFT_LSH_PLANES", "8"))
 EMBED_DIM = 64
 _rng = _random.Random(1337)
 # deterministic hyperplane matrix, inlined into the oracle SQL
@@ -231,9 +245,11 @@ def _bucket_col() -> Column:
 
 @query("ann_lsh_buckets", oracle=_LSH_BUCKETS_SQL)
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH bucket profile: 8 sign bits → 256 buckets.
-    The bucket id is the ANN join key at scale (same-bucket candidates
-    only); this query verifies the signature computation end-to-end."""
+    """Random-hyperplane LSH bucket profile: N_PLANES sign bits →
+    2^N_PLANES buckets (default 8 → 256; $SPARK_GRAFT_LSH_PLANES —
+    see the constants block for the measured scaling dial). The bucket
+    id is the ANN join key at scale (same-bucket candidates only);
+    this query verifies the signature computation end-to-end."""
     e = _embed_double(spark, sf_dir)
     return (
         e.withColumn("bucket", _bucket_col())
@@ -1817,14 +1833,18 @@ def mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair crosses labels (a crossing mutual-NN is either a mislabel
     or a leak).
 
-    Candidates come from the SAME 256-bucket hyperplane signature as
-    `ann_lsh_topk` — an equi-join on the bucket id, so pair count is
-    Σ bucket² instead of n² (the brute-force variant measured 26-105 s
-    at sf0.1 on 4M pairs: both the aggregate() fold and a 64-term
-    unrolled expression run slow — the fold is interpreted, and the
-    unrolled form exceeds the JVM JIT's huge-method bytecode limit and
-    drops to the bytecode interpreter; candidate pruning, not
-    expression tuning, is the correct lever, exactly as at 100 TB).
+    Candidates come from the SAME 2^N_PLANES-bucket hyperplane
+    signature as `ann_lsh_topk` — an equi-join on the bucket id, so
+    pair count is Σ bucket² instead of n² (the brute-force variant
+    measured 26-105 s at sf0.1 on 4M pairs: both the aggregate() fold
+    and a 64-term unrolled expression run slow — the fold is
+    interpreted, and the unrolled form exceeds the JVM JIT's
+    huge-method bytecode limit and drops to the bytecode interpreter;
+    candidate pruning, not expression tuning, is the correct lever,
+    exactly as at 100 TB). Σ bucket² ∝ n²/2^planes with the plane
+    count FIXED — the round-12 second-decade probe measured exponent
+    1.66 at 1M vectors under the 8-plane default; scale the dial with
+    the corpus ($SPARK_GRAFT_LSH_PLANES — see the constants block).
     The mutual check is a self-join on the n-row top-1 table; vectors
     alone in their bucket have no neighbor and drop out, the
     documented LSH trade.

@@ -608,3 +608,43 @@ def test_discount_lift_covers_lineitem(spark, sf_dir):
     ).count()
     for r in bands:
         assert r["avg_quantity"] > 0 and r["total_price"] > 0
+
+
+def test_lsh_planes_config_and_12plane_oracle():
+    """Round 12 (second-decade probe find): the hyperplane count is
+    configuration — a fixed 2^8-bucket signature makes bucket-pairwise
+    consumers (mutual_nn_pairs) scale n²/2^planes, measured exponent
+    1.66 at 1M vectors. $SPARK_GRAFT_LSH_PLANES must activate at
+    import time, rebuild every derived constant (hyperplane matrix,
+    SQL bucket expression, multiprobe width), and the 12-plane config
+    must pass its own derived oracle end-to-end (bucket-local
+    semantics legitimately differ per config — the SimHash-tier
+    validation pattern)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import os, sys; os.environ['SPARK_GRAFT_LSH_PLANES'] = '12'\n"
+        "sys.path.insert(0, '/root/repo'); sys.path.insert(0, '/root/repo/tests')\n"
+        "from data_pipeline_playground_spark.queries import similarity as s\n"
+        "assert s.N_PLANES == 12 and len(s.HYPERPLANES) == 12\n"
+        "assert s.MULTIPROBE_BITS == 12\n"
+        "assert '2048' in s._SQL_BUCKET  # 1 << 11 plane weight present\n"
+        "from data_pipeline_playground_spark.session import get_spark\n"
+        "from data_pipeline_playground_spark.registry import"
+        " all_queries, all_oracle_sql\n"
+        "from oracle import duckdb_conn, compare\n"
+        "sf = '/root/testdata/sf0.001'\n"
+        "spark = get_spark('lsh-12plane-oracle')\n"
+        "q, o = all_queries(), all_oracle_sql()\n"
+        "for name in ('ann_lsh_buckets', 'mutual_nn_pairs'):\n"
+        "    compare(q[name](spark, sf), duckdb_conn(sf), o[name],\n"
+        "            name + '@12planes')\n"
+        "print('12planes OK')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-800:]
+    assert "12planes OK" in out.stdout
