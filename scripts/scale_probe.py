@@ -13,8 +13,23 @@ cross-replica shingle/window overlap is exactly zero, so pair-shaped
 work (dedup candidates, truth joins, span matches) scales ×R, not
 ×R² as verbatim replication would force (every doc would gain R−1
 exact copies, measuring duplicate-blowup rather than engine scaling).
-Embeddings replicate with the same id shift and a +r·10⁻³ per-vector
-offset (ANN bucket structure preserved, no cross-replica exact ties).
+
+Embedding replicas (round 13 — the third-decade probe found the OLD
+construction bends): replica r applies a deterministic SIGNED
+COORDINATE PERMUTATION (an orthogonal transform seeded per replica;
+r=0 is the identity) — norms, pairwise-dot distribution, and
+per-replica bucket structure are preserved while replicas decorrelate,
+so LSH bucket occupancy grows ×R at fixed planes (the n²/2^planes law
+the probe is supposed to measure) and nothing else. The pre-r13
+construction (+r·10⁻³ uniform offset) had TWO artifacts the 300×
+probe exposed: (a) the offset is monotonic in r, so by r≈150 it
+saturates hyperplane signs along the all-ones direction — at 300
+replicas ONE 12-plane bucket held 16.7% of 600 k vectors (0.8% at
+100) and Σ bucket² jumped ×284 for ×3 data — and (b) every base
+vector's R replicas are mutual near-duplicates, so bucket-local
+pairwise work is Σ cluster² BY SEMANTICS (each vector's true NN is a
+replica sibling), unmeasurably conflating data shape with engine
+scaling.
 
 Star-schema replica mode (round 11 — VERDICT r10 #3): customer /
 orders / lineitem / part / supplier replicate as DISJOINT key
@@ -134,7 +149,17 @@ FACT_PROBE_QUERIES = [
 ]
 
 
-def build_corpus(out: str, replicas: int) -> None:
+ALL_TABLES = (
+    "documents", "embeddings", "events",
+    "customer", "orders", "lineitem", "part", "supplier",
+)
+
+
+def build_corpus(out: str, replicas: int,
+                 tables: tuple[str, ...] = ALL_TABLES) -> None:
+    """``tables`` restricts which replicated tables are written (round
+    13 — a 300× documents+embeddings corpus for the post-fix probe does
+    not need a 300× lineitem); nation/region symlink 1× regardless."""
     import duckdb
 
     os.makedirs(out, exist_ok=True)
@@ -142,6 +167,8 @@ def build_corpus(out: str, replicas: int) -> None:
     # testdata; COPY TO through a stale symlink would try to write the
     # link TARGET — unlink any existing entry for the generated files
     for t in ("documents", "embeddings", "events"):
+        if t not in tables:
+            continue
         dst = f"{out}/{t}.parquet"
         if os.path.lexists(dst):
             os.unlink(dst)
@@ -155,17 +182,38 @@ def build_corpus(out: str, replicas: int) -> None:
             FROM read_parquet('{SF1}/documents.parquet')"""
         for r in range(replicas)
     )
-    con.execute(f"COPY ({reps}) TO '{out}/documents.parquet' (FORMAT PARQUET)")
+    if "documents" in tables:
+        con.execute(
+            f"COPY ({reps}) TO '{out}/documents.parquet' (FORMAT PARQUET)"
+        )
+    import random as _random
+
+    def _signed_perm_sql(r: int) -> str:
+        """64-element list constructor applying replica r's signed
+        coordinate permutation (orthogonal — see module docstring);
+        r=0 is the identity so the 1× corpus embeds unchanged."""
+        if r == 0:
+            return "embedding"
+        rng = _random.Random(4242 + r)
+        perm = list(range(1, 65))  # DuckDB lists are 1-indexed
+        rng.shuffle(perm)
+        terms = ", ".join(
+            f"CAST({'-' if rng.random() < 0.5 else ''}embedding[{p}] AS FLOAT)"
+            for p in perm
+        )
+        return f"[{terms}]"
+
     ereps = " UNION ALL ".join(
         f"""SELECT vec_id + {r * ID_OFFSET} AS vec_id,
-               list_transform(embedding,
-                              x -> CAST(x + {r} * 0.001 AS FLOAT))
-                 AS embedding,
+               {_signed_perm_sql(r)} AS embedding,
                label
             FROM read_parquet('{SF1}/embeddings.parquet')"""
         for r in range(replicas)
     )
-    con.execute(f"COPY ({ereps}) TO '{out}/embeddings.parquet' (FORMAT PARQUET)")
+    if "embeddings" in tables:
+        con.execute(
+            f"COPY ({ereps}) TO '{out}/embeddings.parquet' (FORMAT PARQUET)"
+        )
     # events replicate as DISJOINT USER POPULATIONS over the same time
     # range (user_id + r·10⁷, event_id + r·10⁹, ts untouched): per-user
     # session/funnel/as-of structure is preserved exactly, user-keyed
@@ -179,7 +227,10 @@ def build_corpus(out: str, replicas: int) -> None:
             FROM read_parquet('{SF1}/events.parquet')"""
         for r in range(replicas)
     )
-    con.execute(f"COPY ({evreps}) TO '{out}/events.parquet' (FORMAT PARQUET)")
+    if "events" in tables:
+        con.execute(
+            f"COPY ({evreps}) TO '{out}/events.parquet' (FORMAT PARQUET)"
+        )
     # star-schema replicas: shift every KEY column, keep values — see
     # module docstring (disjoint key populations, constant join density)
     star = {
@@ -190,6 +241,8 @@ def build_corpus(out: str, replicas: int) -> None:
         "supplier": ["s_suppkey"],
     }
     for t, keys in star.items():
+        if t not in tables:
+            continue
         dst = f"{out}/{t}.parquet"
         if os.path.lexists(dst):
             os.unlink(dst)
@@ -242,6 +295,12 @@ def main() -> None:
         help="comma-separated subset of the probe list to run",
     )
     p.add_argument(
+        "--tables",
+        default=",".join(ALL_TABLES),
+        help="comma-separated replicated tables to build (default all; "
+        "e.g. documents,embeddings for a doc-family-only corpus)",
+    )
+    p.add_argument(
         "--families",
         default="docs",
         choices=["docs", "fact", "all"],
@@ -262,7 +321,10 @@ def main() -> None:
     from data_pipeline_playground_spark.session import get_spark
 
     if not args.skip_build:
-        build_corpus(args.out, args.replicas)
+        build_corpus(
+            args.out, args.replicas,
+            tuple(t for t in args.tables.split(",") if t),
+        )
     spark = get_spark("dpp-scale-probe")
     queries = all_queries()
 
