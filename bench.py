@@ -240,6 +240,8 @@ def _merge_base_timings(
     registered: set[str],
     fresh: set[str] = frozenset(),
     known_memos: frozenset[str] = frozenset(),
+    memo_fps: dict[str, str] | None = None,
+    base_memo_fps: dict[str, str] | None = None,
 ) -> None:
     """Merge a prior run's timings into this run's, in place: clean
     base timings fill queries not re-run; a re-run query keeps
@@ -261,10 +263,26 @@ def _merge_base_timings(
     query timings; min-merge against them is safe (memo-exclusive
     this-run values are never larger), but list memo-sharing queries
     in SPARK_GRAFT_BENCH_FRESH on the first post-attribution merge if
-    exact lineage matters."""
+    exact lineage matters.
+
+    ``memo_fps``/``base_memo_fps`` (ADVICE r12 #1): builder-source
+    fingerprints (memo_prebuild.memo_fingerprints) recorded in each
+    bench output. A base memo_build entry whose fingerprint differs
+    from the current builder's — or is absent from a base that carries
+    fingerprints for this memo while the current registry does — is
+    dropped instead of min-merged: its seconds measured DIFFERENT
+    build code, so the auto-invalidation replaces the manual
+    SPARK_GRAFT_BENCH_FRESH listing for changed builders. Names
+    outside the registry (the explicit KEEP allowlist) have no
+    fingerprint on either side and merge as before."""
+    memo_fps = memo_fps or {}
+    base_memo_fps = base_memo_fps or {}
     for name, t in base_queries.items():
         if name.startswith("memo_build:"):
-            known = name.split(":", 1)[1] in known_memos
+            mname = name.split(":", 1)[1]
+            known = mname in known_memos
+            if known and mname in memo_fps:
+                known = base_memo_fps.get(mname) == memo_fps[mname]
         else:
             known = name in registered
         if known and name not in errors and name not in fresh:
@@ -417,8 +435,10 @@ def main() -> None:
     # same memo_build:<name> line items reactive builds used — builds
     # no longer serialize inside the timed loop on first touch.
     caching.drain_ledger()  # discard warmup strays (sf0.001 keys)
-    prebuilt = memo_prebuild.prebuild_all(spark, sf_dir)
+    prebuild_failed: list[str] = []
+    prebuilt = memo_prebuild.prebuild_all(spark, sf_dir, prebuild_failed)
     _book_ledger(caching.drain_ledger())
+    memo_fps = memo_prebuild.memo_fingerprints()
 
     # warm the probe query once at the bench SF (unrecorded): the first
     # sf0.1 execution pays plan compile + codegen, which would read as
@@ -480,6 +500,8 @@ def main() -> None:
         _merge_base_timings(
             timings, errors, base.get("queries", {}), set(queries), fresh,
             memo_prebuild.known_memo_names() | keep,
+            memo_fps=memo_fps,
+            base_memo_fps=base.get("memo_fingerprints", {}),
         )
 
     # book this run's memo builds as line items (min-merged against any
@@ -529,6 +551,14 @@ def main() -> None:
         # so the per-name line items' sum stays auditable vs "value"
         out["memo_overlap_s"] = round(memo_overlap[0], 3)
     out["memo_prebuilt_n"] = len(prebuilt)
+    if prebuild_failed:
+        # ADVICE r12 #2: a failed prebuild reverts that memo to
+        # first-touch accounting — name it in the record, next to the
+        # count, instead of hiding it inside a smaller memo_prebuilt_n
+        out["memo_prebuild_failed"] = prebuild_failed
+    # builder-source fingerprints (ADVICE r12 #1) — next run's merge
+    # validates its base memo_build entries against these
+    out["memo_fingerprints"] = memo_fps
     out["sentinel_probes"] = probes
     out["probe_names"] = probe_names
     # per-module family rollup of the merged timings (compact-summary

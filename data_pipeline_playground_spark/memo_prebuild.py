@@ -80,7 +80,61 @@ def known_memo_names() -> frozenset[str]:
     return frozenset(touch_fns())
 
 
-def prebuild_all(spark: SparkSession, sf_dir: str) -> list[str]:
+# the one lambda touch lives in THIS module but wraps a builder defined
+# in dedup_advanced — fingerprint it against the builder's module, not
+# the wrapper's
+_FP_MODULE_OVERRIDES = {
+    "shingle_hash_ex_sampled":
+        "data_pipeline_playground_spark.queries.dedup_advanced",
+}
+
+
+def memo_fingerprints() -> dict[str, str]:
+    """memo name -> stable hash of the code that defines its build
+    (ADVICE r12 #1): the touch callable's defining module source,
+    combined with the source of every ``operators/`` and ``functions/``
+    module (the deep dependencies builds actually execute — e.g. the
+    lexrank_sentence_artifacts memo lives in queries/ml.py but its
+    build runs operators/lexrank.py). bench.py records these in each
+    bench output and refuses to min-merge a base ``memo_build:<name>``
+    line item whose fingerprint differs — a changed builder
+    auto-invalidates its historical timing instead of relying on the
+    operator remembering SPARK_GRAFT_BENCH_FRESH. Module granularity
+    over-invalidates (any edit in the module re-measures every memo it
+    defines) — the safe direction: the cost is one fresh measurement,
+    never a stale merged second."""
+    import hashlib
+    import inspect
+    import pathlib
+    import sys
+
+    shared = hashlib.sha1()
+    pkg_dir = pathlib.Path(__file__).parent
+    for sub in ("operators", "functions"):
+        for path in sorted((pkg_dir / sub).glob("*.py")):
+            shared.update(path.read_bytes())
+    shared_hex = shared.hexdigest()
+
+    out: dict[str, str] = {}
+    mod_src_cache: dict[str, str] = {}
+    for name, fn in sorted(touch_fns().items()):
+        mod_name = _FP_MODULE_OVERRIDES.get(
+            name, getattr(fn, "__module__", __name__)
+        )
+        if mod_name not in mod_src_cache:
+            mod_src_cache[mod_name] = inspect.getsource(sys.modules[mod_name])
+        h = hashlib.sha1()
+        h.update(mod_src_cache[mod_name].encode())
+        h.update(shared_hex.encode())
+        out[name] = h.hexdigest()[:12]
+    return out
+
+
+def prebuild_all(
+    spark: SparkSession,
+    sf_dir: str,
+    failures: list[str] | None = None,
+) -> list[str]:
     """Build every registered memo for (session, sf_dir), concurrently
     (independent builds overlap; same-key races serialize on
     caching.memo's per-key locks — a touch that nests another memo's
@@ -93,7 +147,12 @@ def prebuild_all(spark: SparkSession, sf_dir: str) -> list[str]:
     while still overlapping most of the wall. Returns the names
     attempted; a touch that raises is skipped (its queries will build
     reactively, exactly the pre-r12 behavior) so one broken family
-    cannot sink the whole bench."""
+    cannot sink the whole bench — the exception is LOGGED
+    (logging.warning: name, type, message — ADVICE r12 #2; a silent
+    swallow left a broken family reverting to first-touch accounting
+    with no diagnostic) and the failed names are collected in
+    ``failures`` for the bench record."""
+    import logging
     import os
     import threading
 
@@ -111,10 +170,17 @@ def prebuild_all(spark: SparkSession, sf_dir: str) -> list[str]:
             with slots:
                 try:
                     fn(spark, sf_dir)
-                except Exception:  # noqa: BLE001 — reactive fallback
+                except Exception as exc:  # noqa: BLE001 — reactive fallback
+                    logging.getLogger(__name__).warning(
+                        "memo prebuild %r failed, reverting to "
+                        "first-touch accounting: %s: %s",
+                        name, type(exc).__name__, exc,
+                    )
                     failed.append(name)
 
         return run
 
     run_concurrently([_safe(n, fn) for n, fn in sorted(fns.items())])
+    if failures is not None:
+        failures.extend(sorted(failed))
     return [n for n in sorted(fns) if n not in failed]

@@ -161,6 +161,50 @@ def tfidf_term_weights(docs: DataFrame, text_col: str = "text",
     )
 
 
+import itertools as _itertools
+
+_CAP_SIGNAL_SEQ = _itertools.count()
+
+
+def _apply_group_cap(groups: DataFrame, group_cap: int,
+                     observation=None) -> DataFrame:
+    """Keep the ``group_cap`` smallest doc_ids per group (deterministic
+    worker-memory bound for the grouped dense paths) and EMIT a
+    runtime signal when the cap binds (ADVICE r12 #3: silent
+    truncation made divergence from whole-group semantics
+    unobservable). The signal is a Spark ``observe`` metric pair —
+    ``capped_groups`` (how many groups exceeded the cap and were
+    truncated) and ``max_group_size`` (the largest pre-cap group) —
+    computed from the same window pass that ranks members, so it adds
+    no shuffle. Pass a ``pyspark.sql.Observation`` to read the values
+    programmatically after the first action; with none, a uniquely
+    named observe node still publishes the metrics to
+    QueryExecutionListeners / the live UI, so a production run can SEE
+    the bound bind without changing any output schema."""
+    wcap = Window.partitionBy("group").orderBy(F.asc("doc_id"))
+    wall = Window.partitionBy("group")
+    flagged = (
+        groups.withColumn("_rn", F.row_number().over(wcap))
+        .withColumn("_n", F.count(F.lit(1)).over(wall))
+        .filter(F.col("_rn") <= group_cap)
+    )
+    metrics = (
+        F.sum(
+            F.when(
+                (F.col("_rn") == 1) & (F.col("_n") > group_cap), 1
+            ).otherwise(0)
+        ).alias("capped_groups"),
+        F.max("_n").alias("max_group_size"),
+    )
+    if observation is not None:
+        flagged = flagged.observe(observation, *metrics)
+    else:
+        flagged = flagged.observe(
+            f"lexrank_group_cap_{next(_CAP_SIGNAL_SEQ)}", *metrics
+        )
+    return flagged.drop("_rn", "_n")
+
+
 def _term_matrix(pdf):
     """(sorted ids, dense doc×term weight matrix) from one group's
     (doc_id, term, w) rows — the pivot every grouped fast path starts
@@ -192,7 +236,8 @@ def _term_matrix(pdf):
 def lexrank_scores_grouped(weights: DataFrame, groups: DataFrame,
                            group_type: str = "string",
                            id_type: str = "bigint",
-                           group_cap: int | None = None) -> DataFrame:
+                           group_cap: int | None = None,
+                           cap_observation=None) -> DataFrame:
     """Bounded-group LexRank fast path: one shuffle by group, then the
     whole pipeline (L2 normalize → cosine matrix → threshold → damped
     power iteration) runs as dense numpy per group via applyInPandas
@@ -214,7 +259,10 @@ def lexrank_scores_grouped(weights: DataFrame, groups: DataFrame,
     per group (deterministic), bounding worker memory regardless of
     corpus size; members beyond the cap receive no score. None (the
     default) preserves exact whole-group semantics for bounded-group
-    callers.
+    callers. When the cap BINDS, the plan emits a ``capped_groups`` /
+    ``max_group_size`` observe metric (see _apply_group_cap — ADVICE
+    r12 #3); pass ``cap_observation`` (a pyspark.sql.Observation) to
+    read it after the first action.
 
     ``weights``: (doc_id, term, w) from tfidf_term_weights.
     ``groups``: (doc_id, group).
@@ -223,12 +271,7 @@ def lexrank_scores_grouped(weights: DataFrame, groups: DataFrame,
     import pandas as pd
 
     if group_cap is not None:
-        wcap = Window.partitionBy("group").orderBy(F.asc("doc_id"))
-        groups = (
-            groups.withColumn("_rn", F.row_number().over(wcap))
-            .filter(F.col("_rn") <= group_cap)
-            .drop("_rn")
-        )
+        groups = _apply_group_cap(groups, group_cap, cap_observation)
     joined = weights.join(groups, "doc_id").select("group", "doc_id", "term", "w")
 
     def run(pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -359,7 +402,8 @@ def lexrank_sentence_summaries(docs: DataFrame, groups: DataFrame,
                                group_type: str = "string",
                                sents: DataFrame | None = None,
                                weights: DataFrame | None = None,
-                               group_cap: int | None = None) -> DataFrame:
+                               group_cap: int | None = None,
+                               cap_observation=None) -> DataFrame:
     """Sentence-granularity LexRank (reference N10, summarize.py:17-26:
     rank the cluster's *sentences*, return the top-k sentence texts —
     reddit_api.py:148-149 joins top-3 with ' ').
@@ -382,15 +426,12 @@ def lexrank_sentence_summaries(docs: DataFrame, groups: DataFrame,
     (the ``group_cap`` smallest doc_ids, deterministic) — the same
     worker-memory bound as lexrank_scores_grouped's cap: sentence
     count per group grows ∝ docs per group, and the dense sentence
-    graph is O(sentences²) in one Python worker.
+    graph is O(sentences²) in one Python worker. A binding cap emits
+    the same ``capped_groups`` observe signal as
+    lexrank_scores_grouped (``cap_observation`` to read it).
     """
     if group_cap is not None:
-        wcap = Window.partitionBy("group").orderBy(F.asc("doc_id"))
-        groups = (
-            groups.withColumn("_rn", F.row_number().over(wcap))
-            .filter(F.col("_rn") <= group_cap)
-            .drop("_rn")
-        )
+        groups = _apply_group_cap(groups, group_cap, cap_observation)
     if sents is None:
         sents = sentence_rows(docs).cache()
     sent_groups = (

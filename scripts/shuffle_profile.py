@@ -91,6 +91,13 @@ def main() -> None:
         "--warm", default="/root/testdata/sf0.001",
         help="small corpus for the unrecorded plan-compile warm run",
     )
+    p.add_argument(
+        "--reps", type=int, default=2,
+        help="measurements per scale: rep0 is COLD (includes session-"
+        "memo builds for that sf_dir), later reps are WARM (memos "
+        "cached — the query's own marginal plan, matching the bench's "
+        "memo-exclusive accounting)",
+    )
     args = p.parse_args()
 
     from data_pipeline_playground_spark.registry import all_queries
@@ -103,38 +110,42 @@ def main() -> None:
 
     fn(spark, args.warm).count()  # compile/codegen warm, unrecorded
 
-    runs = []
+    runs: dict[int, list[dict]] = {r: [] for r in range(args.reps)}
     for sf_dir in (args.lo, args.hi):
         spark.catalog.clearCache()
-        seen = {(s["stageId"], s["attemptId"]) for s in _stages(app_id)}
-        t0 = time.perf_counter()
-        n_rows = fn(spark, sf_dir).count()
-        wall = time.perf_counter() - t0
-        time.sleep(2.0)  # let the status store absorb final stage posts
-        new = [
-            s for s in _stages(app_id)
-            if (s["stageId"], s["attemptId"]) not in seen
-        ]
-        rec = {
-            "query": args.query,
-            "sf_dir": sf_dir,
-            "rows": n_rows,
-            "wall_sec": round(wall, 2),
-            "n_stages": len(new),
-        }
-        for f in BYTE_FIELDS:
-            rec[f] = sum(s.get(f, 0) for s in new)
-        runs.append(rec)
-        print(json.dumps(rec), flush=True)
+        for rep in range(args.reps):
+            seen = {(s["stageId"], s["attemptId"]) for s in _stages(app_id)}
+            t0 = time.perf_counter()
+            n_rows = fn(spark, sf_dir).count()
+            wall = time.perf_counter() - t0
+            time.sleep(2.0)  # let the status store absorb stage posts
+            new = [
+                s for s in _stages(app_id)
+                if (s["stageId"], s["attemptId"]) not in seen
+            ]
+            rec = {
+                "query": args.query,
+                "sf_dir": sf_dir,
+                "rep": rep,
+                "mode": "cold+memo" if rep == 0 else "warm",
+                "rows": n_rows,
+                "wall_sec": round(wall, 2),
+                "n_stages": len(new),
+            }
+            for f in BYTE_FIELDS:
+                rec[f] = sum(s.get(f, 0) for s in new)
+            runs[rep].append(rec)
+            print(json.dumps(rec), flush=True)
 
-    lo, hi = runs
-    print(f"\n{args.query}: {args.lo} -> {args.hi} "
-          f"(scale x{args.scale_ratio:g})")
-    print(f"{'metric':22s} {'lo':>15s} {'hi':>15s} {'ratio':>8s}")
-    for f in ("wall_sec",) + BYTE_FIELDS:
-        a, b = lo[f], hi[f]
-        ratio = (b / a) if a else float("nan")
-        print(f"{f:22s} {a:15,.0f} {b:15,.0f} {ratio:8.2f}")
+    for rep in range(args.reps):
+        lo, hi = runs[rep]
+        print(f"\n{args.query} [{lo['mode']}]: {args.lo} -> {args.hi} "
+              f"(scale x{args.scale_ratio:g})")
+        print(f"{'metric':22s} {'lo':>15s} {'hi':>15s} {'ratio':>8s}")
+        for f in ("wall_sec",) + BYTE_FIELDS:
+            a, b = lo[f], hi[f]
+            ratio = (b / a) if a else float("nan")
+            print(f"{f:22s} {a:15,.0f} {b:15,.0f} {ratio:8.2f}")
 
 
 if __name__ == "__main__":

@@ -193,6 +193,74 @@ def test_merge_memo_allowlist_carries_explicit_names():
     assert timings == {"memo_build:legacy_keep": 1.5}
 
 
+def test_merge_memo_fingerprint_gates_base_entries():
+    """ADVICE r12 #1: a base memo_build entry min-merges only when the
+    base record's builder fingerprint matches the current one — a
+    changed builder (or a legacy base with no fingerprints) drops the
+    stale timing instead of relying on a manual FRESH listing. Names
+    outside the fingerprint map (the explicit KEEP allowlist) merge as
+    before."""
+    known = frozenset({"same", "changed", "legacy", "keep_name"})
+    fps = {"same": "aaa", "changed": "bbb-new", "legacy": "ccc"}
+    timings = {"memo_build:changed": 9.0}
+    bench._merge_base_timings(
+        timings, {},
+        {"memo_build:same": 1.0, "memo_build:changed": 0.5,
+         "memo_build:legacy": 2.0, "memo_build:keep_name": 3.0},
+        set(),
+        known_memos=known,
+        memo_fps=fps,
+        base_memo_fps={"same": "aaa", "changed": "bbb-old"},
+    )
+    assert timings == {
+        "memo_build:same": 1.0,      # fp match → filled from base
+        "memo_build:changed": 9.0,   # fp mismatch → base 0.5 dropped
+        # memo_build:legacy: base carries no fp for it → dropped
+        "memo_build:keep_name": 3.0,  # outside fp map (allowlist) → merges
+    }
+
+
+def test_memo_fingerprints_cover_registry():
+    """Every registered memo gets a fingerprint; fingerprints are
+    stable within a process (same source → same hash)."""
+    from data_pipeline_playground_spark import memo_prebuild
+
+    fps = memo_prebuild.memo_fingerprints()
+    assert set(fps) == set(memo_prebuild.known_memo_names())
+    assert all(
+        isinstance(v, str) and len(v) == 12 for v in fps.values()
+    )
+    assert fps == memo_prebuild.memo_fingerprints()
+
+
+def test_prebuild_failure_logged_and_surfaced(monkeypatch, caplog):
+    """ADVICE r12 #2: a touch that raises is logged (name, type,
+    message) and reported via the failures list — not silently
+    swallowed into a smaller prebuilt count."""
+    import logging
+
+    from data_pipeline_playground_spark import memo_prebuild
+
+    def _boom(spark, sf_dir):
+        raise ValueError("synthetic builder failure")
+
+    monkeypatch.setattr(
+        memo_prebuild, "touch_fns",
+        lambda: {"ok_memo": lambda s, d: None, "broken_memo": _boom},
+    )
+    failures: list = []
+    with caplog.at_level(logging.WARNING,
+                         logger="data_pipeline_playground_spark.memo_prebuild"):
+        prebuilt = memo_prebuild.prebuild_all(None, "/nonexistent", failures)
+    assert prebuilt == ["ok_memo"]
+    assert failures == ["broken_memo"]
+    assert any(
+        "broken_memo" in r.message and "ValueError" in r.message
+        and "synthetic builder failure" in r.message
+        for r in caplog.records
+    )
+
+
 def test_union_seconds_concurrent_overlap_not_double_counted():
     """ADVICE r11 #2: two builds overlapping in concurrent driver
     threads subtract their interval UNION, not the sum of their

@@ -648,3 +648,31 @@ def test_lsh_planes_config_and_12plane_oracle():
     )
     assert out.returncode == 0, out.stderr[-800:]
     assert "12planes OK" in out.stdout
+
+
+def test_lsh_plane_dial_self_setting(spark):
+    """VERDICT r12 #3: with no $SPARK_GRAFT_LSH_PLANES pin the plane
+    count derives from the corpus row count at plan-build time —
+    unit-checked at two corpus sizes, and the pure-integer Python
+    derivation must equal the oracle's in-SQL CEIL(LOG2()) form at
+    boundary counts (the two sides must agree for EVERY n or a corpus
+    size could exist where query and oracle bucket differently)."""
+    import duckdb
+
+    import data_pipeline_playground_spark.queries.similarity as s
+
+    assert s.N_PLANES is None, "test requires the derived-default mode"
+    # two corpus sizes: 500 vectors clamp to MIN_PLANES, 2000 derive 5
+    assert s.lsh_planes(spark, "/root/testdata/sf0.001") == 4
+    assert s.lsh_planes(spark, "/root/testdata/sf0.1") == 5
+    # the rule reproduces r12's hand-validated 100×-probe config
+    assert s.planes_for_count(200_000) == 12
+    con = duckdb.connect()
+    for n in [1, 63, 64, 65, 128, 129, 500, 2000, 200_000,
+              64 * 4096 - 1, 64 * 4096, 64 * 4096 + 1, 10**9]:
+        sqlp = con.execute(
+            f"SELECT GREATEST({s.MIN_PLANES}, LEAST({s.MAX_PLANES}, "
+            f"CAST(CEIL(LOG2(CAST({n} AS DOUBLE) / "
+            f"{s.LSH_TARGET_BUCKET}.0)) AS INT)))"
+        ).fetchone()[0]
+        assert sqlp == s.planes_for_count(n), n

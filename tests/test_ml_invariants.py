@@ -249,3 +249,64 @@ def test_news_summaries_paired_tiers(spark, sf_dir):
             matched += 1
             remaining = remaining[len(hit):].lstrip()
         assert 1 <= matched <= 3
+
+
+def test_group_cap_signal_observes_truncation(spark):
+    """ADVICE r12 #3: when lexrank_scores_grouped's group_cap BINDS,
+    the plan emits an observable capped_groups/max_group_size metric
+    (Observation) instead of silently truncating; a non-binding cap
+    reads zero. Output membership matches the documented semantics:
+    the cap keeps the group_cap smallest doc_ids."""
+    from pyspark.sql import Observation
+
+    from data_pipeline_playground_spark.operators.lexrank import (
+        lexrank_scores_grouped,
+    )
+
+    weights = spark.createDataFrame(
+        [(d, t, 1.0) for d in range(1, 6) for t in ("alpha", "beta")]
+        + [(d, "gamma", 0.5) for d in range(1, 6)],
+        "doc_id bigint, term string, w double",
+    )
+    groups = spark.createDataFrame(
+        [(d, "g") for d in range(1, 6)] + [(9, "small")],
+        "doc_id bigint, group string",
+    )
+    weights9 = weights.union(
+        spark.createDataFrame([(9, "alpha", 1.0)], weights.schema)
+    )
+
+    obs = Observation("cap_binds")
+    scored = lexrank_scores_grouped(
+        weights9, groups, group_cap=3, cap_observation=obs
+    )
+    rows = scored.collect()
+    assert obs.get == {"capped_groups": 1, "max_group_size": 5}
+    assert sorted(r.doc_id for r in rows if r.group == "g") == [1, 2, 3]
+
+    obs2 = Observation("cap_slack")
+    lexrank_scores_grouped(
+        weights9, groups, group_cap=10, cap_observation=obs2
+    ).count()
+    assert obs2.get == {"capped_groups": 0, "max_group_size": 5}
+
+
+def test_group_cap_signal_named_observe_in_plan(spark):
+    """Without an Observation handle the cap still plants a uniquely
+    named CollectMetrics node (QueryExecutionListener-visible), so a
+    production run that never passes a handle still has a detectable
+    signal in its plan/UI."""
+    from data_pipeline_playground_spark.operators.lexrank import (
+        lexrank_scores_grouped,
+    )
+
+    weights = spark.createDataFrame(
+        [(1, "alpha", 1.0), (2, "alpha", 1.0)],
+        "doc_id bigint, term string, w double",
+    )
+    groups = spark.createDataFrame(
+        [(1, "g"), (2, "g")], "doc_id bigint, group string"
+    )
+    df = lexrank_scores_grouped(weights, groups, group_cap=1)
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert "CollectMetrics" in plan and "lexrank_group_cap_" in plan
