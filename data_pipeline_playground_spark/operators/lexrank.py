@@ -33,8 +33,14 @@ def tfidf_unit_vectors(docs: DataFrame, text_col: str = "text",
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.select(F.countDistinct(id_col).alias("n_docs"))
+    # df_ carries one row per DISTINCT TERM — vocabulary-sized, which
+    # grows with the corpus, so it must NOT be hint-broadcast (round-13
+    # third-decade find: the forced broadcast made the grouped-LexRank
+    # stage read exponent 1.95 at 1.5M docs; 91.8 → 33.8 s with the
+    # hint removed). AQE still converts to broadcast at runtime when
+    # the measured df_ is small, so bounded-vocab plans are unchanged.
     w = (
-        tf.join(F.broadcast(df_), "term")
+        tf.join(df_, "term")
         .join(F.broadcast(n))
         .withColumn("w", F.col("tf") * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0))
     )
@@ -150,8 +156,11 @@ def tfidf_term_weights(docs: DataFrame, text_col: str = "text",
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.select(F.countDistinct(id_col).alias("n_docs"))
+    # no broadcast hint on the vocabulary-sized df_ — see
+    # tfidf_unit_vectors (round-13 third-decade find; AQE broadcasts
+    # small vocabularies at runtime anyway)
     return (
-        tf.join(F.broadcast(df_), "term")
+        tf.join(df_, "term")
         .join(F.broadcast(n))
         .select(
             "doc_id",

@@ -159,8 +159,11 @@ def run_news_pipeline(spark: SparkSession, sf_dir: str,
     ctf = tok_c.groupBy("cluster_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     cdf = ctf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_clusters = F.lit(k)
+    # cdf is vocabulary-sized (one row per distinct term) — no
+    # broadcast hint; AQE picks (see operators/lexrank.py, round-13
+    # third-decade find)
     w = (
-        ctf.join(F.broadcast(cdf), "term")
+        ctf.join(cdf, "term")
         .withColumn("w", F.col("tf") * (F.log((n_clusters + 1.0) / (F.col("df") + 1.0)) + 1.0))
     )
     kw_win = Window.partitionBy("cluster_id").orderBy(F.desc(F.round("w", 9)), F.asc("term"))

@@ -406,10 +406,13 @@ def _tfidf_cosine_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, cosine) vector-space ranking for the fixed query:
     binary query vector over BM25_QUERY against the doc's full TF-IDF
     vector. The doc norm needs the WHOLE vocabulary's weights — one
-    combinable (doc, term) aggregate plus a term-keyed df join (the
-    df table is vocabulary-sized: broadcast for natural-language
-    vocabs, graceful shuffle join beyond); the query numerator prunes
-    to |query| terms before its shuffle."""
+    combinable (doc, term) aggregate plus a term-keyed df join. The
+    df table is vocabulary-sized, i.e. it GROWS with the corpus, so it
+    carries no broadcast hint (round-13 third-decade find in the
+    LexRank twin: a forced vocab broadcast read stage exponent 1.95 at
+    1.5M docs) — AQE broadcasts it at runtime while the measured vocab
+    is small and shuffle-joins beyond; the query numerator prunes to
+    |query| terms before its shuffle."""
     docs = table(spark, sf_dir, "documents")
     t = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
     n_docs = t.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -420,7 +423,7 @@ def _tfidf_cosine_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dfall = tfall.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     w = (
-        tfall.join(F.broadcast(dfall), "term")
+        tfall.join(dfall, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",

@@ -101,7 +101,13 @@ def profile(spark, sf_dir: str) -> dict[str, float]:
     with stage("8_best_branch"):
         groups = clustered.select("doc_id", F.col("cluster_id").alias("group"))
         weights = tfidf_term_weights(deduped)
-        scores = lexrank_scores_grouped(weights, groups, group_type="int")
+        from data_pipeline_playground_spark.plans.news_pipeline import (
+            LEXRANK_GROUP_CAP,
+        )
+
+        scores = lexrank_scores_grouped(
+            weights, groups, group_type="int", group_cap=LEXRANK_GROUP_CAP
+        )
         best = top_k_representatives(scores, k=1).select(
             F.col("group").alias("cluster_id"),
             F.col("doc_id").alias("top_doc_id"),
@@ -116,7 +122,7 @@ def profile(spark, sf_dir: str) -> dict[str, float]:
             F.count(F.lit(1)).alias("tf")
         )
         cdf = ctf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-        w = ctf.join(F.broadcast(cdf), "term").withColumn(
+        w = ctf.join(cdf, "term").withColumn(
             "w",
             F.col("tf")
             * (F.log((F.lit(k) + 1.0) / (F.col("df") + 1.0)) + 1.0),
@@ -145,6 +151,7 @@ def profile(spark, sf_dir: str) -> dict[str, float]:
             clustered.select("doc_id", F.col("cluster_id").alias("group")),
             k=3,
             group_type="int",
+            group_cap=LEXRANK_GROUP_CAP,
         ).select(
             F.col("group").alias("cluster_id"),
             F.col("summary").alias("sent_summary"),
