@@ -14,6 +14,11 @@ Hard failures (exit 1):
          acceptable, there is always a broadcast or blocking key
   PYUDF  row-at-a-time Python UDF (BatchEvalPython) outside ALLOW —
          the slow path; hot-path Python must be Arrow-batched
+  GLOBALWIN  a Window with NO partition spec (round 14, VERDICT r13
+         #2: the driver log's `WindowExec: No Partition Defined`
+         warnings had no committed detector) — moves all rows to one
+         partition; acceptable ONLY over provably bounded frames,
+         each ALLOW entry stating its bound
   ERROR  the query failed to plan/execute
 
 Exit 0 = plan hygiene holds. tests/test_plans.py pins the per-query
@@ -35,6 +40,64 @@ ALLOW = {
     # output — never touches row-scale data
     "lda_topics": {"PYUDF"},
 }
+
+# GLOBALWIN allowlist (round 14, VERDICT r13 #2): every entry's global
+# window runs over a PROVABLY BOUNDED frame — the justification names
+# the bound. Anything NOT listed here that grows a global window fails
+# the audit: an unpartitioned window over an unbounded frame is the one
+# scale-killer class this flag exists to catch.
+_GLOBALWIN_BOUNDED = {
+    # two-level exact-ranking family: the global window ranks the
+    # BUCKET-OFFSET rollup (≤ shuffle-partition-count rows), never the
+    # fact rows — the rangepartition + per-bucket row_number scheme
+    # exists precisely to avoid a global fact sort
+    "customer_spend_quartiles_ranked": "bucket-offset rollup (≤ #buckets rows)",
+    "customer_quartile_migration": "bucket-offset rollup ×2 halves",
+    "customer_rfm_segments": "bucket-offset rollups (3 RFM dimensions)",
+    "revenue_lorenz_gini": "decile rollup (10 rows) + bucket offsets",
+    "value_ks_drift": "bucket-offset rollups (3 two-level rankings)",
+    "padding_waste_audit": "bucket-offset rollup over length histogram",
+    "vocab_growth_curve": "bucket-offset rollup over sampled prefixes",
+    "curriculum_stages": "stage-quantile offsets (≤ #buckets rows)",
+    "daily_user_curves": "per-day frame (calendar-bounded)",
+    # rank-limit windows (row_number ≤ k): Spark's WindowGroupLimit
+    # prunes each map partition to ≤ k rows before the single-partition
+    # rank, so the global frame is ≤ k·#partitions
+    "bm25_prf_topk": "rn ≤ k rank-limit (WindowGroupLimit-pruned)",
+    "hybrid_rrf_topk": "rank windows above 50-row TakeOrdered heaps",
+    # calendar-bounded time-series frames (one row per day/month)
+    "daily_revenue_backtest": "per-day frame",
+    "monthly_revenue_yoy": "per-month frame",
+    "revenue_seasonal_decompose": "per-day frame",
+    "purchase_click_gap_bands": "fixed band histogram frame",
+    # dimension-sized frames
+    "nation_revenue_pctrank": "25-row nation frame",
+    "region_revenue_share": "5-row region frame",
+    "skyline_parts": "distinct-retailprice frame (dimension-sized)",
+    "k_anonymity_audit": "distinct-k histogram (tens of rows)",
+    "training_mix_temperature": "per-source quota table",
+    "topic_assign_checked": "k-topic frame (≤ 10 rows)",
+    # bounded checked-doc sample (< 500 nodes by construction)
+    "pic_embedding_checked": "checked-graph L1 normalizer (< 500 rows)",
+}
+for _name in _GLOBALWIN_BOUNDED:
+    ALLOW.setdefault(_name, set()).add("GLOBALWIN")
+
+
+def _global_windows(plan: str) -> int:
+    """Count windowspecdefinition(...) occurrences with NO partition
+    columns. In executed-plan text a partitioned spec leads with plain
+    column refs (`windowspecdefinition(brand#12, price#3 ASC ...`);
+    an unpartitioned spec's first argument is either an ordering
+    expression (` ASC`/` DESC` before the first comma) or directly the
+    frame (`specifiedwindowframe(`)."""
+    n = 0
+    for chunk in plan.split("windowspecdefinition(")[1:]:
+        head = chunk.split(",", 1)[0]
+        if (" ASC" in head or " DESC" in head
+                or head.startswith("specifiedwindowframe(")):
+            n += 1
+    return n
 
 
 def main() -> None:
@@ -65,6 +128,8 @@ def main() -> None:
             flags.add("CART")
         if "BatchEvalPython" in plan:
             flags.add("PYUDF")
+        if _global_windows(plan):
+            flags.add("GLOBALWIN")
         unexpected = flags - ALLOW.get(name, set())
         marker = " !! " + ",".join(sorted(unexpected)) if unexpected else ""
         info = f" bnlj={n_bnlj}" if n_bnlj else ""

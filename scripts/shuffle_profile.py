@@ -70,9 +70,16 @@ def _ui_spark(cpus: str):
     )
 
 
+# REST base derived from the session's ACTUAL UI binding (ADVICE r13
+# #4): on a port conflict Spark retries UI_PORT+1 (spark.port.maxRetries),
+# so querying the configured constant would hit nothing — or another
+# app's UI. Set by main() from spark.sparkContext.uiWebUrl.
+_UI_BASE = f"http://localhost:{UI_PORT}"
+
+
 def _rest(path: str):
     with urllib.request.urlopen(
-        f"http://localhost:{UI_PORT}/api/v1/{path}", timeout=30
+        f"{_UI_BASE}/api/v1/{path}", timeout=30
     ) as fh:
         return json.load(fh)
 
@@ -104,6 +111,10 @@ def main() -> None:
 
     spark = _ui_spark(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("WARN")
+    global _UI_BASE
+    ui = spark.sparkContext.uiWebUrl
+    if ui:
+        _UI_BASE = ui
     app_id = spark.sparkContext.applicationId
     queries = all_queries()
     fn = queries[args.query]
