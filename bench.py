@@ -327,12 +327,29 @@ def main() -> None:
                     memo_remat.get(e["name"], 0.0) + e["sec"]
                 )
 
+    # Effective LSH plane configuration (ADVICE r13 #2): regular query
+    # timings min-merge across runs, and the r13 derived-planes change
+    # silently altered what the whole similarity family computes per
+    # corpus size; record the mode so a base recorded under a DIFFERENT
+    # mode (pinned vs derived, or another pin) fresh-lists the family
+    # instead of mixing configurations in one lineage record.
+    from data_pipeline_playground_spark.queries import similarity as _sim
+
+    lsh_mode = (
+        f"pinned:{_sim.N_PLANES}" if _sim.N_PLANES is not None else "derived"
+    )
+
     base: dict = {}
     fresh: set = set()
     base_path = os.environ.get("SPARK_GRAFT_BENCH_BASE", "")
     to_run = sorted(queries)
     if base_path:
         base = _load_base(base_path)
+        if base.get("lsh_planes_mode") != lsh_mode:
+            fresh.update(
+                name for name, fn in queries.items()
+                if fn.__module__.rsplit(".", 1)[-1] == "similarity"
+            )
         contaminated = _contaminated_names(base)
         # explicit additions: suspect queries outside any flagged window
         # (e.g. inflated vs history while nearby probes stayed sub-hot)
@@ -559,6 +576,9 @@ def main() -> None:
     # builder-source fingerprints (ADVICE r12 #1) — next run's merge
     # validates its base memo_build entries against these
     out["memo_fingerprints"] = memo_fps
+    # effective LSH plane config (ADVICE r13 #2) — next run's merge
+    # fresh-lists the similarity family if this differs
+    out["lsh_planes_mode"] = lsh_mode
     out["sentinel_probes"] = probes
     out["probe_names"] = probe_names
     # per-module family rollup of the merged timings (compact-summary

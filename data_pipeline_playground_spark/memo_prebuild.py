@@ -41,8 +41,12 @@ def touch_fns() -> dict[str, TouchFn]:
     """memo name -> callable that builds it (imports deferred: query
     modules are heavy and this module is imported by bench startup)."""
     from data_pipeline_playground_spark.queries import (
+        analytics,
+        corpus_stats,
         dedup,
         dedup_advanced as da,
+        graph,
+        graph_mining,
         ml,
         ml_checked,
         similarity,
@@ -60,6 +64,7 @@ def touch_fns() -> dict[str, TouchFn]:
             spark, sf_dir, da.JACCARD_THRESHOLD, doc_pred=da._doc_sample_pred
         ),
         "dedup_fuzzy_survivors": dedup.dedup_fuzzy,
+        "fuzzy_title_pairs": dedup._fuzzy_pairs_memo,
         # embedding / ANN family
         "ivf_trained": similarity.ann_ivf_trained_topk,
         "embed_dup_pairs": similarity._embed_dup_pairs,
@@ -73,6 +78,20 @@ def touch_fns() -> dict[str, TouchFn]:
         "kmeans_checked_model": ml_checked._kmeans_checked_model,
         # events family
         "rollup_hour_partials": temporal.events_rollup_hierarchical,
+        # graph family (round 14): the co-purchase edge list shared by
+        # kcore_parts / link_prediction_ra / copurchase_assortativity,
+        # and the checked-graph (edges, nodes, deg) shared by
+        # lexrank_scores_checked / pic_embedding_checked
+        "copurchase_pairs": graph_mining.copurchase_pairs,
+        "checked_graph_parts": graph._checked_graph_parts,
+        "trade_edges": graph._trade_edges_memo,
+        # basket family (round 14): distinct baskets + unthresholded
+        # pair counts shared by item_item_neighbors / basket_rules /
+        # the copurchase graph view above
+        "basket_pairs": analytics._basket_pairs_memo,
+        # ExactSubstr span frame (round 14): shared by
+        # exact_substr_spans / exact_substr_removed / corpus_funnel
+        "exsub_spans": corpus_stats.exact_substr_spans,
     }
 
 
@@ -102,7 +121,12 @@ def memo_fingerprints() -> dict[str, str]:
     operator remembering SPARK_GRAFT_BENCH_FRESH. Module granularity
     over-invalidates (any edit in the module re-measures every memo it
     defines) — the safe direction: the cost is one fresh measurement,
-    never a stale merged second."""
+    never a stale merged second. Round 14 (ADVICE r13 #1): the shared
+    component now also hashes queries/ — builders reach across query
+    modules (ml_checked's centroid builds import _embed_double/_l2sq
+    from queries/similarity.py), so an edit there must invalidate
+    their fingerprints too; whole-package granularity over-invalidates
+    in the same safe direction."""
     import hashlib
     import inspect
     import pathlib
@@ -110,7 +134,7 @@ def memo_fingerprints() -> dict[str, str]:
 
     shared = hashlib.sha1()
     pkg_dir = pathlib.Path(__file__).parent
-    for sub in ("operators", "functions"):
+    for sub in ("operators", "functions", "queries"):
         for path in sorted((pkg_dir / sub).glob("*.py")):
             shared.update(path.read_bytes())
     shared_hex = shared.hexdigest()
@@ -130,28 +154,75 @@ def memo_fingerprints() -> dict[str, str]:
     return out
 
 
+# Measured solo build cost per memo (seconds, idle box, sf0.1 — the
+# MEMO_SOLO_r13.txt sequential baseline). Used ONLY as scheduling
+# weights (relative order), never as timings: prebuild_all runs builds
+# lightest-first so the cheap builds warm the shared table scans before
+# the heavy anti-join/fit builds replay them (measured in
+# MEMO_SOLO_r13.txt: dedup_fuzzy_survivors 14.5 s cold-solo vs 8.9 s
+# after siblings warmed the documents scan). Unknown names (a newly
+# registered memo) default to mid-weight.
+_SOLO_WEIGHTS = {
+    "dedup_fuzzy_survivors": 14.5,
+    "lda_fit": 4.5,
+    "simhash_pairs": 4.1,
+    "embed_dup_pairs": 3.1,
+    "ivf_trained": 3.0,
+    "minhash_est": 2.8,
+    "pq_model": 2.7,
+    "grams_sampled": 2.3,
+    "minhash_est_sampled": 1.6,
+    "kmeans_checked_centroids": 1.5,
+    "lexrank_sentence_artifacts": 1.3,
+    "tfidf_features": 1.3,
+    "lexrank_doc_weights": 1.2,
+    "kmeans_checked_model": 1.0,
+    "shingle_hash_ex": 0.9,
+    "rollup_hour_partials": 0.4,
+    "shingle_hash_ex_sampled": 0.4,
+    "basket_pairs": 2.0,  # r14: lineitem distinct + basket self-join
+    "copurchase_pairs": 2.1,  # r14: derives from basket_pairs (nested)
+    "checked_graph_parts": 1.5,  # r14: bounded-sample inverted-index join
+    "fuzzy_title_pairs": 1.4,  # r14: MinHash candidates + banded verify
+    "trade_edges": 1.2,  # r14: 6-table nation-pair trade rollup
+    "exsub_spans": 2.0,  # r14: windowed span pipeline over documents
+}
+_DEFAULT_WEIGHT = 2.0
+
+
 def prebuild_all(
     spark: SparkSession,
     sf_dir: str,
     failures: list[str] | None = None,
 ) -> list[str]:
-    """Build every registered memo for (session, sf_dir), concurrently
-    (independent builds overlap; same-key races serialize on
-    caching.memo's per-key locks — a touch that nests another memo's
-    build, e.g. minhash_est_sampled on grams_sampled, just blocks on
-    the winner). Concurrency is BOUNDED (default 4, env
-    $SPARK_GRAFT_PREBUILD_CONCURRENCY): the ledger books each build's
-    per-thread exclusive seconds, so 17-way all-at-once submission
-    would inflate every line item with sibling contention — a few at
-    a time keeps the per-name numbers near their serial clean cost
-    while still overlapping most of the wall. Returns the names
-    attempted; a touch that raises is skipped (its queries will build
-    reactively, exactly the pre-r12 behavior) so one broken family
-    cannot sink the whole bench — the exception is LOGGED
-    (logging.warning: name, type, message — ADVICE r12 #2; a silent
-    swallow left a broken family reverting to first-touch accounting
-    with no diagnostic) and the failed names are collected in
-    ``failures`` for the bench record."""
+    """Build every registered memo for (session, sf_dir).
+
+    Scheduling (round 14, VERDICT r13 #3): builds run SERIALLY,
+    lightest-first by the _SOLO_WEIGHTS table. The bench books each
+    build's per-thread exclusive wall seconds as a ``memo_build:<name>``
+    line item counted in the headline "value", so CONCURRENT builds
+    inflate every line item with sibling contention — measured 60.2 s
+    booked at the old 4-way width vs the 46.5 s solo-sum floor on the
+    builder box (MEMO_SOLO_r13.txt), 86.9 s on the r14 box, and 188.5 s
+    on the r13 driver box (heavy builds at 29.9-35.6 s each vs 1.3-4.5 s
+    solo floors — ~10× inflation). Serial execution makes booked ≈ solo
+    cost by construction on ANY box, and its wall cost is the solo sum
+    — about what the 4-way prebuild's wall already was (exclusive-sum /
+    width), so nothing real is lost. Lightest-first keeps the shared
+    table scans warm before the heavy builds replay them (the
+    dedup_fuzzy_survivors 14.5→8.9 s effect noted in MEMO_SOLO_r13.txt).
+    Same-key nesting (minhash_est_sampled building on grams_sampled)
+    needs no special care: the child memo is already built when the
+    parent runs, and caching.memo's per-key locks cover any residual
+    race. $SPARK_GRAFT_PREBUILD_CONCURRENCY > 1 restores bounded
+    concurrent submission (heaviest-first, minimizing makespan) for
+    wall-clock-focused runs where line-item fidelity doesn't matter.
+
+    Returns the names attempted; a touch that raises is skipped (its
+    queries will build reactively, exactly the pre-r12 behavior) so one
+    broken family cannot sink the whole bench — the exception is LOGGED
+    (logging.warning: name, type, message — ADVICE r12 #2) and the
+    failed names are collected in ``failures`` for the bench record."""
     import logging
     import os
     import threading
@@ -161,26 +232,39 @@ def prebuild_all(
     fns = touch_fns()
     failed: list[str] = []
     limit = max(
-        1, int(os.environ.get("SPARK_GRAFT_PREBUILD_CONCURRENCY", "4"))
+        1, int(os.environ.get("SPARK_GRAFT_PREBUILD_CONCURRENCY", "1"))
     )
-    slots = threading.BoundedSemaphore(limit)
 
-    def _safe(name: str, fn: TouchFn):
-        def run():
-            with slots:
-                try:
-                    fn(spark, sf_dir)
-                except Exception as exc:  # noqa: BLE001 — reactive fallback
-                    logging.getLogger(__name__).warning(
-                        "memo prebuild %r failed, reverting to "
-                        "first-touch accounting: %s: %s",
-                        name, type(exc).__name__, exc,
-                    )
-                    failed.append(name)
+    def _weight(name: str) -> float:
+        return _SOLO_WEIGHTS.get(name, _DEFAULT_WEIGHT)
 
-        return run
+    def _build(name: str, fn: TouchFn) -> None:
+        try:
+            fn(spark, sf_dir)
+        except Exception as exc:  # noqa: BLE001 — reactive fallback
+            logging.getLogger(__name__).warning(
+                "memo prebuild %r failed, reverting to "
+                "first-touch accounting: %s: %s",
+                name, type(exc).__name__, exc,
+            )
+            failed.append(name)
 
-    run_concurrently([_safe(n, fn) for n, fn in sorted(fns.items())])
+    if limit == 1:
+        # serial, lightest-first (name tie-break for determinism)
+        for name in sorted(fns, key=lambda n: (_weight(n), n)):
+            _build(name, fns[name])
+    else:
+        slots = threading.BoundedSemaphore(limit)
+
+        def _safe(name: str, fn: TouchFn):
+            def run():
+                with slots:
+                    _build(name, fn)
+
+            return run
+
+        heaviest_first = sorted(fns, key=lambda n: (-_weight(n), n))
+        run_concurrently([_safe(n, fns[n]) for n in heaviest_first])
     if failures is not None:
         failures.extend(sorted(failed))
     return [n for n in sorted(fns) if n not in failed]

@@ -205,11 +205,14 @@ def fuzzy_dedup_greedy_survivors(df: DataFrame, text_col: str = "text",
     )
 
     if pairs is None:
-        pairs = fuzzy_similar_pairs_minhash(df, text_col, id_col)
-    # consumed by components (iterative) + edge grouping; eager
-    # localCheckpoint instead of cache+count so the blocks are freed
-    # on GC rather than accumulating until clearCache (ADVICE r5 #3)
-    pairs = pairs.localCheckpoint(eager=True)
+        # consumed by components (iterative) + edge grouping; eager
+        # localCheckpoint instead of cache+count so the blocks are freed
+        # on GC rather than accumulating until clearCache (ADVICE r5 #3).
+        # Caller-provided pairs (the fuzzy_title_pairs memo) arrive
+        # already materialized — re-checkpointing would copy the blocks.
+        pairs = fuzzy_similar_pairs_minhash(
+            df, text_col, id_col
+        ).localCheckpoint(eager=True)
     nodes = (
         pairs.select(F.col("hi").alias("n"))
         .union(pairs.select(F.col("lo").alias("n")))

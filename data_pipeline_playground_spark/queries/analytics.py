@@ -874,6 +874,46 @@ def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- item-item collaborative-filtering neighbors ----------------------------
 
+
+def _basket_pairs_memo(spark: SparkSession, sf_dir: str):
+    """(op, pair): the distinct (l_orderkey, l_partkey) basket frame
+    and the UNthresholded co-order pair counts (pa < pb, cab), built
+    once per (session, sf_dir) — round 14: item_item_neighbors,
+    basket_rules and the copurchase graph family each re-ran the
+    identical lineitem distinct + per-order self-join + (pa,pb)
+    aggregate (~1.5-2 s each at sf0.1); the basket pair-count table is
+    the natural shared artifact of a recommendation pipeline, so it
+    gets the caching.memo treatment (booked to
+    memo_build:basket_pairs). Thresholds (>= 2 / >= 3) stay with each
+    consumer — the memo is the common unthresholded ancestor."""
+    from data_pipeline_playground_spark.caching import memo
+
+    def build():
+        op = (
+            table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        a, b = op.alias("a"), op.alias("b")
+        pair = (
+            a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .groupBy(
+                F.col("a.l_partkey").alias("pa"),
+                F.col("b.l_partkey").alias("pb"),
+            )
+            .agg(F.count("*").alias("cab"))
+            .localCheckpoint(eager=True)
+        )
+        return (op, pair)
+
+    return memo(spark, "basket_pairs", sf_dir, build)
+
+
 _ITEM_ITEM_SQL = """
 WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 cnt AS (SELECT l_partkey, count(*) AS c FROM op GROUP BY l_partkey),
@@ -924,25 +964,8 @@ def item_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     item. The cab >= 2 floor prunes the long noise tail before the
     window shuffle.
     """
-    op = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
+    op, pair = _basket_pairs_memo(spark, sf_dir)
     cnt = op.groupBy("l_partkey").agg(F.count("*").alias("c"))
-    a = op.alias("a")
-    b = op.alias("b")
-    pair = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-        .agg(F.count("*").alias("cab"))
-    )
     sym = pair.select(
         F.col("pa").alias("item"), F.col("pb").alias("neighbor"), "cab"
     ).unionAll(
@@ -1032,27 +1055,10 @@ def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts_bought_together, two dimension-sized count joins, a
     broadcast scalar N, and a TakeOrdered top-30 — no global sort.
     """
-    op = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
+    op, pair0 = _basket_pairs_memo(spark, sf_dir)
     n = op.agg(F.count_distinct("l_orderkey").alias("n_orders"))
     cnt = op.groupBy("l_partkey").agg(F.count("*").alias("c"))
-    a = op.alias("a")
-    b = op.alias("b")
-    pair = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-        .agg(F.count("*").alias("cab"))
-        .where(F.col("cab") >= 3)
-    )
+    pair = pair0.where(F.col("cab") >= 3)
     rule = pair.select(
         F.col("pa").alias("antecedent"), F.col("pb").alias("consequent"), "cab"
     ).unionAll(
@@ -1743,30 +1749,28 @@ def copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (x and y marginals coincide, so the correlation needs only m, Σd,
     Σd², Σdd'); the coefficient is one shared double expression.
 
-    Plan: the bounded per-order self-join from the basket family, a
-    degree aggregate, two dimension-sized degree joins, and a 1-row
-    moment aggregate — no cartesian, no window.
+    Plan (round 14): the bounded per-order self-join from the basket
+    family runs ONCE per session — the pair list is the SHARED
+    memoized edge list (queries/graph_mining.copurchase_pairs, same
+    thresholds): uncheckpointed and unshared, Catalyst inlined the
+    lineitem distinct+self-join+aggregate subtree into every reference
+    (deg ×2, both degree joins, the node count — a 267-operator plan,
+    plans/r14/copurchase_assortativity_before.txt) and this query,
+    kcore_parts and link_prediction_ra each rebuilt the identical edge
+    list from scratch. The symmetrized-union moment pass is folded
+    into symmetric moments over the HALF edge list: for the union of
+    (dx,dy) and (dy,dx), m2 = 2·|e|, Σdx = Σ(d_a+d_b),
+    Σdx² = Σ(d_a²+d_b²), Σdxdy = 2·Σ(d_a·d_b) — exact int64 sums
+    reassociate exactly, so the moments (and the coefficient) are
+    bit-identical to the oracle's explicit union. One degree aggregate,
+    two dimension-sized degree joins, a 1-row moment aggregate — no
+    cartesian, no window.
     """
-    op = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    from data_pipeline_playground_spark.queries.graph_mining import (
+        copurchase_pairs,
     )
-    a = op.alias("a")
-    b = op.alias("b")
-    pair = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-        .agg(F.count("*").alias("cab"))
-        .where(F.col("cab") >= 2)
-        .select("pa", "pb")
-    )
+
+    pair = copurchase_pairs(spark, sf_dir)
     deg = (
         pair.select(F.col("pa").alias("node"))
         .unionAll(pair.select(F.col("pb").alias("node")))
@@ -1776,14 +1780,13 @@ def copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     da = deg.select(F.col("node").alias("pa"), F.col("d").alias("d_a"))
     db = deg.select(F.col("node").alias("pb"), F.col("d").alias("d_b"))
     e = pair.join(da, "pa").join(db, "pb")
-    sym = e.select(
-        F.col("d_a").alias("dx"), F.col("d_b").alias("dy")
-    ).unionAll(e.select(F.col("d_b").alias("dx"), F.col("d_a").alias("dy")))
-    m = sym.agg(
-        F.count("*").cast("bigint").alias("m2"),
-        F.sum("dx").cast("bigint").alias("sx"),
-        F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("sxx"),
-        F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("sxy"),
+    m = e.agg(
+        (F.count("*") * F.lit(2)).cast("bigint").alias("m2"),
+        F.sum(F.col("d_a") + F.col("d_b")).cast("bigint").alias("sx"),
+        F.sum(F.col("d_a") * F.col("d_a") + F.col("d_b") * F.col("d_b"))
+        .cast("bigint").alias("sxx"),
+        (F.sum(F.col("d_a") * F.col("d_b")) * F.lit(2))
+        .cast("bigint").alias("sxy"),
     )
     n = deg.agg(F.count("*").cast("bigint").alias("n_nodes"))
     D = lambda c: F.col(c).cast("double")  # noqa: E731

@@ -304,7 +304,24 @@ def exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     by duplicate_spans and would be removed wholesale, not span-wise),
     mirrored in the oracle. Windows partition by (doc_a, doc_b,
     diagonal) — bounded by a single document pair's overlap, never
-    global."""
+    global.
+
+    Round 14: the span frame is memoized per (session, sf_dir) — this
+    query, exact_substr_removed and corpus_funnel's span-dedup gate
+    each re-ran the identical window/sort pipeline (~2 s at sf0.1);
+    the span list is the removal plan a real ExactSubstr pass persists
+    anyway. Booked to memo_build:exsub_spans."""
+    from data_pipeline_playground_spark.caching import memo
+
+    def build() -> DataFrame:
+        return _exact_substr_spans_build(
+            spark, sf_dir
+        ).localCheckpoint(eager=True)
+
+    return memo(spark, "exsub_spans", sf_dir, build)
+
+
+def _exact_substr_spans_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     t = docs.select("doc_id", tokenize(F.col("text")).alias("toks")).filter(
         F.size("toks") >= SPAN_W

@@ -74,6 +74,29 @@ def dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return memo(spark, "dedup_fuzzy_survivors", sf_dir, build)
 
 
+def _fuzzy_pairs_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-verified MinHash-candidate title pairs (hi, lo) over
+    `documents`, built once per (session, sf_dir) — round 14: the
+    identical pair set was being rebuilt by dedup_fuzzy_minhash
+    (~1.3 s at sf0.1), dedup_fuzzy_greedy, AND news_pipeline's dedup
+    stage; in a long-lived session the near-dup pair list is a shared
+    artifact like the MinHash signatures themselves. Eagerly
+    checkpointed (blocks freed on GC, ADVICE r5 #3) and booked to
+    memo_build:fuzzy_title_pairs by the bench."""
+    from data_pipeline_playground_spark.caching import memo
+    from data_pipeline_playground_spark.operators.dedup import (
+        fuzzy_similar_pairs_minhash,
+    )
+
+    def build() -> DataFrame:
+        return fuzzy_similar_pairs_minhash(
+            table(spark, sf_dir, "documents"), text_col="text",
+            id_col="doc_id",
+        ).localCheckpoint(eager=True)
+
+    return memo(spark, "fuzzy_title_pairs", sf_dir, build)
+
+
 @query("dedup_fuzzy_minhash", oracle=_DEDUP_FUZZY_SQL)
 def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy title dedup with MinHash-LSH candidate generation (the
@@ -91,9 +114,15 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bug — diff fuzzy_similar_pairs_minhash against the oracle's exact
     pair predicate before touching the dedup logic."""
     docs = table(spark, sf_dir, "documents")
-    return fuzzy_dedup_survivors(
-        docs, text_col="text", id_col="doc_id", candidates="minhash"
-    )
+    pairs = _fuzzy_pairs_memo(spark, sf_dir)
+    # hi > lo by construction, so hi is the later (non-surviving) row —
+    # identical anti-join shape to operators/dedup.py's
+    # _fuzzy_survivors_minhash_candidates, fed by the shared pair memo
+    matched = pairs.select(F.col("hi").alias("_dup")).distinct()
+    ids = docs.select(F.col("doc_id").alias("_i"))
+    return ids.join(
+        matched, ids["_i"] == matched["_dup"], "left_anti"
+    ).select(F.col("_i").alias("doc_id"))
 
 
 # Greedy-chain fixpoint oracle: the reference's arrival-order dedup
@@ -162,7 +191,10 @@ def dedup_fuzzy_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     (diff the candidate pair set against the oracle's exact pairs);
     the greedy-chain machinery itself is fixed by construction."""
     docs = table(spark, sf_dir, "documents")
-    return fuzzy_dedup_greedy_survivors(docs, text_col="text", id_col="doc_id")
+    return fuzzy_dedup_greedy_survivors(
+        docs, text_col="text", id_col="doc_id",
+        pairs=_fuzzy_pairs_memo(spark, sf_dir),
+    )
 
 
 @query(

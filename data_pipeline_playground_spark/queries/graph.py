@@ -36,6 +36,48 @@ PR_N = 25  # |nation|
 _ITER_ROUND = 12  # per-iteration rounding (kills float-order noise)
 
 
+def _trade_edges_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst, w_dec): nation-pair trade volumes — the 6-table
+    lineitem⋈orders⋈customer⋈nation⋈supplier⋈nation rollup, built once
+    per (session, sf_dir) — round 14: pagerank_nations,
+    nation_trade_hops and trade_triangles each re-ran the identical
+    edge aggregate (~1-1.5 s of each query at sf0.1); the trade graph's
+    weighted edge list is one shared artifact. DECIMAL-exact sums, so
+    the memoized frame is bit-identical to each query's inline build.
+    Eagerly checkpointed (≤ nations² rows; blocks freed on GC)."""
+    from data_pipeline_playground_spark.caching import memo
+
+    def build() -> DataFrame:
+        l = table(spark, sf_dir, "lineitem")
+        o = table(spark, sf_dir, "orders")
+        c = table(spark, sf_dir, "customer")
+        s = table(spark, sf_dir, "supplier")
+        n = table(spark, sf_dir, "nation")
+        ns = n.select(
+            F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("src")
+        )
+        nc = n.select(
+            F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("dst")
+        )
+        return (
+            l.join(o.select("o_orderkey", "o_custkey"),
+                   l.l_orderkey == F.col("o_orderkey"))
+            .join(c.select("c_custkey", "c_nationkey"),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
+            .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+                  l.l_suppkey == F.col("s_suppkey"))
+            .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
+            .filter(F.col("src") != F.col("dst"))
+            .groupBy("src", "dst")
+            .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                 .alias("w_dec"))
+            .localCheckpoint(eager=True)
+        )
+
+    return memo(spark, "trade_edges", sf_dir, build)
+
+
 def _build_pagerank_sql() -> str:
     head = f"""
 edges0 AS (
@@ -83,23 +125,8 @@ def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rank table is vertex-sized) plus one aggregation (inflow per
     dst); dangling-mass redistribution is deliberately omitted on both
     sides, the standard simplification."""
-    l = table(spark, sf_dir, "lineitem")
-    o = table(spark, sf_dir, "orders")
-    c = table(spark, sf_dir, "customer")
-    s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation")
-    ns = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("src"))
-    nc = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("dst"))
-    e0 = (
-        l.join(o.select("o_orderkey", "o_custkey"), l.l_orderkey == F.col("o_orderkey"))
-        .join(c.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
-        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")), l.l_suppkey == F.col("s_suppkey"))
-        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
-        .filter(F.col("src") != F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("w_dec"))
-    )
+    e0 = _trade_edges_memo(spark, sf_dir)
     wsrc = Window.partitionBy("src")
     edges = e0.select(
         "src",
@@ -110,9 +137,10 @@ def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p"),
     ).cache()
     # materialize eagerly: every iteration references edges, and without
-    # the cache the 6-table edge derivation re-executes once per round
-    # (the plan showed 5 lineitem scans); the edge table is ≤ nations²
-    # rows, so this is the cheap side of that trade at any scale
+    # the cache the normalization window re-executes once per round
+    # (the 6-table edge derivation itself is the shared trade_edges
+    # memo); the edge table is ≤ nations² rows, so this is the cheap
+    # side of that trade at any scale
     edges.count()
     nodes = n.select(F.col("n_name").alias("node"))
     ranks = nodes.select("node", F.lit(1.0 / PR_N).alias("r"))
@@ -200,23 +228,7 @@ def nation_trade_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop comment). At cluster scale the same loop runs with the
     frontier broadcast while the edge list stays partitioned by
     src."""
-    l = table(spark, sf_dir, "lineitem")
-    o = table(spark, sf_dir, "orders")
-    c = table(spark, sf_dir, "customer")
-    s = table(spark, sf_dir, "supplier")
-    n = table(spark, sf_dir, "nation")
-    ns = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("src"))
-    nc = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("dst"))
-    e0 = (
-        l.join(o.select("o_orderkey", "o_custkey"), l.l_orderkey == F.col("o_orderkey"))
-        .join(c.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
-        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")), l.l_suppkey == F.col("s_suppkey"))
-        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
-        .filter(F.col("src") != F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("w_dec"))
-    )
+    e0 = _trade_edges_memo(spark, sf_dir)
     wdeg = Window.partitionBy("src").orderBy(F.desc("w_dec"), F.asc("dst"))
     sparse = (
         e0.withColumn("rn", F.row_number().over(wdeg))
@@ -289,30 +301,7 @@ def trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree) so the join fan-out is bounded by max degree, and the edge
     list is the only shuffled table. Here edges are dimension-sized →
     both joins broadcast."""
-    lineitem = table(spark, sf_dir, "lineitem")
-    orders = table(spark, sf_dir, "orders")
-    customer = table(spark, sf_dir, "customer")
-    supplier = table(spark, sf_dir, "supplier")
-    nation = table(spark, sf_dir, "nation")
-    ns = nation.select(
-        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("src")
-    )
-    nc = nation.select(
-        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("dst")
-    )
-    edges0 = (
-        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(customer, orders.o_custkey == customer.c_custkey)
-        .join(F.broadcast(nc), customer.c_nationkey == F.col("c_nk"))
-        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
-              lineitem.l_suppkey == F.col("s_suppkey"))
-        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
-        .filter(F.col("src") != F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("w_dec")
-        )
-    )
+    edges0 = _trade_edges_memo(spark, sf_dir)
     tope = edges0.orderBy(
         F.desc("w_dec"), F.asc("src"), F.asc("dst")
     ).limit(TRI_TOP_EDGES)
@@ -468,7 +457,20 @@ def _checked_graph_parts(spark: SparkSession, sf_dir: str):
     bounded doc sample — shared by lexrank_scores_checked and
     pic_embedding_checked (same graph, two different iterations).
     The expensive pair join is df-pruned, computed over half the pairs
-    (mirrored post-sim), and eagerly checkpointed exactly once."""
+    (mirrored post-sim), and eagerly checkpointed exactly once.
+    Round 14: memoized per (session, sf_dir) — the two consumers each
+    rebuilt the identical inverted-index pair join (~1.1 s warm at
+    sf0.1, more cold); one shared build is the long-lived-session
+    shape, booked to memo_build:checked_graph_parts by the bench."""
+    from data_pipeline_playground_spark.caching import memo
+
+    def build():
+        return _checked_graph_parts_build(spark, sf_dir)
+
+    return memo(spark, "checked_graph_parts", sf_dir, build)
+
+
+def _checked_graph_parts_build(spark: SparkSession, sf_dir: str):
     from data_pipeline_playground_spark.functions.text import tokenize
 
     docs = (

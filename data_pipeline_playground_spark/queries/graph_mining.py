@@ -67,32 +67,44 @@ e0 AS (SELECT pa AS u, pb AS v FROM pair
 
 def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The thresholded co-purchase pair list (pa < pb, co-ordered ≥ 2
-    times), materialized ONCE via an eager localCheckpoint.
+    times), materialized ONCE via an eager localCheckpoint and MEMOIZED
+    per (session, sf_dir) — round 14: three queries build the identical
+    edge list (kcore_parts, link_prediction_ra, and analytics'
+    copurchase_assortativity), each paying the lineitem distinct +
+    per-order self-join + aggregate (~2 s at sf0.1); in a long-lived
+    session the graph's edge list is a shared artifact exactly like the
+    ANN codebooks and the MinHash signatures, so it gets the same
+    caching.memo treatment (booked to memo_build:copurchase_pairs by
+    the bench, built once in the prebuild phase).
 
-    Both graph-mining queries reference the pair list several times
-    (symmetrize = 2×, plus the anti join in link prediction); without
-    materialization Catalyst re-executes the distinct + self-join +
-    aggregate subtree PER REFERENCE — at 100 TB that re-execution IS
-    the query cost, so checkpointing the (tiny, node-bounded) pair
-    list is the scale-correct shape, the same per-round pattern the
-    PIC iteration uses (queries/graph.py)."""
-    li = table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = op.alias("a"), op.alias("b")
-    pair = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    Both graph-mining queries also reference the pair list several
+    times within one plan (symmetrize = 2×, plus the anti join in link
+    prediction); without materialization Catalyst re-executes the
+    subtree PER REFERENCE — at 100 TB that re-execution IS the query
+    cost, so checkpointing the (tiny, node-bounded) pair list is the
+    scale-correct shape, the same per-round pattern the PIC iteration
+    uses (queries/graph.py)."""
+    from data_pipeline_playground_spark.caching import memo
+
+    def build() -> DataFrame:
+        # derives from the shared unthresholded basket pair counts
+        # (queries/analytics._basket_pairs_memo) — a nested memo build;
+        # the ledger's exclusive-second accounting keeps both line
+        # items honest. The >= 2 threshold + column drop is this
+        # graph's own view, re-checkpointed so the multi-reference
+        # consumers (symmetrize ×2, anti join) read final blocks.
+        from data_pipeline_playground_spark.queries.analytics import (
+            _basket_pairs_memo,
         )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+
+        _op, pair = _basket_pairs_memo(spark, sf_dir)
+        return (
+            pair.filter(F.col("cab") >= 2)
+            .select("pa", "pb")
+            .localCheckpoint(eager=True)
         )
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 2)
-        .drop("w")
-    )
-    return pair.localCheckpoint(eager=True)
+
+    return memo(spark, "copurchase_pairs", sf_dir, build)
 
 
 def kcore_rounds_sql(

@@ -226,21 +226,32 @@ def planes_for_count(n: int) -> int:
     return max(MIN_PLANES, min(MAX_PLANES, (m - 1).bit_length()))
 
 
-_PLANES_CACHE: dict[str, int] = {}
+_PLANES_CACHE: dict[tuple, int] = {}
 
 
 def lsh_planes(spark: SparkSession, sf_dir: str) -> int:
     """Plane count for this corpus: the env override when pinned, else
-    derived from the embeddings row count (one count job per sf_dir,
+    derived from the embeddings row count (one count job per corpus,
     cached — the same plan-build hyperparameter-fetch class as the
-    cluster-count lookup in queries/ml.py)."""
+    cluster-count lookup in queries/ml.py). The cache key includes the
+    embeddings file's (mtime, size) — ADVICE r13 #3: a corpus REBUILT
+    at the same path with a different row count in one process (e.g.
+    scale_probe chaining builds) would otherwise keep a stale plane
+    count while the DuckDB oracle re-derives from the new COUNT(*),
+    making query and oracle bucket differently."""
     if N_PLANES is not None:
         return N_PLANES
-    if sf_dir not in _PLANES_CACHE:
-        _PLANES_CACHE[sf_dir] = planes_for_count(
+    path = _os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = _os.stat(path)
+        key = (sf_dir, st.st_mtime_ns, st.st_size)
+    except OSError:  # non-standard layout — fall back to path-only key
+        key = (sf_dir,)
+    if key not in _PLANES_CACHE:
+        _PLANES_CACHE[key] = planes_for_count(
             table(spark, sf_dir, "embeddings").count()
         )
-    return _PLANES_CACHE[sf_dir]
+    return _PLANES_CACHE[key]
 
 
 def _sql_plane_literal(p: list[float]) -> str:

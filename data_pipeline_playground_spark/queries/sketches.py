@@ -86,26 +86,33 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-K corpus terms with their count–min-sketch estimates and
     the overestimate certificate (cms_est ≥ exact_cnt, deterministic).
 
-    Plan shape: one explode of the token stream feeding two aggregates
-    — the CMS counter table (partial aggregation collapses it map-side
-    to DEPTH×WIDTH = 4096 rows total, independent of corpus size) and
-    the exact counts (only needed to pick candidates; a streaming
-    deployment would probe externally-known candidates instead). The
-    counter table is broadcast to the probe join. At 100 TB the CMS
-    build is the only full-corpus pass and it shuffles just DEPTH×WIDTH
-    partial rows per executor.
+    Plan shape (round 14, guide §2.3 "aggregate before you shuffle"):
+    ONE explode of the token stream into ONE (term → exact count)
+    aggregate — the corpus is tokenized exactly once — and the CMS
+    counter table is then derived from the vocabulary-sized count
+    frame as a WEIGHTED sum (SUM(exact_cnt) per bucket ≡ COUNT(*) over
+    the fan-out rows: integer addition reassociates exactly, so every
+    counter — and every estimate — is bit-identical to the per-token
+    build the oracle runs). The old shape tokenized the corpus twice
+    (once per aggregate) and hashed DEPTH× per token OCCURRENCE; this
+    hashes DEPTH× per DISTINCT term. The counter table still collapses
+    to DEPTH×WIDTH rows and broadcasts to the probe join. At 100 TB
+    the exact-count pass is the only full-corpus pass; the CMS build
+    is vocabulary-sized work on top of it.
     """
     from data_pipeline_playground_spark.functions.text import tokenize
 
     docs = table(spark, sf_dir, "documents")
     tok = docs.select(F.explode(tokenize(F.col("text"))).alias("term"))
-    cms = (
-        tok.select(F.explode(_buckets(F.col("term"))).alias("db"))
-        .select("db.d", "db.bucket")
-        .groupBy("d", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
     exact = tok.groupBy("term").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    cms = (
+        exact.select(
+            F.explode(_buckets(F.col("term"))).alias("db"), "exact_cnt"
+        )
+        .select("db.d", "db.bucket", "exact_cnt")
+        .groupBy("d", "bucket")
+        .agg(F.sum("exact_cnt").alias("c"))
+    )
     cand = exact.orderBy(F.col("exact_cnt").desc(), "term").limit(TOP_K)
     probe = cand.select(
         "term", "exact_cnt", F.explode(_buckets(F.col("term"))).alias("db")

@@ -33,6 +33,16 @@ def get_spark(app_name: str = "data-pipeline-playground-spark") -> SparkSession:
         # never write a spark-warehouse/ dir into the repo cwd
         .config("spark.sql.warehouse.dir", "/tmp/dpp-spark-warehouse")
     )
+    # Scale-dependent overrides stay parameterised (round-14 guide §9
+    # discipline): $SPARK_GRAFT_EXTRA_CONFS is a ';'-separated k=v list
+    # applied last, so a cluster profile (e.g. io.compression.codec=zstd,
+    # files.maxPartitionBytes=1g on real NICs/disks) or an A/B probe can
+    # set confs without editing this file. Local defaults above stay the
+    # bench-comparable baseline.
+    for kv in os.environ.get("SPARK_GRAFT_EXTRA_CONFS", "").split(";"):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

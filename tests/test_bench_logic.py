@@ -410,3 +410,86 @@ def test_compact_summary_numeric_sf_never_shrunk():
     parsed = bench._compact_summary(out, "/x/" + "d/" * 900 + "f.json")
     assert parsed["sf"] == 0.1
     assert len(json.dumps(parsed, separators=(",", ":"))) <= 1500
+
+
+def test_prebuild_serial_order_lightest_first(monkeypatch):
+    """Round 14 (VERDICT r13 #3): at the default concurrency of 1 the
+    prebuild runs builds serially, lightest-first by the solo-weight
+    table — booked exclusive seconds then approach the solo floor on
+    any box, and cheap builds warm shared scans before heavy ones."""
+    from data_pipeline_playground_spark import memo_prebuild
+
+    order: list[str] = []
+
+    def touch(name):
+        def fn(spark, sf_dir):
+            order.append(name)
+
+        return fn
+
+    monkeypatch.setattr(
+        memo_prebuild, "touch_fns",
+        lambda: {n: touch(n) for n in ("heavy", "light", "mid")},
+    )
+    monkeypatch.setattr(
+        memo_prebuild, "_SOLO_WEIGHTS",
+        {"heavy": 10.0, "light": 0.5, "mid": 3.0},
+    )
+    monkeypatch.delenv("SPARK_GRAFT_PREBUILD_CONCURRENCY", raising=False)
+    prebuilt = memo_prebuild.prebuild_all(None, "/nonexistent")
+    assert order == ["light", "mid", "heavy"]
+    assert prebuilt == ["heavy", "light", "mid"]  # names, sorted
+
+
+def test_bench_records_lsh_planes_mode():
+    """ADVICE r13 #2: the effective LSH plane configuration is a
+    recorded bench field so cross-run merges can fresh-list the
+    similarity family when the config changed; with no env pin the
+    mode is 'derived'."""
+    import os
+
+    from data_pipeline_playground_spark.queries import similarity
+
+    if os.environ.get("SPARK_GRAFT_LSH_PLANES"):
+        assert similarity.N_PLANES is not None
+    else:
+        assert similarity.N_PLANES is None
+    mode = (
+        f"pinned:{similarity.N_PLANES}"
+        if similarity.N_PLANES is not None else "derived"
+    )
+    assert mode == "derived" or mode.startswith("pinned:")
+
+
+def test_plan_audit_global_window_detector():
+    """Round 14 (VERDICT r13 #2): the GLOBALWIN heuristic fires on
+    windowspecdefinition() text with no leading partition columns and
+    stays quiet on partitioned specs."""
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "plan_audit",
+        pathlib.Path(__file__).parent.parent / "scripts" / "plan_audit.py",
+    )
+    pa = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pa)
+
+    partitioned = (
+        "Window [row_number() windowspecdefinition(brand#12, price#3 ASC "
+        "NULLS FIRST, specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+        "currentrow$())) AS rn#9]"
+    )
+    global_ordered = (
+        "Window [row_number() windowspecdefinition(price#3 ASC NULLS FIRST, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+        "currentrow$())) AS rn#9]"
+    )
+    global_unordered = (
+        "Window [sum(x#1) windowspecdefinition(specifiedwindowframe("
+        "RowFrame, unboundedpreceding$(), unboundedfollowing$())) AS s#2]"
+    )
+    assert pa._global_windows(partitioned) == 0
+    assert pa._global_windows(global_ordered) == 1
+    assert pa._global_windows(global_unordered) == 1
+    assert pa._global_windows(partitioned + global_ordered) == 1
