@@ -93,6 +93,65 @@ def global_rank(
     )
 
 
+def global_cumsum(
+    df: DataFrame,
+    keys: list,
+    sum_cols: list[str],
+    buckets: int = RANGE_BUCKETS,
+) -> DataFrame:
+    """All input columns + the exact running sum of each ``sum_cols``
+    column under the total order ``keys`` (ROWS UNBOUNDED PRECEDING TO
+    CURRENT ROW), as ``cum_<col>`` — the prefix-sum sibling of
+    ``global_rank`` (round 15): range-partition on the order keys,
+    per-bucket window sums, then add each bucket's broadcast cumulative
+    totals. Every stage is parallel; the only single-partition work is
+    the ≤ P-row offsets frame. Exact for integer/decimal sum columns
+    (the additions reassociate exactly).
+
+    Like global_rank, the bucketed frame is cached and materialized
+    INSIDE the operator so the offsets branch and the main branch
+    observe the SAME range-bucket assignment.
+    """
+    ranged = df.repartitionByRange(buckets, *keys).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    wb = (
+        Window.partitionBy("_pid")
+        .orderBy(*keys)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ranged
+    for c in sum_cols:
+        local = local.withColumn(f"_cum_{c}", F.sum(c).over(wb))
+    local = local.cache()
+    local.count()
+    _register_cache(local)
+    totals = local.groupBy("_pid").agg(
+        *[F.sum(c).alias(f"_tot_{c}") for c in sum_cols]
+    )
+    wo = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        F.col("_pid").alias("_opid"),
+        *[
+            F.coalesce(F.sum(f"_tot_{c}").over(wo), F.lit(0)).alias(
+                f"_off_{c}"
+            )
+            for c in sum_cols
+        ],
+    )
+    out = local.join(F.broadcast(offsets), F.col("_pid") == F.col("_opid"))
+    for c in sum_cols:
+        out = out.withColumn(
+            f"cum_{c}", F.col(f"_off_{c}") + F.col(f"_cum_{c}")
+        )
+    return out.drop(
+        "_pid",
+        "_opid",
+        *[f"_cum_{c}" for c in sum_cols],
+        *[f"_off_{c}" for c in sum_cols],
+    )
+
+
 def _idiv(a: Column, b: Column) -> Column:
     """Exact non-negative integer division as a Column expression:
     (a - a mod b) is a multiple of b, so the double division is exact

@@ -1296,6 +1296,16 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     negated key). No single-partition sort of the customer frame
     anywhere; equivalence to the window formulation is certified by
     the shared oracle every run.
+
+    Round 15 (guide §2.3/§2.4; VERDICT r14 #4): the three rankings are
+    INDEPENDENT total orders of the same customer frame, so they now
+    run over slim (o_custkey, key) projections of one eagerly
+    checkpointed base and join their scores back on o_custkey —
+    instead of the round-13 chain where each global_rank re-ranked the
+    previous ranking's full output (every range exchange then carried
+    all prior columns, and the composed plan grew to 232 Exchange
+    mentions). Scores are bit-identical: a ranking depends only on its
+    own keys, never on the carried columns.
     """
     from data_pipeline_playground_spark.operators.ranking import (
         exact_ntile,
@@ -1304,7 +1314,7 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = table(spark, sf_dir, "orders")
     ref = o.agg(F.max(F.to_date("o_orderdate")).alias("ref_day"))
-    c = (
+    base = (
         o.groupBy("o_custkey")
         .agg(
             F.max(F.to_date("o_orderdate")).alias("last_day"),
@@ -1321,22 +1331,26 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "frequency",
             "monetary",
-            (-F.col("frequency")).alias("neg_f"),
-            (-F.col("monetary")).alias("neg_m"),
         )
+        .localCheckpoint(eager=True)
     )
-    for dim, keys in [
-        ("r", ["recency_days", "o_custkey"]),
-        ("f", ["neg_f", "o_custkey"]),
-        ("m", ["neg_m", "o_custkey"]),
+    c = base
+    for dim, key in [
+        ("r", F.col("recency_days")),
+        ("f", -F.col("frequency")),
+        ("m", -F.col("monetary")),
     ]:
-        c = global_rank(c, keys, rank_name="_rank", total_name="_n")
-        c = c.withColumn(
-            f"{dim}_score",
+        slim = base.select("o_custkey", key.alias("_k"))
+        rk = global_rank(
+            slim, ["_k", "o_custkey"], rank_name="_rank", total_name="_n"
+        )
+        scores = rk.select(
+            "o_custkey",
             (F.lit(5) - exact_ntile(F.col("_rank"), F.col("_n"), 4)).cast(
                 "int"
-            ),
-        ).drop("_rank", "_n")
+            ).alias(f"{dim}_score"),
+        )
+        c = c.join(scores, "o_custkey")
     return c.select(
         "o_custkey",
         "recency_days",

@@ -614,7 +614,13 @@ def bm25_prf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = table(spark, sf_dir, "documents")
     t = docs.select("doc_id", tokenize(F.col("text")).alias("toks")).cache()
-    dl = t.select("doc_id", F.size("toks").alias("dl"))
+    # Slim (doc_id, dl) cache (round 15, guide §2.3): both scoring
+    # passes join dl and aggregate st, and uncached each reference
+    # re-scanned the FAT token cache (arrays deserialize per scan) —
+    # the split-timed passes spent more in repeated t scans than in
+    # scoring. dl is two ints per doc; caching it leaves t scanned
+    # only by the token explodes.
+    dl = t.select("doc_id", F.size("toks").alias("dl")).cache()
     st = dl.agg(F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n_docs"))
     tok = t.select("doc_id", F.explode("toks").alias("term"))
     q1 = t.sparkSession.createDataFrame(
@@ -627,8 +633,14 @@ def bm25_prf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= PRF_FEEDBACK_DOCS)
         .select("doc_id")
     )
+    # join BEFORE the explode (guide §3.3): the feedback set is
+    # PRF_FEEDBACK_DOCS rows, so exploding t ⋈ fb touches 15 documents'
+    # tokens — the round-14 shape exploded the ENTIRE corpus and then
+    # broadcast-filtered it down to those 15 docs, paying a third
+    # full-corpus token explode for feedback-slice-sized work.
     exp = (
-        tok.join(F.broadcast(fb), "doc_id")
+        t.join(F.broadcast(fb), "doc_id")
+        .select("doc_id", F.explode("toks").alias("term"))
         .filter((F.length("term") > 2) & (~F.col("term").isin(*BM25_QUERY)))
         .groupBy("term")
         .agg(F.countDistinct("doc_id").alias("dfb"))

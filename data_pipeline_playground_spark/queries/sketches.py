@@ -493,16 +493,22 @@ def value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluating mid-group (per pooled row) overstates D whenever ties
     straddle the two samples (A={1,1}, B={1,1} would read D=1 instead
     of 0). The oracle aggregates per distinct v then takes one global
-    cumulative window; the Spark side keeps the THREE two-level
-    rankings (operators/ranking.global_rank — pooled rank r plus
-    per-sample ranks give per-row c1/c2) and snaps each row to its
-    tie-group boundary via max(c1)/max(c2) over a v-partitioned
-    window: within a group ordered (is_a, event_id) B rows precede A
-    rows and both counts are monotone, so the group maxima are exactly
-    #A≤v and #B≤v. No single-partition pass over the fact table
-    anywhere (the only added exchange is hashpartitioning by v).
+    cumulative window; the Spark side (round 15, guide §2.3/§2.4)
+    mirrors that shape directly: ONE map-side-combinable aggregate per
+    distinct v over the fact table (a_cnt, b_cnt), then an exact
+    two-level prefix sum over the distinct-value frame
+    (operators/ranking.global_cumsum — range partition + per-bucket
+    window + broadcast offsets, never a single-partition pass).
+    c1(v) = Σ_{v'≤v} a_cnt is precisely #A ≤ v with the full tie group
+    included, so D falls out as max|c1·n2 − c2·n1| in pure int64.
+    n1/n2 are the grand totals of the same aggregate. This replaces
+    the round-7 formulation's THREE fact-table rankings (a/b/pooled
+    global_rank + union + tie-snap window — 73 shuffles) with one
+    fact shuffle plus distinct-value-sized work.
     """
-    from data_pipeline_playground_spark.operators.ranking import global_rank
+    from data_pipeline_playground_spark.operators.ranking import (
+        global_cumsum,
+    )
 
     ev = table(spark, sf_dir, "events").where(
         F.col("event_type").isin(KS_TYPE_A, KS_TYPE_B)
@@ -513,33 +519,23 @@ def value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_type") == KS_TYPE_A, 1).otherwise(0).alias(
             "is_a"
         ),
-        "event_id",
     )
-    n = pooled.agg(
-        F.sum("is_a").cast("bigint").alias("n1"),
-        F.sum(F.lit(1) - F.col("is_a")).cast("bigint").alias("n2"),
+    per_v = pooled.groupBy("v").agg(
+        F.sum("is_a").cast("bigint").alias("a_cnt"),
+        F.sum(F.lit(1) - F.col("is_a")).cast("bigint").alias("b_cnt"),
     )
-    keys = ["v", "is_a", "event_id"]
-    a_rk = global_rank(pooled.where(F.col("is_a") == 1), keys, "rsub")
-    b_rk = global_rank(pooled.where(F.col("is_a") == 0), keys, "rsub")
-    sub = a_rk.select(*keys, "rsub").unionAll(b_rk.select(*keys, "rsub"))
-    both = global_rank(sub, keys, "r")
-    c1 = F.when(F.col("is_a") == 1, F.col("rsub")).otherwise(
-        F.col("r") - F.col("rsub")
+    g = global_cumsum(per_v, ["v"], ["a_cnt", "b_cnt"])
+    n = g.agg(
+        F.sum("a_cnt").cast("bigint").alias("n1"),
+        F.sum("b_cnt").cast("bigint").alias("n2"),
     )
-    c2 = F.when(F.col("is_a") == 0, F.col("rsub")).otherwise(
-        F.col("r") - F.col("rsub")
-    )
-    wv = Window.partitionBy("v")
     d = (
-        both.select(
-            F.max(c1).over(wv).alias("c1g"),
-            F.max(c2).over(wv).alias("c2g"),
-        )
-        .crossJoin(F.broadcast(n))
+        g.crossJoin(F.broadcast(n))
         .select(
-            F.abs(F.col("c1g") * F.col("n2") - F.col("c2g") * F.col("n1"))
-            .alias("dn")
+            F.abs(
+                F.col("cum_a_cnt") * F.col("n2")
+                - F.col("cum_b_cnt") * F.col("n1")
+            ).alias("dn")
         )
         .agg(F.max("dn").cast("bigint").alias("d_num"))
     )

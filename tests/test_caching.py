@@ -298,3 +298,37 @@ def test_prebuild_all_covers_every_memo_build(spark, sf_dir):
                  "dedup_simhash_pairs", "events_rollup_hierarchical"):
         q[name](spark, sf_dir)
     assert [e for e in caching.drain_ledger() if e["kind"] == "build"] == []
+
+
+def test_global_cumsum_matches_single_partition_window(spark):
+    """round 15: operators/ranking.global_cumsum (range-partitioned
+    two-level prefix sum) must equal the textbook single-partition
+    running sum for every row — including duplicate order keys that
+    straddle range-bucket boundaries and negative values — and must
+    never leave helper columns behind."""
+    from pyspark.sql import Window
+
+    from data_pipeline_playground_spark.operators import ranking
+
+    base = spark.range(500).select(
+        F.col("id"),
+        (F.col("id") % 37).alias("k"),
+        (F.col("id") % 11 - 5).cast("bigint").alias("x"),
+        (F.col("id") % 7).cast("bigint").alias("y"),
+    )
+    got = ranking.global_cumsum(base, ["k", "id"], ["x", "y"], buckets=8)
+    assert set(got.columns) == {"id", "k", "x", "y", "cum_x", "cum_y"}
+    w = Window.orderBy("k", "id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    want = base.select(
+        "id",
+        F.sum("x").over(w).alias("cum_x"),
+        F.sum("y").over(w).alias("cum_y"),
+    )
+    diff = (
+        got.select("id", "cum_x", "cum_y")
+        .exceptAll(want)
+        .unionAll(want.exceptAll(got.select("id", "cum_x", "cum_y")))
+    )
+    assert diff.count() == 0
