@@ -55,6 +55,7 @@ def global_rank(
     rank_name: str = "global_rank",
     total_name: str = "n_total",
     buckets: int = RANGE_BUCKETS,
+    cache_input: bool = False,
 ) -> DataFrame:
     """All input columns + the exact 1-based global rank under the
     total order ``keys`` (pass an id last to break ties) + the total
@@ -65,7 +66,23 @@ def global_rank(
     range-bucket assignment — re-executing the range exchange in two
     subtrees would double the work and bet on the sampler placing
     identical bounds twice (see customer_spend_quartiles_ranked).
+
+    Round 15 (guide §2.4): with ``cache_input=True`` the INPUT is
+    cached too, because repartitionByRange runs a separate
+    range-sampling job that re-executes the input subtree end-to-end
+    — a consumer with an expensive upstream (tokenize chains) pays it
+    TWICE. Rank exactness never depends on where the sampler puts the
+    bounds, so this is purely mechanical; both frames retire through
+    the same FIFO deque. Opt-in because for cheap inputs (a parquet
+    scan + map-combinable aggregate) the extra materialization job
+    measured SLOWER than re-executing the subtree.
     """
+    if cache_input and not (
+        df.storageLevel.useMemory or df.storageLevel.useDisk
+    ):
+        df = df.cache()
+        df.count()
+        _register_cache(df)
     ranged = df.repartitionByRange(buckets, *keys).withColumn(
         "_pid", F.spark_partition_id()
     )

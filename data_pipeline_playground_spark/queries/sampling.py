@@ -874,7 +874,9 @@ def curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).alias("n_tokens"),
         quality_score_col(toks, F.size(toks)).alias("qs"),
     )
-    rk = global_rank(d, ["qs", "doc_id"], rank_name="rank")
+    # cache_input: the tokenize+quality upstream is the dominant cost
+    # and the range sampler would otherwise execute it twice (r15)
+    rk = global_rank(d, ["qs", "doc_id"], rank_name="rank", cache_input=True)
     staged = rk.withColumn(
         "quality_decile", exact_ntile(F.col("rank"), F.col("n_total"), 10)
     )

@@ -30,17 +30,20 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _codegen_totals(spark) -> tuple[float, float]:
-    """(compile_ms_total, src_bytes_total) from CodegenMetrics."""
+def _codegen_totals(spark) -> tuple[float, float, int]:
+    """(compile_ms_est, src_bytes_est, n_classes) from CodegenMetrics.
+
+    Histogram reservoirs undercount deltas; getCount() is exact, so
+    report count deltas plus mean*count estimates for magnitude.
+    """
     jvm = spark.sparkContext._jvm
     m = jvm.org.apache.spark.metrics.source.CodegenMetrics
-    comp = m.METRIC_COMPILATION_TIME().getSnapshot()
-    size = m.METRIC_GENERATED_CLASS_BYTECODE_SIZE().getSnapshot()
-    src = m.METRIC_SOURCE_CODE_SIZE().getSnapshot()
-    comp_total = float(sum(comp.getValues()))
-    _ = size
-    src_total = float(sum(src.getValues()))
-    return comp_total, src_total
+    comp = m.METRIC_COMPILATION_TIME()
+    src = m.METRIC_SOURCE_CODE_SIZE()
+    n = int(comp.getCount())
+    comp_total = float(comp.getSnapshot().getMean()) * n
+    src_total = float(src.getSnapshot().getMean()) * int(src.getCount())
+    return comp_total, src_total, n
 
 
 def main() -> None:
@@ -79,11 +82,11 @@ def main() -> None:
                 "formatted"
             )
         )
-        c0, s0 = _codegen_totals(spark)
+        c0, s0, n0 = _codegen_totals(spark)
         t0 = time.perf_counter()
         df.count()
         t1 = time.perf_counter()
-        c1, s1 = _codegen_totals(spark)
+        c1, s1, n1 = _codegen_totals(spark)
         t2 = time.perf_counter()
         queries[name](spark, args.sf_dir).count()
         t3 = time.perf_counter()
@@ -92,7 +95,7 @@ def main() -> None:
             "warm_s": round(t3 - t2, 3),
             "compile_ms": round(c1 - c0, 1),
             "src_kb": round((s1 - s0) / 1024.0, 1),
-            "wscg": plan.count("WholeStageCodegen"),
+            "n_classes": n1 - n0,
             "plan_lines": plan.count("\n"),
             "exchanges": plan.count("Exchange"),
         }
