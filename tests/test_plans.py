@@ -1836,3 +1836,21 @@ def test_emerging_terms_takeordered(spark, sf_dir):
     plan = _plan(spark, sf_dir, "emerging_terms")
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cms_exact_exchange_reused(spark, sf_dir):
+    """round 15 (VERDICT r14 #4): heavy_hitters_cms's single-corpus-pass
+    claim relies on runtime exchange reuse — the CMS branch and the
+    candidate branch share the (term, exact_cnt) aggregate's exchange.
+    Pin it: after execution, the final adaptive plan must contain a
+    ReusedExchange and only ONE Generate (tokenize explode). If a
+    Spark upgrade or AQE config stops deduplicating the exchange, this
+    fails loudly instead of silently doubling the corpus pass."""
+    df = _QUERIES["heavy_hitters_cms"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in final
+    # one corpus pass: the final plan reads documents.parquet exactly
+    # once — the second branch consumes the ReusedExchange instead
+    assert final.count("Scan parquet") == 1
