@@ -198,8 +198,21 @@ import random as _random
 # derived oracle with no side channel. $SPARK_GRAFT_LSH_PLANES pins a
 # fixed count exactly as before (every consumer AND oracle then bake
 # that literal — the r12 subprocess-oracle canary covers it).
+# MAX_PLANES is a SAFETY RAIL, not a tuning dial (round 15, VERDICT
+# r14 #3: the old 16-plane cap silently re-pinned the dial above
+# 2^16·64 ≈ 4.2M vectors — the exact failure mode the derived dial
+# exists to prevent, contradicting SCALE.md's ~26-28 planes at 10¹⁰
+# vectors). 34 planes saturate at 2^34·64 ≈ 1.1×10¹² vectors — two
+# orders of magnitude past the 100 TB story's 10¹⁰ — so the dial stays
+# self-setting at every claimed scale. Bucket ids need int64 beyond 31
+# planes: ann_lsh_buckets casts BIGINT on BOTH engines, and the
+# multiprobe bit-flip shifts a bigint 1 (below). Derived counts at the
+# test SFs (4-12 planes) are unchanged — HYPERPLANES extends by
+# appending rows 17-34 from the same sequential RNG, so the first 16
+# planes, every small-corpus bucket id, and every oracle derivation
+# are bit-identical to round 14.
 MIN_PLANES = 4
-MAX_PLANES = 16
+MAX_PLANES = 34
 LSH_TARGET_BUCKET = 64
 _env_planes = _os.environ.get("SPARK_GRAFT_LSH_PLANES", "")
 N_PLANES: int | None = int(_env_planes) if _env_planes else None
@@ -286,7 +299,7 @@ _SQL_BUCKET = (
 
 _LSH_BUCKETS_SQL = f"""
 WITH e AS (SELECT vec_id, {_SQL_V} AS v FROM embeddings)
-SELECT {_SQL_BUCKET} AS bucket,
+SELECT CAST({_SQL_BUCKET} AS BIGINT) AS bucket,
        count(*) AS n_vectors,
        min(vec_id) AS min_vec_id
 FROM e GROUP BY 1
@@ -321,8 +334,12 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     id is the ANN join key at scale (same-bucket candidates only);
     this query verifies the signature computation end-to-end."""
     e = _embed_double(spark, sf_dir)
+    # BIGINT on both engines: bucket ids exceed int32 beyond 31 planes
+    # (values at test SFs unchanged — 4-12 derived planes)
     return (
-        e.withColumn("bucket", _bucket_col(lsh_planes(spark, sf_dir)))
+        e.withColumn(
+            "bucket", _bucket_col(lsh_planes(spark, sf_dir)).cast("long")
+        )
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
@@ -524,7 +541,7 @@ q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM b WHERE vec_id < {N_QUERY_VECT
 probes AS (
   SELECT q.q_id, q.qv,
          CASE WHEN f.flip < 0 THEN q.bucket
-              ELSE xor(q.bucket, 1 << f.flip) END AS pbucket
+              ELSE xor(q.bucket, CAST(1 AS BIGINT) << f.flip) END AS pbucket
   FROM q, (SELECT unnest(range(-1, {MULTIPROBE_BITS})) AS flip) f
   WHERE f.flip < {_SQL_PLANES}
 ),
@@ -574,7 +591,7 @@ def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 f"transform(sequence(-1, {planes - 1}), "
                 f"f -> CASE WHEN f < 0 THEN qbucket "
-                f"ELSE qbucket ^ shiftleft(1, f) END)"
+                f"ELSE qbucket ^ shiftleft(CAST(1 AS BIGINT), f) END)"
             )
         ).alias("pbucket"),
     )
@@ -640,7 +657,7 @@ mp_topk AS (
     FROM (
       SELECT q.q_id, q.qv,
              CASE WHEN f.flip < 0 THEN q.bucket
-                  ELSE xor(q.bucket, 1 << f.flip) END AS pbucket
+                  ELSE xor(q.bucket, CAST(1 AS BIGINT) << f.flip) END AS pbucket
       FROM q, (SELECT unnest(range(-1, {MULTIPROBE_BITS})) AS flip) f
       WHERE f.flip < {_SQL_PLANES}
     ) p JOIN b ON p.pbucket = b.bucket AND b.vec_id <> p.q_id

@@ -667,9 +667,20 @@ def test_lsh_plane_dial_self_setting(spark):
     assert s.lsh_planes(spark, "/root/testdata/sf0.1") == 5
     # the rule reproduces r12's hand-validated 100×-probe config
     assert s.planes_for_count(200_000) == 12
+    # round 15 (VERDICT r14 #3): the clamp is now a safety rail at 34
+    # planes, so the dial stays self-setting two decades past the 100 TB
+    # story's 10^10 vectors; the derivation must keep matching the
+    # oracle in the range the old 16-plane cap used to mask
+    assert s.MAX_PLANES >= 28, "cap must clear ~28 planes at 10^10 vectors"
+    assert s.planes_for_count(5_000_000) == 17  # past the old 16 clamp
+    assert s.planes_for_count(10**10) == 28
+    assert len(s.HYPERPLANES) == s.MAX_PLANES
     con = duckdb.connect()
     for n in [1, 63, 64, 65, 128, 129, 500, 2000, 200_000,
-              64 * 4096 - 1, 64 * 4096, 64 * 4096 + 1, 10**9]:
+              64 * 4096 - 1, 64 * 4096, 64 * 4096 + 1, 10**9,
+              # boundaries in the range the old clamp masked
+              64 * 2**16, 64 * 2**16 + 1, 5_000_000, 10**10,
+              64 * 2**33, 64 * 2**33 + 1, 10**12]:
         sqlp = con.execute(
             f"SELECT GREATEST({s.MIN_PLANES}, LEAST({s.MAX_PLANES}, "
             f"CAST(CEIL(LOG2(CAST({n} AS DOUBLE) / "
