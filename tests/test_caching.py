@@ -300,6 +300,26 @@ def test_prebuild_all_covers_every_memo_build(spark, sf_dir):
     assert [e for e in caching.drain_ledger() if e["kind"] == "build"] == []
 
 
+def test_prebuild_serial_order_children_before_parents():
+    """ADVICE r14 #2: the serial prebuild schedule must place every
+    nested memo's child before its parent (warm-child-first), while
+    remaining a permutation of the registry."""
+    from data_pipeline_playground_spark import memo_prebuild as mp
+
+    names = sorted(mp.known_memo_names())
+    order = mp._serial_order(
+        names, lambda n: mp._SOLO_WEIGHTS.get(n, mp._DEFAULT_WEIGHT)
+    )
+    assert sorted(order) == names
+    for parent, deps in mp._MEMO_DEPS.items():
+        for child in deps:
+            assert order.index(child) < order.index(parent), (
+                f"{child} must build before {parent}"
+            )
+    # regression: the pair ADVICE r14 #2 named
+    assert order.index("grams_sampled") < order.index("minhash_est_sampled")
+
+
 def test_global_cumsum_matches_single_partition_window(spark):
     """round 15: operators/ranking.global_cumsum (range-partitioned
     two-level prefix sum) must equal the textbook single-partition
