@@ -338,6 +338,13 @@ def main() -> None:
     lsh_mode = (
         f"pinned:{_sim.N_PLANES}" if _sim.N_PLANES is not None else "derived"
     )
+    # Effective extra Spark confs (ADVICE r14 #1): $SPARK_GRAFT_EXTRA_CONFS
+    # silently changes Spark config for the whole session, so a min-merge
+    # against a base recorded under different confs would mix timings from
+    # different configurations — same contamination class as lsh_planes_mode.
+    # Recorded in every run; a mismatch fresh-lists EVERY query (confs are
+    # global, unlike the similarity-family-scoped plane mode).
+    extra_confs = os.environ.get("SPARK_GRAFT_EXTRA_CONFS", "")
 
     base: dict = {}
     fresh: set = set()
@@ -345,6 +352,8 @@ def main() -> None:
     to_run = sorted(queries)
     if base_path:
         base = _load_base(base_path)
+        if base.get("extra_confs", "") != extra_confs:
+            fresh.update(queries)
         if base.get("lsh_planes_mode") != lsh_mode:
             fresh.update(
                 name for name, fn in queries.items()
@@ -579,6 +588,9 @@ def main() -> None:
     # effective LSH plane config (ADVICE r13 #2) — next run's merge
     # fresh-lists the similarity family if this differs
     out["lsh_planes_mode"] = lsh_mode
+    # effective extra-confs string (ADVICE r14 #1) — next run's merge
+    # fresh-lists everything if this differs
+    out["extra_confs"] = extra_confs
     out["sentinel_probes"] = probes
     out["probe_names"] = probe_names
     # per-module family rollup of the merged timings (compact-summary

@@ -89,11 +89,29 @@ def _global_windows(plan: str) -> int:
     columns. In executed-plan text a partitioned spec leads with plain
     column refs (`windowspecdefinition(brand#12, price#3 ASC ...`);
     an unpartitioned spec's first argument is either an ordering
-    expression (` ASC`/` DESC` before the first comma) or directly the
-    frame (`specifiedwindowframe(`)."""
+    expression (` ASC`/` DESC` before the first TOP-LEVEL comma) or
+    directly the frame (`specifiedwindowframe(`). The argument scan is
+    paren-aware (ADVICE r14 #3): a naive first-comma split misses an
+    unpartitioned window ordered by a comma-containing expression
+    (`windowspecdefinition(round(x#1, 2) ASC ...`) — the head must be
+    the whole first argument, not the prefix before a nested comma."""
+
+    def first_arg(s: str) -> str:
+        depth = 0
+        for i, ch in enumerate(s):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    return s[:i]
+                depth -= 1
+            elif ch == "," and depth == 0:
+                return s[:i]
+        return s
+
     n = 0
     for chunk in plan.split("windowspecdefinition(")[1:]:
-        head = chunk.split(",", 1)[0]
+        head = first_arg(chunk)
         if (" ASC" in head or " DESC" in head
                 or head.startswith("specifiedwindowframe(")):
             n += 1
