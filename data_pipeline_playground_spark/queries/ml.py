@@ -60,6 +60,15 @@ def _spread_for_transform(df: DataFrame, n_rows: int) -> DataFrame:
     task. NEVER apply this to a frame feeding a ``.fit`` — mini-batch
     sampling (online LDA, k-means||) is partition-dependent, so
     repartitioning a fit input changes the model.
+
+    Applied ONLY where per-row inference is expensive enough to beat
+    the repartition's own shuffle (LDA's per-doc variational loop:
+    3.38 → 0.53 s). For cheap transforms the shuffle LOSES — measured
+    on a probe-clean box and REVERTED (guide §1.1's fresh-ideal-plan
+    trap): kmeans_clusters 1.32 → 1.86 s, bisecting_kmeans_clusters
+    1.62 → 2.35 s with the spread; both returned to baseline without
+    it. Centroid-distance argmax is a few FLOPs per row; shuffling
+    the SparseVector frame costs more than the serial scan.
     """
     dp = df.sparkSession.sparkContext.defaultParallelism
     parts = max(1, min(dp, n_rows // _MIN_ROWS_PER_TASK))
@@ -116,7 +125,9 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats, _, n = _tfidf_features_memo(spark, sf_dir)
     k = max(2, min(n // 4, KMEANS_K_CAP))
     model = KMeans(k=k, maxIter=KMEANS_MAX_ITER, seed=SEED, featuresCol="features").fit(feats)
-    pred = model.transform(_spread_for_transform(feats, n))
+    # no _spread_for_transform: centroid assignment is a few FLOPs per
+    # row and the repartition measured SLOWER (see _spread_for_transform)
+    pred = model.transform(feats)
     return (
         pred.groupBy(F.col("prediction").alias("cluster_id"))
         .agg(F.count(F.lit(1)).alias("n_docs"))
@@ -205,15 +216,17 @@ def bisecting_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the affinity matches the reference's intent. Output: cluster sizes."""
     from pyspark.ml.clustering import BisectingKMeans
 
-    feats, _, n = _tfidf_features_memo(spark, sf_dir)
+    feats, _, _ = _tfidf_features_memo(spark, sf_dir)
     # maxIter=8 (vs stock 20): each bisection's Lloyd refinement
     # converges in a handful of steps on L2-normalized TF-IDF; the
     # stock setting just burns 4 extra distributed jobs per split.
     model = BisectingKMeans(
         k=5, maxIter=BISECTING_MAX_ITER, seed=SEED, featuresCol="features"
     ).fit(feats)
+    # no _spread_for_transform: tree-descent assignment is cheap per
+    # row and the repartition measured SLOWER (see _spread_for_transform)
     return (
-        model.transform(_spread_for_transform(feats, n))
+        model.transform(feats)
         .groupBy(F.col("prediction").alias("cluster_id"))
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("cluster_id")

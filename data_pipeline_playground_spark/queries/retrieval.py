@@ -569,20 +569,14 @@ QUALIFY row_number() OVER (ORDER BY round(s, 6) DESC, doc_id) <= {BM25_TOPK}
 
 
 def _bm25_pass(
-    tf_all: DataFrame, dl: DataFrame, st: DataFrame, terms: DataFrame
+    tok: DataFrame, dl: DataFrame, st: DataFrame, terms: DataFrame
 ) -> DataFrame:
     """One BM25 scoring pass against a dynamic term table: (doc_id,
-    raw score). ``tf_all`` is the materialized posting table
-    (doc_id, term, tf) — round 15 (guide §2.4, VERDICT r14 #2): both
-    passes used to re-explode the whole corpus and re-aggregate tf
-    under their own broadcast term filter; the unfiltered aggregate is
-    pass-independent, so it is built ONCE and each pass reduces to a
-    broadcast-hash semi-filter over slim int/string rows. df per pass
-    is unchanged: (doc_id, term) is unique in the posting table, so
-    COUNT(*) per term after the term filter ≡ the old count of
-    per-pass tf groups. The term/df tables are |query|-row broadcasts;
-    the per-doc sum is one combinable aggregate."""
-    tf = tf_all.join(F.broadcast(terms), "term")
+    raw score). The term/df tables are |query|-row broadcasts; the
+    per-doc sum is one combinable aggregate."""
+    tf = tok.join(F.broadcast(terms), "term").groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
     dfr = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
         F.lit(1.0)
@@ -611,17 +605,12 @@ def bm25_prf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     final top-{BM25_TOPK} — the classic recall-boosting rerank a
     retrieval pipeline layers over `bm25_topk`.
 
-    Scale shape (round 15, guide §2.4 — remove the repeated pass
-    outright): the corpus is tokenized and exploded EXACTLY ONCE, into
-    the materialized posting table (doc_id, term, tf) — the inverted
-    index a retrieval pipeline persists anyway at 100 TB. Both scoring
-    passes and the expansion mining are broadcast-hash joins over that
-    slim table (the round-14 shape re-exploded the corpus per pass);
-    the expansion mining's countDistinct(doc_id) becomes COUNT(*)
-    because (doc_id, term) is unique in the posting table. Expansion
-    selection is integer document-frequency with term tie-breaks —
-    fully deterministic; scores round to 6 dp before every rank (same
-    ln-parity discipline as bm25_topk).
+    Scale shape: BOTH passes score only docs containing some query
+    term (token explode filtered by a broadcast term table before any
+    shuffle); the expansion mining runs over the {PRF_FEEDBACK_DOCS}-doc
+    feedback slice. Expansion selection is integer document-frequency
+    with term tie-breaks — fully deterministic; scores round to 6 dp
+    before every rank (same ln-parity discipline as bm25_topk).
     """
     docs = table(spark, sf_dir, "documents")
     t = docs.select("doc_id", tokenize(F.col("text")).alias("toks")).cache()
@@ -630,36 +619,31 @@ def bm25_prf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-scanned the FAT token cache (arrays deserialize per scan) —
     # the split-timed passes spent more in repeated t scans than in
     # scoring. dl is two ints per doc; caching it leaves t scanned
-    # only by the posting-table build.
+    # only by the token explodes.
     dl = t.select("doc_id", F.size("toks").alias("dl")).cache()
     st = dl.agg(F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n_docs"))
-    # one corpus explode + one (doc_id, term) aggregate for the whole
-    # query; eager so the three consumer subtrees never race a lazy
-    # cache (repo discipline) and the plan truncates to a scan
-    tf_all = (
-        t.select("doc_id", F.explode("toks").alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=True)
-    )
+    tok = t.select("doc_id", F.explode("toks").alias("term"))
     q1 = t.sparkSession.createDataFrame(
         [(w,) for w in BM25_QUERY], "term string"
     )
-    sc1 = _bm25_pass(tf_all, dl, st, q1)
+    sc1 = _bm25_pass(tok, dl, st, q1)
     w1 = Window.orderBy(F.desc(F.round(F.col("s"), 6)), F.asc("doc_id"))
     fb = (
         sc1.withColumn("rn", F.row_number().over(w1))
         .filter(F.col("rn") <= PRF_FEEDBACK_DOCS)
         .select("doc_id")
     )
-    # expansion mining reads the posting table too: (doc_id, term) is
-    # unique there, so dfb = countDistinct(doc_id) ≡ COUNT(*) after the
-    # feedback-set broadcast join — no third corpus pass of any kind.
+    # join BEFORE the explode (guide §3.3): the feedback set is
+    # PRF_FEEDBACK_DOCS rows, so exploding t ⋈ fb touches 15 documents'
+    # tokens — the round-14 shape exploded the ENTIRE corpus and then
+    # broadcast-filtered it down to those 15 docs, paying a third
+    # full-corpus token explode for feedback-slice-sized work.
     exp = (
-        tf_all.join(F.broadcast(fb), "doc_id")
+        t.join(F.broadcast(fb), "doc_id")
+        .select("doc_id", F.explode("toks").alias("term"))
         .filter((F.length("term") > 2) & (~F.col("term").isin(*BM25_QUERY)))
         .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("dfb"))
+        .agg(F.countDistinct("doc_id").alias("dfb"))
     )
     w2 = Window.orderBy(F.desc("dfb"), F.asc("term"))
     exp_terms = (
@@ -668,7 +652,7 @@ def bm25_prf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("term")
     )
     q2 = exp_terms.unionByName(q1)
-    sc2 = _bm25_pass(tf_all, dl, st, q2)
+    sc2 = _bm25_pass(tok, dl, st, q2)
     return (
         sc2.select("doc_id", F.round("s", 6).alias("bm25_prf"))
         .orderBy(F.desc("bm25_prf"), F.asc("doc_id"))

@@ -1550,18 +1550,6 @@ def test_prf_broadcast_terms_topk(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_prf_single_corpus_pass(spark, sf_dir):
-    """Round 15 (VERDICT r14 #2): both scoring passes and the feedback
-    mining read the materialized posting table (doc_id, term, tf), so
-    the FINAL plan carries zero corpus explode subtrees — the one
-    tokenize+explode runs once, at posting-table materialization. A
-    reappearing Generate/explode means a pass regrew its own corpus
-    scan."""
-    plan = _plan(spark, sf_dir, "bm25_prf_topk")
-    assert "Generate" not in plan
-    assert "explode" not in plan.lower()
-
-
 def test_join_ivm_one_join_two_aggs(spark, sf_dir):
     """The delta decomposition adds NO exchanges over the direct query:
     one co-partitioned fact join, quadrant partial agg, priority merge."""
